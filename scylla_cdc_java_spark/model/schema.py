@@ -75,12 +75,14 @@ class CdcTableDescriptor:
 
 def _deleted_elements_type(dt: T.DataType) -> T.ArrayType:
     """Element type of cdc$deleted_elements_<col>: removed set elements / map
-    keys / list position timeuuids."""
+    keys / list position timeuuids / UDT field indices."""
     if isinstance(dt, T.ArrayType):
         return T.ArrayType(dt.elementType)
     if isinstance(dt, T.MapType):
         return T.ArrayType(dt.keyType)
-    raise TypeError(f"non-frozen collection must be array/map, got {dt}")
+    if isinstance(dt, T.StructType):
+        return T.ArrayType(T.ShortType())
+    raise TypeError(f"non-frozen collection must be array/map/udt, got {dt}")
 
 
 def log_value_type(desc: CdcTableDescriptor, col: str) -> T.DataType:

@@ -1,0 +1,375 @@
+"""Change application — the "replicator" as a distributed merge kernel.
+
+Re-expresses the reference's replicator sink program (R1-R10, reference
+scylla-cdc-replicator/.../ReplicatorConsumer.java:37-124 and the
+operations/ handler tree) as batch DataFrame operators:
+
+* ``materialize_lww`` — the fast path: row-granularity last-writer-wins
+  materialization as a single aggregate (``max_by``) so Spark can partial-
+  aggregate map-side before the one unavoidable shuffle on the key.
+* ``pair_range_deletes`` — J1 batch analog: pair the two bound rows of a
+  range delete per stream with ``lead()`` over the per-stream order
+  (reference buffers the left bound in keyed state,
+  RangeDeleteState.java:8-38).
+* ``apply_cdc_log`` — the full-fidelity kernel: cell-level CQL write
+  semantics (insert/update/row-delete/partition-delete/range-delete,
+  null-vs-unset via ``cdc$deleted_*``, non-frozen collection deltas,
+  pre/post-image modes). Implemented as ``applyInPandas`` over
+  *partition-key* groups: one shuffle on the partition key co-locates every
+  change that can affect a CQL partition (row ops, partition deletes, range
+  bounds), then an ordered fold inside the Arrow batch applies them in
+  (cdc$time, batch_seq_no) order — the same per-stream total order the
+  reference relies on (WorkerTest.testWorkerConsumesSingleVNodeChangesInOrder).
+
+Scale posture: the kernel's only shuffle is ``groupBy(partition keys)`` —
+the minimum possible co-location requirement for CQL semantics. Skewed
+partitions degrade exactly like hot CQL partitions; AQE skew handling
+applies. Everything before the kernel (normalize, dedup, op-split) is
+native/codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..model.ops import OperationType
+from ..model.schema import (
+    DELETED_ELEMENTS_PREFIX,
+    DELETED_PREFIX,
+    CdcTableDescriptor,
+)
+from .dedup import dedup_changes
+from .normalize import TIME_MICROS, normalize_changes
+
+_SEQ = "cdc$batch_seq_no"
+_OP = "cdc$operation"
+
+
+def materialize_lww(
+    changes: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    time_col: str = TIME_MICROS,
+    seq_col: str = _SEQ,
+    op_col: str = _OP,
+    delete_ops: tuple[int, ...] = (int(OperationType.ROW_DELETE), int(OperationType.PARTITION_DELETE)),
+) -> DataFrame:
+    """Row-granularity LWW materialization (fast path).
+
+    One aggregation: for each key keep the latest change by
+    ``(time, seq)`` via ``max_by`` (partial-aggregatable — no window, no
+    per-key row explosion), then drop keys whose latest change is a delete.
+    """
+    ord_expr = F.struct(F.col(time_col), F.col(seq_col))
+    picked = F.max_by(
+        F.struct(F.col(op_col).alias("op"), *[F.col(c).alias(c) for c in value_cols]),
+        ord_expr,
+    ).alias("last")
+    agg = changes.groupBy(*key_cols).agg(picked)
+    alive = agg.where(~F.col("last.op").cast("int").isin(list(delete_ops)))
+    return alive.select(*key_cols, *[F.col(f"last.{c}").alias(c) for c in value_cols])
+
+
+def pair_range_deletes(changes: DataFrame, desc: CdcTableDescriptor) -> DataFrame:
+    """J1: pair left/right range-delete bound rows per stream.
+
+    Emits one row per completed range delete with the partition key, the
+    left/right clustering bounds and their inclusivity. Unmatched left
+    bounds (right bound outside the read window) are dropped, matching the
+    reference's buffer-until-right-bound behavior.
+    """
+    changes = normalize_changes(changes)
+    bounds = changes.where(F.col(_OP).cast("int").isin([5, 6, 7, 8]))
+    w = Window.partitionBy("cdc$stream_id").orderBy(F.col(TIME_MICROS), F.col(_SEQ))
+    ck = desc.clustering_keys
+    nxt = lambda c: F.lead(c).over(w)  # noqa: E731
+    paired = (
+        bounds.withColumn("next_op", nxt(F.col(_OP)))
+        .withColumns({f"right_{c}": nxt(F.col(c)) for c in ck})
+        .where(F.col(_OP).cast("int").isin([5, 6]) & F.col("next_op").cast("int").isin([7, 8]))
+    )
+    sel = [
+        *desc.partition_keys,
+        F.col(TIME_MICROS).alias("delete_time_micros"),
+        (F.col(_OP).cast("int") == 5).alias("left_inclusive"),
+        (F.col("next_op").cast("int") == 7).alias("right_inclusive"),
+    ]
+    sel += [F.col(c).alias(f"left_{c}") for c in ck]
+    sel += [F.col(f"right_{c}") for c in ck]
+    return paired.select(*sel)
+
+
+def _plain_desc(desc: CdcTableDescriptor) -> dict:
+    """Reduce the descriptor to plain python values for closure capture
+    (workers deserialize the kernel without importing this package)."""
+    kinds = {}
+    for col in desc.regular_columns:
+        dt = desc.base_field(col).dataType
+        if col in desc.list_columns:
+            kinds[col] = "list"
+        elif col in desc.non_frozen_collections and isinstance(dt, T.ArrayType):
+            kinds[col] = "set"
+        elif col in desc.non_frozen_collections and isinstance(dt, T.MapType):
+            kinds[col] = "map"
+        elif col in desc.non_frozen_collections and isinstance(dt, T.StructType):
+            kinds[col] = "udt"
+        else:
+            kinds[col] = "scalar"
+    return {
+        "pk": list(desc.partition_keys),
+        "ck": list(desc.clustering_keys),
+        "regular": list(desc.regular_columns),
+        "kinds": kinds,
+        "udt_fields": {
+            col: [f.name for f in desc.base_field(col).dataType.fields]
+            for col in desc.regular_columns
+            if isinstance(desc.base_field(col).dataType, T.StructType)
+        },
+    }
+
+
+def apply_cdc_log(
+    changes: DataFrame,
+    desc: CdcTableDescriptor,
+    mode: str = "delta",
+    initial_state: DataFrame | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Apply a CDC change log to (optional) initial state → current state.
+
+    ``mode``: ``delta`` (ops 1-8; images ignored, R9), ``postimage``
+    (op 9 replaces ops 1/2 as a full-row write, deletes still apply — R8).
+    Output schema = the base-table schema (list columns materialized back
+    to arrays in timeuuid order, O3).
+    """
+    if mode not in ("delta", "postimage"):
+        raise ValueError(f"unknown mode {mode!r}")
+    d = _plain_desc(desc)
+    changes = normalize_changes(changes)
+    if dedup:
+        changes = dedup_changes(changes)
+
+    if mode == "delta":
+        changes = changes.where(~F.col(_OP).cast("int").isin([0, 9]))
+    else:
+        changes = changes.where(~F.col(_OP).cast("int").isin([0, 1, 2]))
+
+    # Project to the columns the fold needs; column pruning reaches the scan.
+    deleted_cols = [c for c in changes.columns if c.startswith(DELETED_PREFIX)]
+    delem_cols = [c for c in changes.columns if c.startswith(DELETED_ELEMENTS_PREFIX)]
+    base_cols = [f.name for f in desc.base_schema.fields]
+    keep = [TIME_MICROS, _SEQ, _OP, *base_cols, *deleted_cols, *delem_cols]
+    changes = changes.select(*[c for c in keep if c in changes.columns])
+
+    if initial_state is not None:
+        seed = initial_state
+        for c in changes.columns:
+            if c not in seed.columns:
+                if c == TIME_MICROS:
+                    seed = seed.withColumn(c, F.lit(-(2**62)).cast("long"))
+                elif c == _SEQ:
+                    seed = seed.withColumn(c, F.lit(0))
+                elif c == _OP:
+                    seed = seed.withColumn(c, F.lit(int(OperationType.ROW_INSERT)).cast("byte"))
+                else:
+                    seed = seed.withColumn(c, F.lit(None).cast(changes.schema[c].dataType))
+        changes = changes.unionByName(seed.select(*changes.columns))
+
+    out_schema = desc.base_schema
+    kernel = _make_fold_kernel(d, mode, [f.name for f in out_schema.fields])
+    return changes.groupBy(*d["pk"]).applyInPandas(kernel, schema=out_schema)
+
+
+def _make_fold_kernel(d: dict, mode: str, out_cols: list[str]):
+    """Build the per-partition ordered fold. Nested def so cloudpickle
+    ships it by value; references only stdlib + pandas."""
+    import pandas as pd  # noqa: F401  (captured for the closure)
+
+    GREGORIAN = 0x01B21DD213814000
+    pk_cols, ck_cols, regular, kinds = d["pk"], d["ck"], d["regular"], d["kinds"]
+    udt_fields = d["udt_fields"]
+    postimage = mode == "postimage"
+
+    def timeuuid_key(u: str):
+        import uuid as _uuid
+
+        return (_uuid.UUID(u).time - GREGORIAN) // 10, u
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        pdf = pdf.sort_values(["cdc$time_micros", "cdc$batch_seq_no"], kind="mergesort")
+        rows: dict[tuple, dict] = {}
+        pending_left: tuple | None = None  # (ck_bound, inclusive)
+
+        def bound_ok(ck_t, bound, inclusive, is_left):
+            for a, b in zip(ck_t, bound):
+                if b is None:
+                    break
+                if a is None:
+                    return not is_left  # null ck sorts first
+                if a == b:
+                    continue
+                return (a > b) if is_left else (a < b)
+            return inclusive
+
+        def coerce_map(v):
+            # Arrow hands MapType values to pandas as list-of-(k, v) tuples.
+            if v is None:
+                return {}
+            if isinstance(v, dict):
+                return dict(v)
+            return dict(v)
+
+        def write_cell(cells, col, value, deleted, del_elems):
+            kind = kinds[col]
+            if kind == "scalar":
+                if value is not None:
+                    cells[col] = value
+                elif deleted:
+                    cells.pop(col, None)
+                return
+            if kind == "set":
+                cur = set() if deleted else set(cells.get(col) or ())
+                if value is not None:
+                    cur.update(value)
+                if del_elems is not None:
+                    cur.difference_update(del_elems)
+                if cur:
+                    cells[col] = sorted(cur)
+                else:
+                    cells.pop(col, None)
+                return
+            if kind in ("map", "list"):
+                cur = {} if deleted else dict(cells.get(col) or {})
+                if value is not None:
+                    cur.update(coerce_map(value))
+                if del_elems is not None:
+                    for k in del_elems:
+                        cur.pop(k, None)
+                if cur:
+                    cells[col] = cur
+                else:
+                    cells.pop(col, None)
+                return
+            if kind == "udt":
+                names = udt_fields[col]
+                if deleted:
+                    cur = dict.fromkeys(names)
+                else:
+                    cur = dict(cells.get(col) or dict.fromkeys(names))
+                if value is not None:
+                    vals = list(value) if not isinstance(value, dict) else [value.get(n) for n in names]
+                    for n, fv in zip(names, vals):
+                        if fv is not None:
+                            cur[n] = fv
+                if del_elems is not None:
+                    for idx in del_elems:
+                        cur[names[int(idx)]] = None
+                if any(v is not None for v in cur.values()):
+                    cells[col] = cur
+                else:
+                    cells.pop(col, None)
+                return
+            raise AssertionError(kind)
+
+        import math
+
+        def sv(x):
+            # Arrow->pandas turns nullable ints into float NaN and nullable
+            # bools into object NaN; NaN is truthy, so sanitize to None.
+            if x is None:
+                return None
+            if isinstance(x, float) and math.isnan(x):
+                return None
+            return x
+
+        def iv(x):
+            # integers round-tripped through float64 (nullable int columns)
+            x = sv(x)
+            if isinstance(x, float) and x.is_integer():
+                return int(x)
+            return x
+
+        recs = pdf.to_dict("records")
+        for r in recs:
+            op = int(r["cdc$operation"])
+            ck_t = tuple(iv(r.get(c)) for c in ck_cols)
+            if op == 4:  # partition delete
+                rows.clear()
+                pending_left = None
+                continue
+            if op in (5, 6):
+                pending_left = (ck_t, op == 5)
+                continue
+            if op in (7, 8):
+                if pending_left is not None:
+                    lb, lincl = pending_left
+                    rincl = op == 7
+                    doomed = [
+                        k
+                        for k in rows
+                        if bound_ok(k, lb, lincl, True) and bound_ok(k, ck_t, rincl, False)
+                    ]
+                    for k in doomed:
+                        del rows[k]
+                    pending_left = None
+                continue
+            if op == 3:  # row delete
+                rows.pop(ck_t, None)
+                continue
+            # writes: 1 update / 2 insert / 9 postimage
+            entry = rows.get(ck_t)
+            if entry is None:
+                entry = rows[ck_t] = {"marker": False, "cells": {}}
+            if op == 2 or (postimage and op == 9):
+                entry["marker"] = True
+            for col in regular:
+                value = r.get(col)
+                if kinds[col] == "scalar" and not isinstance(value, (bytes, bytearray)):
+                    value = iv(value)
+                else:
+                    value = sv(value) if isinstance(value, float) else value
+                if postimage and op == 9:
+                    deleted = value is None
+                else:
+                    deleted = bool(sv(r.get(f"cdc$deleted_{col}")) or False)
+                del_elems = r.get(f"cdc$deleted_elements_{col}")
+                if isinstance(del_elems, float):
+                    del_elems = sv(del_elems)
+                if del_elems is not None and not isinstance(del_elems, (list, tuple)):
+                    del_elems = list(del_elems)
+                if value is None and not deleted and del_elems is None:
+                    continue  # unset
+                write_cell(entry["cells"], col, value, deleted, del_elems)
+            if not entry["marker"] and not entry["cells"]:
+                del rows[ck_t]  # update that wrote only tombstones to a dead row
+
+        out = []
+        for ck_t, entry in rows.items():
+            if not entry["marker"] and not entry["cells"]:
+                continue
+            rec = {}
+            for c in pk_cols:
+                rec[c] = recs[0][c] if recs else None
+            for c, v in zip(ck_cols, ck_t):
+                rec[c] = v
+            for col in regular:
+                v = entry["cells"].get(col)
+                kind = kinds[col]
+                if v is None:
+                    rec[col] = None
+                elif kind == "list":
+                    rec[col] = [val for _, val in sorted(v.items(), key=lambda kv: timeuuid_key(kv[0]))]
+                elif kind == "map":
+                    rec[col] = v
+                elif kind == "udt":
+                    rec[col] = tuple(v[n] for n in udt_fields[col])
+                else:
+                    rec[col] = v
+            out.append(rec)
+        return pd.DataFrame(out, columns=out_cols)
+
+    return fold
