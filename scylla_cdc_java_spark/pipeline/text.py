@@ -1,0 +1,94 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure native column expressions (whole-stage codegen, no
+Python on the hot path): token stats, quality scoring, stopword-based
+language id, canonical fingerprinting, and word n-gram shingling.
+
+Determinism contract: each operator has an exactly-equivalent ANSI-SQL
+formulation (see queries.py oracles) — integer counts and single-expression
+double arithmetic only, so results are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the n-gram/stopword heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = tokens_col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(toks),
+            "n_chars_calc": F.length(F.col(text_col)),
+            # BPE-ish subword estimate: ~1 token per 4 chars, floor at word count
+            "n_tokens_bpe": F.greatest(
+                F.size(toks), (F.length(F.col(text_col)) / F.lit(4)).cast("int")
+            ),
+        }
+    )
+
+
+def _count_in(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality score: stopword ratio + length saturation (deterministic)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_stop = _count_in(toks, EN_STOPWORDS)
+    ratio = n_stop.cast("double") / n.cast("double")
+    length_sat = F.least(n, F.lit(100)).cast("double") / F.lit(200.0)
+    return df.withColumns(
+        {
+            "n_tokens": n,
+            "n_stopwords": n_stop,
+            "stop_ratio": F.round(ratio, 6),
+            "quality": F.round(ratio * F.lit(0.5) + length_sat, 6),
+        }
+    )
+
+
+def add_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language id with deterministic tie order en>es>fr>de."""
+    toks = tokens_col(text_col)
+    scores = {lang: _count_in(toks, words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in ["en", "es", "fr", "de"]:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return df.withColumn("lang_pred", pred)
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 of lower/trim/space-collapsed text."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), " +", " ")))
+    return df.withColumn("fingerprint", F.md5(norm))
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text", out: str = "shingle") -> DataFrame:
+    """Word n-gram shingles, exploded to one row per (doc, distinct shingle).
+
+    Native: split + sequence + transform + explode — no UDF.
+    """
+    toks = tokens_col(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
+    )
+    return df.withColumn(out, F.explode(sh)).drop(text_col).dropDuplicates(["doc_id", out])

@@ -1,0 +1,742 @@
+"""Contract query registry: Spark implementation + DuckDB oracle per operator.
+
+Each entry exercises one operator family from SURVEY.md §2 (key prefix =
+operator id) or the LLM-pipeline surface, on the driver's synthetic tables.
+Both sides alias every computed column identically; aggregates over floats
+go through DECIMAL (exact, order-independent) or integer arithmetic so the
+value-hash comparison is bit-stable across engines.
+
+``QUERIES`` maps name -> (callable(spark, sf_dir) -> DataFrame, oracle_sql
+or None, short description). ``__spark_entry__.py`` re-exports it in the
+driver's shape.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.streamid import vnode_col
+from .functions.timeuuid import GREGORIAN_OFFSET_100NS, timeuuid_micros_col
+from .operators.apply import apply_cdc_log, materialize_lww
+from .operators.normalize import normalize_changes
+from .pipeline.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .pipeline.similarity import cosine_topk_bruteforce, quantize_embedding, quantized_dot
+from .pipeline.text import add_fingerprint, add_langid, add_quality, add_token_stats
+from .sources.events_cdc import USER_STATE_DESC, events_as_cdc, stream_id_expr
+from .sources.tables import load_table
+
+
+def _prep(spark: SparkSession) -> None:
+    # deterministic regardless of the harness session's defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _events(spark, sf_dir) -> DataFrame:
+    _prep(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    _prep(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    _prep(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# CDC operator family (events viewed as the change stream)
+# --------------------------------------------------------------------------
+
+def q_s1_window_scan(spark, sf_dir):
+    """S1/P1: windowed per-stream scan with pushed-down predicates."""
+    ev = _events(spark, sf_dir)
+    return ev.where(
+        (F.col("user_id") % 16 == 3)
+        & (F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
+    ).select("event_id", "user_id", "ts", "event_type", "value")
+
+
+ORACLE_S1 = """
+SELECT event_id, user_id, ts, event_type, value FROM events
+WHERE user_id % 16 = 3
+  AND ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-04 00:00:00'
+"""
+
+
+def q_s4_ordered_stream_read(spark, sf_dir):
+    """S4/O1/§2.5: per-stream total order (time, uniquifier)."""
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", F.row_number().over(w).alias("seq_in_stream")
+    )
+
+
+ORACLE_S4 = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_in_stream
+FROM events WHERE user_id < 20
+"""
+
+
+def q_p2_dedup_resume(spark, sf_dir):
+    """P2: at-least-once redelivery collapsed by change-identity dedup."""
+    ev = _events(spark, sf_dir)
+    redelivered = ev.unionAll(ev.where(F.col("event_id") % 10 == 0))
+    return (
+        redelivered.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ORACLE_P2 = """
+SELECT event_type, count(*) AS n_events FROM (
+  SELECT DISTINCT * FROM (
+    SELECT * FROM events UNION ALL SELECT * FROM events WHERE event_id % 10 = 0
+  )
+) GROUP BY event_type
+"""
+
+
+def q_p3_projection_split(spark, sf_dir):
+    """P3/P4: base-column projection of the CDC view (cdc$ metadata split off)."""
+    cdc = events_as_cdc(spark, sf_dir, events=_events(spark, sf_dir))
+    return cdc.where(F.col("cdc$operation") == 1).select("user_id", "value", "props")
+
+
+ORACLE_P3 = """
+SELECT user_id, value, props FROM events
+WHERE event_type NOT IN ('signup', 'error')
+"""
+
+
+def q_p7_op_dispatch(spark, sf_dir):
+    """P7: operation-type dispatch histogram."""
+    cdc = events_as_cdc(spark, sf_dir, events=_events(spark, sf_dir))
+    return (
+        cdc.groupBy(F.col("cdc$operation").cast("int").alias("op"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_P7 = """
+SELECT CASE event_type WHEN 'signup' THEN 2 WHEN 'error' THEN 3 ELSE 1 END AS op,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_a1_stream_task_grouping(spark, sf_dir):
+    """A1/F3: group streams into per-vnode tasks via stream-id bit extraction."""
+    cdc = events_as_cdc(spark, sf_dir, events=_events(spark, sf_dir))
+    return (
+        cdc.select(vnode_col("cdc$stream_id").alias("vnode"), "user_id")
+        .groupBy("vnode")
+        .agg(
+            F.countDistinct("user_id").alias("n_streams"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+    )
+
+
+ORACLE_A1 = """
+SELECT user_id % 16 AS vnode, count(DISTINCT user_id) AS n_streams,
+       count(*) AS n_changes
+FROM events GROUP BY 1
+"""
+
+
+def q_a2_min_generation_after(spark, sf_dir):
+    """A2/S5: smallest generation timestamp after a point."""
+    ev = _events(spark, sf_dir)
+    return ev.where(F.col("ts") > F.lit("2024-01-03 00:00:00").cast("timestamp")).agg(
+        F.min("ts").alias("next_gen_ts")
+    )
+
+
+ORACLE_A2 = """
+SELECT min(ts) AS next_gen_ts FROM events WHERE ts > TIMESTAMP '2024-01-03 00:00:00'
+"""
+
+
+def q_a3_consumed_barrier(spark, sf_dir):
+    """A3: all-tasks-consumed-until completion barrier."""
+    ev = _events(spark, sf_dir)
+    per_stream = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    return per_stream.agg(
+        (F.min("last_ts") > F.lit("2024-01-05 00:00:00").cast("timestamp")).alias(
+            "all_consumed"
+        )
+    )
+
+
+ORACLE_A3 = """
+SELECT (min(last_ts) > TIMESTAMP '2024-01-05 00:00:00') AS all_consumed
+FROM (SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id)
+"""
+
+
+def q_t1_tumbling_windows(spark, sf_dir):
+    """T1: tumbling query windows (hourly) with exact decimal aggregation."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_T1 = """
+SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_t2_confidence_window(spark, sf_dir):
+    """T2/T8: confidence-window cutoff — ignore events newer than max - 30 s."""
+    ev = _events(spark, sf_dir)
+    mx = ev.agg(F.max("ts").alias("mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .where(F.col("ts") <= F.col("mx") - F.expr("INTERVAL 30 SECONDS"))
+        .agg(F.count(F.lit(1)).alias("n_visible"), F.max("ts").alias("max_visible_ts"))
+    )
+
+
+ORACLE_T2 = """
+SELECT count(*) AS n_visible, max(ts) AS max_visible_ts FROM events
+WHERE ts <= (SELECT max(ts) - INTERVAL 30 SECOND FROM events)
+"""
+
+
+def q_t6_generation_rollover(spark, sf_dir):
+    """T6/S8: generation eras (weekly) with stream counts."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("week", F.col("ts")).alias("gen_start"))
+        .agg(
+            F.countDistinct("user_id").alias("n_streams"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+    )
+
+
+ORACLE_T6 = """
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS gen_start, count(DISTINCT user_id) AS n_streams,
+       count(*) AS n_changes
+FROM events GROUP BY 1
+"""
+
+
+def q_j1_range_delete_pairing(spark, sf_dir):
+    """J1: stateful bound pairing per stream (signup=left, purchase=right)."""
+    ev = _events(spark, sf_dir).where(F.col("event_type").isin("signup", "purchase"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paired = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lead("event_id").over(w).alias("right_event_id"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return paired.where(
+        (F.col("event_type") == "signup") & (F.col("next_type") == "purchase")
+    ).select("user_id", F.col("event_id").alias("left_event_id"), "right_event_id")
+
+
+ORACLE_J1 = """
+SELECT user_id, event_id AS left_event_id, right_event_id FROM (
+  SELECT user_id, event_id, event_type,
+         lead(event_id) OVER w AS right_event_id,
+         lead(event_type) OVER w AS next_type
+  FROM events WHERE event_type IN ('signup', 'purchase')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) WHERE event_type = 'signup' AND next_type = 'purchase'
+"""
+
+
+def q_j2_postimage_pairing(spark, sf_dir):
+    """J2: remember-then-apply pairing — each click paired with the next view
+    in its stream."""
+    ev = _events(spark, sf_dir).where(F.col("event_type").isin("click", "view"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paired = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lead("event_id").over(w).alias("image_event_id"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return paired.where(
+        (F.col("event_type") == "click") & (F.col("next_type") == "view")
+    ).select("user_id", F.col("event_id").alias("delta_event_id"), "image_event_id")
+
+
+ORACLE_J2 = """
+SELECT user_id, event_id AS delta_event_id, image_event_id FROM (
+  SELECT user_id, event_id, event_type,
+         lead(event_id) OVER w AS image_event_id,
+         lead(event_type) OVER w AS next_type
+  FROM events WHERE event_type IN ('click', 'view')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) WHERE event_type = 'click' AND next_type = 'view'
+"""
+
+
+def q_f1_timeuuid_roundtrip(spark, sf_dir):
+    """F1/F2: encode event times as TIMEUUIDs natively, decode them back."""
+    ev = _events(spark, sf_dir).where(F.col("event_id") < 2000)
+    micros = F.unix_micros(F.col("ts"))
+    ticks = micros * F.lit(10) + F.lit(GREGORIAN_OFFSET_100NS)
+    low = F.lpad(F.hex(ticks.bitwiseAND(F.lit(0xFFFFFFFF))), 8, "0")
+    mid = F.lpad(F.hex(F.shiftright(ticks, 32).bitwiseAND(F.lit(0xFFFF))), 4, "0")
+    hi = F.concat(F.lit("1"), F.lpad(F.hex(F.shiftright(ticks, 48).bitwiseAND(F.lit(0xFFF))), 3, "0"))
+    uuid_str = F.concat_ws("-", low, mid, hi, F.lit("8080"), F.lit("808080808080"))
+    return ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("micros_expected"),
+        timeuuid_micros_col(uuid_str).alias("micros_decoded"),
+    )
+
+
+ORACLE_F1 = """
+SELECT event_id, epoch_us(ts) AS micros_expected, epoch_us(ts) AS micros_decoded
+FROM events WHERE event_id < 2000
+"""
+
+
+def q_f3_vnode_extract(spark, sf_dir):
+    """F3/F6: stream-id construction, hex render, vnode bit extraction."""
+    ev = _events(spark, sf_dir).select("user_id").distinct()
+    sid = stream_id_expr()
+    return ev.select(
+        "user_id",
+        F.hex(sid).alias("stream_hex"),
+        vnode_col(sid).alias("vnode"),
+    )
+
+
+ORACLE_F3 = """
+SELECT DISTINCT user_id, printf('%032X', user_id % 16 * 16 + 1) AS stream_hex,
+       user_id % 16 AS vnode
+FROM events
+"""
+
+
+def q_r1_apply_delta(spark, sf_dir):
+    """R1/R2/R4/K3: full change-application kernel — materialized user_state."""
+    cdc = events_as_cdc(spark, sf_dir, events=_events(spark, sf_dir))
+    return apply_cdc_log(cdc, USER_STATE_DESC, mode="delta")
+
+
+ORACLE_R1 = """
+SELECT user_id, value, props FROM (
+  SELECT user_id, value, props,
+         CASE event_type WHEN 'signup' THEN 2 WHEN 'error' THEN 3 ELSE 1 END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND op <> 3
+"""
+
+
+def q_r1_apply_lww_fast(spark, sf_dir):
+    """R1 fast path: single-aggregate LWW materialization (max_by)."""
+    cdc = normalize_changes(events_as_cdc(spark, sf_dir, events=_events(spark, sf_dir)))
+    return materialize_lww(cdc, ["user_id"], ["value", "props"])
+
+
+def q_r4_row_delete_effect(spark, sf_dir):
+    """R4: rows currently deleted (last change is a row tombstone)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = ev.select(
+        "user_id", "ts", "event_type", F.row_number().over(w).alias("rn")
+    )
+    return ranked.where((F.col("rn") == 1) & (F.col("event_type") == "error")).select(
+        "user_id", F.col("ts").alias("deleted_at")
+    )
+
+
+ORACLE_R4 = """
+SELECT user_id, ts AS deleted_at FROM (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type = 'error'
+"""
+
+
+def q_r3_set_delta(spark, sf_dir):
+    """R3: non-frozen set delta semantics — per-element last add/remove wins,
+    canonical sorted rendering."""
+    ev = _events(spark, sf_dir).where(F.col("event_type").isin("view", "click"))
+    el = ev.select(
+        "user_id",
+        (F.col("event_id") % 50).alias("elem"),
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    last = el.groupBy("user_id", "elem").agg(
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("last_action")
+    )
+    present = last.where(F.col("last_action") == "view")
+    return present.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_elems"),
+        F.concat_ws(
+            ",", F.transform(F.sort_array(F.collect_list("elem")), lambda x: x.cast("string"))
+        ).alias("elems"),
+    )
+
+
+ORACLE_R3 = """
+WITH el AS (
+  SELECT user_id, event_id % 50 AS elem, event_type, ts, event_id
+  FROM events WHERE event_type IN ('view', 'click')
+), last AS (
+  SELECT user_id, elem, event_type,
+         row_number() OVER (PARTITION BY user_id, elem ORDER BY ts DESC, event_id DESC) AS rn
+  FROM el
+)
+SELECT user_id, count(*) AS n_elems,
+       string_agg(elem::VARCHAR, ',' ORDER BY elem) AS elems
+FROM last WHERE rn = 1 AND event_type = 'view' GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+       round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.2
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(spark, sf_dir), k=32, band_rows=4, threshold=0.25)
+
+
+ORACLE_MINHASH = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h FROM sh
+),
+perms AS (SELECT unnest(generate_series(0, 31)) AS i),
+sig AS (
+  SELECT doc_id, i, min(((2*i + 1) * h + 7919 * i) % 2147483647) AS mh
+  FROM hashed, perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT doc_a, doc_b,
+         round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0, 6) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.25
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir))
+
+
+ORACLE_SIMHASH = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS h FROM toks
+),
+bits AS (SELECT unnest(generate_series(0, 31)) AS j),
+contrib AS (
+  SELECT doc_id, j, (1::BIGINT << j) AS pow2,
+         2 * ((h // (1::BIGINT << j)) % 2) - 1 AS c
+  FROM hashed, bits
+),
+bitvals AS (SELECT doc_id, j, pow2, sum(c) AS s FROM contrib GROUP BY 1, 2, 3)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+FROM bitvals GROUP BY doc_id
+"""
+
+
+def q_dedup_embedding_pairs(spark, sf_dir):
+    """Embedding near-dup pairs by exact integer-quantized dot product."""
+    e = _emb(spark, sf_dir).select("vec_id", quantize_embedding("embedding").alias("q"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot_q", quantized_dot(F.col("qa"), F.col("qb")))
+    )
+    return pairs.where(F.col("dot_q") >= 450_000).select("vec_a", "vec_b", "dot_q")
+
+
+ORACLE_EMB_PAIRS = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_q
+FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 450000
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact top-k similarity search (quantized metric)."""
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 5), k=3)
+
+
+ORACLE_ANN = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+scored AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(qq.qv, c.qv) AS BIGINT) AS dot_q
+  FROM q qq JOIN q c ON qq.vec_id < 5 AND c.vec_id <> qq.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM ranked WHERE rank <= 3
+"""
+
+
+def q_text_token_count(spark, sf_dir):
+    return add_token_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_chars_calc", "n_tokens_bpe"
+    )
+
+
+ORACLE_TOKENS = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_calc,
+       CAST(greatest(len(string_split(text, ' ')), length(text) // 4) AS INT) AS n_tokens_bpe
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    return add_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_stopwords", "stop_ratio", "quality"
+    )
+
+
+ORACLE_QUALITY = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS INT) AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n_tokens, n_stopwords,
+       round(n_stopwords / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+       round(n_stopwords / CAST(n_tokens AS DOUBLE) * 0.5
+             + least(n_tokens, 100) / 200.0, 6) AS quality
+FROM c
+"""
+
+
+def q_text_langid(spark, sf_dir):
+    return add_langid(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+ORACLE_LANGID = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+    len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS s_es,
+    len(list_filter(toks, x -> x IN ('le','la','les','et','des'))) AS s_fr,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+       ELSE 'de' END AS lang_pred
+FROM s
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return add_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational anchors (scan/agg/join efficiency at bench scale)
+# --------------------------------------------------------------------------
+
+def q_agg_lineitem_pushdown(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_AGG_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_broadcast_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_JOIN_REVENUE = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES: dict[str, tuple[Callable, str | None, str]] = {
+    "s1_window_scan": (q_s1_window_scan, ORACLE_S1, "S1/P1 windowed stream scan"),
+    "s4_ordered_stream_read": (q_s4_ordered_stream_read, ORACLE_S4, "S4/O1 per-stream order"),
+    "p2_dedup_resume": (q_p2_dedup_resume, ORACLE_P2, "P2 at-least-once dedup"),
+    "p3_projection_split": (q_p3_projection_split, ORACLE_P3, "P3/P4 cdc/base projection"),
+    "p7_op_dispatch": (q_p7_op_dispatch, ORACLE_P7, "P7 op dispatch"),
+    "a1_stream_task_grouping": (q_a1_stream_task_grouping, ORACLE_A1, "A1/F3 vnode tasks"),
+    "a2_min_generation_after": (q_a2_min_generation_after, ORACLE_A2, "A2/S5 next generation"),
+    "a3_consumed_barrier": (q_a3_consumed_barrier, ORACLE_A3, "A3 completion barrier"),
+    "t1_tumbling_windows": (q_t1_tumbling_windows, ORACLE_T1, "T1 tumbling windows"),
+    "t2_confidence_window": (q_t2_confidence_window, ORACLE_T2, "T2 confidence cutoff"),
+    "t6_generation_rollover": (q_t6_generation_rollover, ORACLE_T6, "T6 generation eras"),
+    "j1_range_delete_pairing": (q_j1_range_delete_pairing, ORACLE_J1, "J1 bound pairing"),
+    "j2_postimage_pairing": (q_j2_postimage_pairing, ORACLE_J2, "J2 post-image pairing"),
+    "f1_timeuuid_roundtrip": (q_f1_timeuuid_roundtrip, ORACLE_F1, "F1/F2 timeuuid codec"),
+    "f3_vnode_extract": (q_f3_vnode_extract, ORACLE_F3, "F3/F6 stream id bits"),
+    "r1_apply_delta": (q_r1_apply_delta, ORACLE_R1, "R1-R4 apply kernel"),
+    "r1_apply_lww_fast": (q_r1_apply_lww_fast, ORACLE_R1, "R1 fast LWW path"),
+    "r3_set_delta": (q_r3_set_delta, ORACLE_R3, "R3 collection delta"),
+    "r4_row_delete_effect": (q_r4_row_delete_effect, ORACLE_R4, "R4 row tombstones"),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT, "exact dedup"),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD, "n-gram jaccard"),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_MINHASH, "minhash LSH"),
+    "dedup_simhash": (q_dedup_simhash, ORACLE_SIMHASH, "simhash"),
+    "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_EMB_PAIRS, "embedding near-dups"),
+    "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN, "ANN brute-force top-k"),
+    "text_token_count": (q_text_token_count, ORACLE_TOKENS, "token counting"),
+    "text_quality": (q_text_quality, ORACLE_QUALITY, "quality scoring"),
+    "text_langid": (q_text_langid, ORACLE_LANGID, "language id"),
+    "text_fingerprint": (q_text_fingerprint, ORACLE_FINGERPRINT, "fingerprinting"),
+    "agg_lineitem_pushdown": (q_agg_lineitem_pushdown, ORACLE_AGG_LINEITEM, "scan+agg anchor"),
+    "join_broadcast_revenue": (q_join_broadcast_revenue, ORACLE_JOIN_REVENUE, "broadcast join anchor"),
+}
