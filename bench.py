@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is materialized through the noop sink (full execution, no
+collect/driver transfer). Wall-clock excludes session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ.setdefault("PYTHONPATH", REPO)
+
+from scylla_cdc_java_spark.session import get_spark  # noqa: E402
+from scylla_cdc_java_spark.queries import QUERIES  # noqa: E402
+
+HEADLINE = [
+    "r1_apply_delta",
+    "r1_apply_lww_fast",
+    "s4_ordered_stream_read",
+    "t1_tumbling_windows",
+    "j1_range_delete_pairing",
+    "r3_set_delta",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_pairs",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_fingerprint",
+    "agg_lineitem_pushdown",
+    "join_broadcast_revenue",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="scylla_cdc_java_spark-bench")
+
+    # Warm the engine once so timings reflect steady state rather than
+    # first-use costs (python worker pool spawn, codegen, parquet footers):
+    # touch each input table and spin up the Arrow-UDF path.
+    from scylla_cdc_java_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in ("events", "documents", "embeddings", "lineitem", "orders"):
+        load_table(spark, sf_dir, t).count()
+    spark.range(1000).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _, _ = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # per-query caches must not leak across timings
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

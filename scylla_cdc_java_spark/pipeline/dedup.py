@@ -51,7 +51,9 @@ def ngram_jaccard_pairs(
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct word n-grams.
     """
-    sh = shingles(df.select(id_col, "text"), n=n)
+    # the shingle set feeds three plan branches (a-side, b-side, sizes);
+    # cache it so the split/explode/md5 work runs once
+    sh = shingles(df.select(id_col, "text"), n=n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -83,24 +85,23 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, k: int = 32, n: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
-    """k-permutation MinHash signatures: one row per (doc, i) with the min
-    of ``(2i+1) * h31(shingle) + 7919 i  mod  2^31-1`` over the doc's shingles."""
-    spark = df.sparkSession
+    """k-permutation MinHash signatures in WIDE form: one row per doc with
+    columns ``mh_0..mh_{k-1}`` = min over the doc's shingles of
+    ``(2i+1) * h31(shingle) + 7919 i  mod  2^31-1``.
+
+    All k permutations aggregate in ONE pass over the shingle set (k
+    parallel ``min`` aggregates with map-side partial aggregation) — no
+    per-permutation explode, no k-fold shuffle blowup. At 100 TB this is
+    one shuffle of |doc x distinct-shingle| rows, each carrying one long.
+    """
     sh = shingles(df.select(id_col, "text"), n=n).withColumn("h", h31(F.col("shingle")))
-    perms = spark.range(k).select(F.col("id").cast("long").alias("i"))
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .select(
-            id_col,
-            "i",
-            (
-                ((F.lit(2) * F.col("i") + F.lit(1)) * F.col("h") + F.lit(7919) * F.col("i"))
-                % F.lit(MERSENNE31)
-            ).alias("hv"),
-        )
-        .groupBy(id_col, "i")
-        .agg(F.min("hv").alias("mh"))
-    )
+    aggs = [
+        F.min(
+            ((F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i)) % F.lit(MERSENNE31))
+        ).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -113,16 +114,26 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard.
 
-    Bands the signature (k/band_rows bands), buckets docs by identical band
-    values, emits candidate pairs from shared buckets, then estimates
-    similarity as the equal-minhash fraction over the full signature.
+    Bands the wide signature (k/band_rows bands) with a narrow explode
+    (band_count rows per doc), buckets docs by identical band values, emits
+    candidate pairs from shared buckets, then estimates similarity as the
+    equal-minhash fraction — a single wide-row comparison, no signature
+    re-join per permutation.
     """
-    sig = minhash_signatures(df, k=k, n=n, id_col=id_col).cache()
-    bands = (
-        sig.withColumn("band", (F.col("i") / F.lit(band_rows)).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.concat_ws(",", F.transform(F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda s: s["mh"].cast("string"))).alias("band_key"))
-    )
+    sig = minhash_signatures(df, k=k, n=n, id_col=id_col)
+    n_bands = k // band_rows
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"mh_{i}").cast("string") for i in range(b * band_rows, (b + 1) * band_rows)]
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     ba = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     bb = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     cand = (
@@ -131,18 +142,17 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    siga = sig.select(F.col(id_col).alias("doc_a"), "i", F.col("mh").alias("mh_a"))
-    sigb = sig.select(F.col(id_col).alias("doc_b"), "i", F.col("mh").alias("mh_b"))
+    siga = sig.select(
+        F.col(id_col).alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)]
+    )
+    sigb = sig.select(
+        F.col(id_col).alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)]
+    )
+    n_equal = sum((F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k))
     est = (
         cand.join(siga, "doc_a")
-        .join(sigb, ["doc_b", "i"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")).cast("double") / F.lit(float(k)),
-                6,
-            ).alias("est_jaccard")
-        )
+        .join(sigb, "doc_b")
+        .withColumn("est_jaccard", F.round(n_equal.cast("double") / F.lit(float(k)), 6))
     )
     return est.where(F.col("est_jaccard") >= F.lit(threshold)).select(
         "doc_a", "doc_b", "est_jaccard"
@@ -151,25 +161,24 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash over distinct tokens: bit j of the output is the sign
-    of the sum over tokens of ±1 according to bit j of the token hash."""
-    spark = df.sparkSession
+    of the sum over tokens of ±1 according to bit j of the token hash.
+
+    Wide single-pass form: all ``bits`` sign-sums aggregate in one groupBy
+    over the (doc, distinct token) rows — no bits-fold row explosion.
+    """
     toks = (
         df.select(id_col, F.explode(tokens_col("text")).alias("tok"))
         .dropDuplicates([id_col, "tok"])
         .withColumn("h", h31(F.col("tok")))
     )
-    bits_df = spark.createDataFrame(
-        [(j, 1 << j) for j in range(bits)], "j int, pow2 long"
+    aggs = [
+        F.sum(
+            F.lit(2) * ((F.col("h") / F.lit(1 << j)).cast("long") % F.lit(2)) - F.lit(1)
+        ).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    wide = toks.groupBy(id_col).agg(*aggs)
+    sim = sum(
+        F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)
     )
-    contrib = toks.crossJoin(F.broadcast(bits_df)).select(
-        id_col,
-        "j",
-        "pow2",
-        (F.lit(2) * ((F.col("h") / F.col("pow2")).cast("long") % F.lit(2)) - F.lit(1)).alias("c"),
-    )
-    bitvals = contrib.groupBy(id_col, "j", "pow2").agg(F.sum("c").alias("s"))
-    return (
-        bitvals.withColumn("bitval", F.when(F.col("s") > 0, F.col("pow2")).otherwise(F.lit(0)))
-        .groupBy(id_col)
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+    return wide.select(id_col, sim.cast("long").alias("simhash"))

@@ -28,7 +28,12 @@ from .pipeline.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from .pipeline.similarity import cosine_topk_bruteforce, quantize_embedding, quantized_dot
+from .pipeline.similarity import (
+    cosine_topk_bruteforce,
+    quantize_embedding,
+    quantized_dot,
+    quantized_pairs_gemm,
+)
 from .pipeline.text import add_fingerprint, add_langid, add_quality, add_token_stats
 from .sources.events_cdc import USER_STATE_DESC, events_as_cdc, stream_id_expr
 from .sources.tables import load_table
@@ -529,15 +534,9 @@ FROM bitvals GROUP BY doc_id
 
 
 def q_dedup_embedding_pairs(spark, sf_dir):
-    """Embedding near-dup pairs by exact integer-quantized dot product."""
-    e = _emb(spark, sf_dir).select("vec_id", quantize_embedding("embedding").alias("q"))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
-    pairs = (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .withColumn("dot_q", quantized_dot(F.col("qa"), F.col("qb")))
-    )
-    return pairs.where(F.col("dot_q") >= 450_000).select("vec_a", "vec_b", "dot_q")
+    """Embedding near-dup pairs by exact integer-quantized dot product
+    (blocked numpy GEMM; same integers as the SQL oracle)."""
+    return quantized_pairs_gemm(_emb(spark, sf_dir), threshold=450_000)
 
 
 ORACLE_EMB_PAIRS = """
