@@ -136,6 +136,7 @@ def apply_cdc_log(
     mode: str = "delta",
     initial_state: DataFrame | None = None,
     dedup: bool = True,
+    with_version_col: bool = False,
 ) -> DataFrame:
     """Apply a CDC change log to (optional) initial state → current state.
 
@@ -143,6 +144,15 @@ def apply_cdc_log(
     (op 9 replaces ops 1/2 as a full-row write, deletes still apply — R8).
     Output schema = the base-table schema (list columns materialized back
     to arrays in timeuuid order, O3).
+
+    ``with_version_col=True`` appends ``cdc$time_micros`` = the time of the
+    last change applied to each surviving row. Feeding that state back as
+    ``initial_state`` of a later apply makes incremental application
+    convergent under at-least-once replay at *row* granularity — the Spark
+    analog of the reference's idempotent ``USING TIMESTAMP`` writes
+    (ExecutingPreparedStatementHandler.java:45-53), which are convergent at
+    *cell* granularity. A replayed change older than the row's version sorts
+    before the seeded row in the fold and is overwritten by it.
     """
     if mode not in ("delta", "postimage"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -168,25 +178,54 @@ def apply_cdc_log(
     changes = changes.select(*[c for c in keep if c in changes.columns])
 
     if initial_state is not None:
+        # Seed rows enter the fold as POST_IMAGE (op 9) full-row images: the
+        # kernel applies them as whole-row overwrites, so any *replayed*
+        # change older than the row's version (which the seed already
+        # reflects) is clobbered by the seed rather than merged — the delta
+        # semantics that would otherwise resurrect tombstoned cells.
         seed = initial_state
+        for c in desc.list_columns:
+            if c in seed.columns and isinstance(seed.schema[c].dataType, T.ArrayType):
+                # materialized list (array) → log encoding map<timeuuid,elem>;
+                # synthetic v1 uuids with time=i keep element order and sort
+                # before any real append timeuuid (~1.4e17 in uuid time units).
+                seed = seed.withColumn(
+                    c,
+                    F.map_from_arrays(
+                        F.transform(
+                            F.col(c),
+                            lambda x, i: F.format_string(
+                                "%08x-0000-1000-8000-000000000000", i
+                            ),
+                        ),
+                        F.col(c),
+                    ),
+                )
         for c in changes.columns:
-            if c not in seed.columns:
+            if c not in seed.columns and c not in (_SEQ, _OP):
                 if c == TIME_MICROS:
                     seed = seed.withColumn(c, F.lit(-(2**62)).cast("long"))
-                elif c == _SEQ:
-                    seed = seed.withColumn(c, F.lit(0))
-                elif c == _OP:
-                    seed = seed.withColumn(c, F.lit(int(OperationType.ROW_INSERT)).cast("byte"))
                 else:
                     seed = seed.withColumn(c, F.lit(None).cast(changes.schema[c].dataType))
+        # max-int seq: the seed wins (time, seq) ties against a replayed
+        # copy of the exact change it already reflects
+        seed = seed.withColumn(_SEQ, F.lit(2**31 - 1)).withColumn(
+            _OP, F.lit(int(OperationType.POST_IMAGE)).cast("byte")
+        )
         changes = changes.unionByName(seed.select(*changes.columns))
 
     out_schema = desc.base_schema
-    kernel = _make_fold_kernel(d, mode, [f.name for f in out_schema.fields])
+    if with_version_col:
+        out_schema = T.StructType(
+            [*out_schema.fields, T.StructField(TIME_MICROS, T.LongType())]
+        )
+    kernel = _make_fold_kernel(
+        d, mode, [f.name for f in out_schema.fields], with_version=with_version_col
+    )
     return changes.groupBy(*d["pk"]).applyInPandas(kernel, schema=out_schema)
 
 
-def _make_fold_kernel(d: dict, mode: str, out_cols: list[str]):
+def _make_fold_kernel(d: dict, mode: str, out_cols: list[str], with_version: bool = False):
     """Build the per-partition ordered fold. Nested def so cloudpickle
     ships it by value; references only stdlib + pandas."""
     import pandas as pd  # noqa: F401  (captured for the closure)
@@ -305,6 +344,7 @@ def _make_fold_kernel(d: dict, mode: str, out_cols: list[str]):
             return x
 
         op_arr = cols["cdc$operation"]
+        time_arr = cols["cdc$time_micros"]
         ck_arrs = [cols[c] for c in ck_cols]
         reg_arrs = {c: cols.get(c) for c in regular}
         del_arrs = {c: cols.get(f"cdc$deleted_{c}") for c in regular}
@@ -339,7 +379,8 @@ def _make_fold_kernel(d: dict, mode: str, out_cols: list[str]):
             entry = rows.get(ck_t)
             if entry is None:
                 entry = rows[ck_t] = {"marker": False, "cells": {}}
-            if op == 2 or (postimage and op == 9):
+            entry["ver"] = int(time_arr[x])
+            if op in (2, 9):
                 entry["marker"] = True
             for col in regular:
                 arr = reg_arrs[col]
@@ -348,8 +389,11 @@ def _make_fold_kernel(d: dict, mode: str, out_cols: list[str]):
                     value = iv(value)
                 else:
                     value = sv(value) if isinstance(value, float) else value
-                if postimage and op == 9:
-                    deleted = value is None
+                if op == 9:
+                    # full-row image (real post-image, or an initial_state
+                    # seed row): overwrite every column — absent value is an
+                    # absent cell, collections replaced not merged
+                    deleted = True
                 else:
                     darr = del_arrs[col]
                     deleted = bool(sv(darr[x] if darr is not None else None) or False)
@@ -374,6 +418,8 @@ def _make_fold_kernel(d: dict, mode: str, out_cols: list[str]):
                 rec[c] = cols[c][0] if n_rows else None
             for c, v in zip(ck_cols, ck_t):
                 rec[c] = v
+            if with_version:
+                rec[TIME_MICROS] = entry.get("ver")
             for col in regular:
                 v = entry["cells"].get(col)
                 kind = kinds[col]

@@ -1,0 +1,191 @@
+"""End-to-end tests of the Structured Streaming consumer + replicator sink.
+
+Mirrors the reference's replicator golden test (ReplicatorCorrectnessTestIT)
+in streaming form: encode a DML script as CDC parquet files arriving over
+several microbatches, run the consumer→replicator pipeline, and compare the
+materialized state against the pure-Python DML replay — including restart
+(second run over the same checkpoint/state) and at-least-once redelivery
+across batches.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from scylla_cdc_java_spark.model.schema import build_cdc_log_schema
+from scylla_cdc_java_spark.streaming import replicate_available_now
+from scylla_cdc_java_spark.testing import CdcLogGenerator, FIXTURE_TABLES, replay_dml
+
+
+def _canon(v):
+    if isinstance(v, bytearray):
+        return bytes(v)
+    if isinstance(v, dict):
+        return tuple(sorted((_canon(k), _canon(x)) for k, x in v.items()))
+    if hasattr(v, "asDict"):  # Row
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+
+def _write_chunks(spark, schema, rows, src_dir, n_chunks, rng, replay_frac=0.0):
+    """Write CDC rows as n_chunks parquet appends (chunks in time order,
+    shuffled within; later chunks optionally redeliver earlier rows)."""
+    size = max(1, (len(rows) + n_chunks - 1) // n_chunks)
+    seen: list[dict] = []
+    for i in range(0, len(rows), size):
+        chunk = [dict(r) for r in rows[i : i + size]]
+        if seen and replay_frac:
+            chunk += [dict(r) for r in seen if rng.random() < replay_frac]
+        rng.shuffle(chunk)
+        seen.extend(rows[i : i + size])
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(
+            src_dir
+        )
+
+
+def _assert_state_matches(desc, state_df, dml):
+    names = [f.name for f in desc.base_schema.fields]
+    got = sorted(_canon(tuple(r[n] for n in names)) for r in state_df.collect())
+    want = sorted(_canon(tuple(r[n] for n in names)) for r in replay_dml(desc, dml))
+    assert got == want, f"{desc.name}: engine={got[:5]} oracle={want[:5]}"
+
+
+def _rand_dml(desc, rng, n=60):
+    n_ck = len(desc.clustering_keys)
+    dml = []
+    for _ in range(n):
+        pk = ("p%d" % rng.randrange(3),)
+        ck = tuple(rng.randrange(4) for _ in range(n_ck))
+        roll = rng.random()
+        if roll < 0.55:
+            cells = {}
+            for c in desc.regular_columns:
+                tn = desc.base_field(c).dataType.typeName()
+                if c in desc.list_columns:
+                    cells[c] = rng.choice(
+                        [{"overwrite": [rng.randrange(9) for _ in range(2)]},
+                         {"add": [rng.randrange(9)]}]
+                    )
+                elif c in desc.non_frozen_collections and tn == "array":
+                    cells[c] = rng.choice(
+                        [{"overwrite": [rng.randrange(9) for _ in range(2)]},
+                         {"add": [rng.randrange(9)]},
+                         {"remove": [rng.randrange(9)]}]
+                    )
+                elif c in desc.non_frozen_collections and tn == "map":
+                    cells[c] = rng.choice(
+                        [{"overwrite": {rng.randrange(5): rng.randrange(9)}},
+                         {"add": {rng.randrange(5): rng.randrange(9)}},
+                         {"remove": [rng.randrange(5)]}]
+                    )
+                elif c in desc.non_frozen_collections and tn == "struct":
+                    cells[c] = {"fields": {"a": rng.randrange(9), "b": rng.randrange(9)}}
+                elif tn == "string":
+                    cells[c] = rng.choice([None, "s%d" % rng.randrange(20)])
+                else:
+                    cells[c] = rng.choice([None, rng.randrange(100)])
+            dml.append(("insert", pk, ck, cells))
+        elif roll < 0.8:
+            dml.append(("row_delete", pk, ck))
+        elif roll < 0.9:
+            dml.append(("partition_delete", pk))
+        elif n_ck:
+            lo = tuple(rng.randrange(0, 2) if i == 0 else None for i in range(n_ck))
+            hi = tuple(rng.randrange(2, 4) if i == 0 else None for i in range(n_ck))
+            dml.append(("range_delete", pk, (lo, True), (hi, False)))
+    return dml
+
+
+@pytest.mark.parametrize(
+    "table", ["tbl_simple", "tbl_multiple_clustering_keys", "tbl_lists", "tbl_maps"]
+)
+def test_replicator_multibatch(spark, table, tmp_path):
+    """Full pipeline over several microbatches, with cross-batch redelivery
+    (the at-least-once path through the seeded incremental apply)."""
+    desc = FIXTURE_TABLES[table]
+    rng = random.Random(7)
+    dml = _rand_dml(desc, rng)
+    rows = CdcLogGenerator(desc).encode(dml)
+    src = str(tmp_path / "src")
+    _write_chunks(spark, build_cdc_log_schema(desc), rows, src, 4, rng, replay_frac=0.15)
+    state = replicate_available_now(
+        spark,
+        src,
+        build_cdc_log_schema(desc),
+        desc,
+        str(tmp_path / "work"),
+        confidence_ms=0,
+        n_buckets=4,
+        max_files_per_trigger=1,
+    )
+    _assert_state_matches(desc, state, dml)
+
+
+def test_replicator_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Stop after the first batch of files, restart over the same work dir:
+    the second run must only apply the new files on top of the saved state
+    and converge to the full-script oracle."""
+    desc = FIXTURE_TABLES["tbl_simple"]
+    rng = random.Random(11)
+    dml = _rand_dml(desc, rng, n=80)
+    rows = CdcLogGenerator(desc).encode(dml)
+    cut = len(rows) // 2
+    src = str(tmp_path / "src")
+    schema = build_cdc_log_schema(desc)
+    work = str(tmp_path / "work")
+
+    _write_chunks(spark, schema, rows[:cut], src, 2, rng)
+    replicate_available_now(spark, src, schema, desc, work, n_buckets=4)
+
+    # second wave: new changes plus redeliveries of already-applied ones
+    _write_chunks(spark, schema, rows[cut:], src, 2, rng)
+    replayed = [dict(r) for r in rows[:cut] if rng.random() < 0.2]
+    if replayed:
+        spark.createDataFrame(replayed, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    state = replicate_available_now(spark, src, schema, desc, work, n_buckets=4)
+    _assert_state_matches(desc, state, dml)
+
+
+def test_streaming_window_counts_and_dedup(spark, tmp_path):
+    """Smoke: watermarked tumbling-window aggregation (T1/T2) and
+    dropDuplicatesWithinWatermark (P2) run as a real stream."""
+    from scylla_cdc_java_spark.streaming import CDCStreamConsumer, tumbling_window_counts
+
+    desc = FIXTURE_TABLES["tbl_simple"]
+    dml = [("insert", ("p%d" % (i % 3),), (i,), {"v1": i, "v2": "x"}) for i in range(30)]
+    rows = CdcLogGenerator(desc).encode(dml)
+    src = str(tmp_path / "src")
+    schema = build_cdc_log_schema(desc)
+    rng = random.Random(3)
+    _write_chunks(spark, schema, rows, src, 2, rng, replay_frac=0.3)
+
+    consumer = (
+        CDCStreamConsumer(spark)
+        .with_source(src, schema)
+        .with_confidence_window_ms(1000)
+        .with_checkpoint(str(tmp_path / "ckpt"))
+        .trigger_available_now()
+    )
+    counts = tumbling_window_counts(consumer.changes(), window_ms=60_000)
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = spark.sql("select sum(n_changes) as n from win_counts").collect()[0]["n"]
+    # dedup within watermark must not overcount; closed windows only, so
+    # the final (unclosed) window's rows may be missing from the memory sink
+    assert total is None or total <= len(rows)
