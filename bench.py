@@ -37,6 +37,9 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_pairs",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "mm_feature_extract",
+    "mm_frame_sample",
     "text_quality",
     "text_fingerprint",
     "agg_lineitem_pushdown",

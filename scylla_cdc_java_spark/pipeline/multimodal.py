@@ -39,6 +39,26 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media view of the ``documents`` fixture: the text bytes
+    stand in for an opaque media payload (kind cycles image/audio/video by
+    doc_id), with typed metadata columns per MEDIA_SCHEMA. Native
+    expressions only, so filters/pruning push through to the scan."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    is_image = F.col("doc_id") % 3 == 0
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(is_image, (F.col("n_chars") % 64 + 10).cast("int")).alias("width"),
+        F.when(is_image, (F.col("n_chars") % 48 + 10).cast("int")).alias("height"),
+        F.when(~is_image, F.col("n_chars").cast("long") * 10).alias("duration_ms"),
+    )
+
+
 def extract_features(
     df: DataFrame, dim: int = 8, decode: str = "deterministic_fake"
 ) -> DataFrame:
@@ -87,9 +107,9 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             "frame_ms",
             F.explode(
                 F.sequence(
-                    F.lit(0),
-                    F.greatest(F.col("duration_ms") - F.lit(1), F.lit(0)),
-                    F.lit(every_ms),
+                    F.lit(0).cast("long"),
+                    F.greatest(F.col("duration_ms") - F.lit(1), F.lit(0).cast("long")),
+                    F.lit(every_ms).cast("long"),
                 )
             ),
         )

@@ -28,8 +28,10 @@ from .pipeline.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from .pipeline.multimodal import documents_as_media, extract_features, sample_frames
 from .pipeline.similarity import (
     cosine_topk_bruteforce,
+    ivf_topk,
     quantize_embedding,
     quantized_dot,
     quantized_pairs_gemm,
@@ -647,6 +649,215 @@ FROM documents
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-partitioned approximate top-k (the ANN scale path)."""
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=3, nprobe=2, centroid_mod=40)
+
+
+ORACLE_ANN_IVF = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id % 40 = 0),
+assign AS (
+  SELECT q.vec_id, cent.cid,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST(list_dot_product(q.qv, cent.cv) AS BIGINT) DESC, cent.cid
+         ) AS rn
+  FROM q CROSS JOIN cent
+),
+corpus_assign AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM assign WHERE rn <= 2 AND vec_id < 5),
+cand AS (
+  SELECT p.query_id, ca.vec_id AS neighbor_id
+  FROM probes p JOIN corpus_assign ca ON ca.cid = p.cid
+  WHERE ca.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(list_dot_product(qq.qv, nn.qv) AS BIGINT) AS dot_q
+  FROM cand c
+  JOIN q qq ON qq.vec_id = c.query_id
+  JOIN q nn ON nn.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM ranked WHERE rank <= 3
+"""
+
+
+def q_mm_feature_extract(spark, sf_dir):
+    """Multimodal: binary payload → typed features via Arrow mapInPandas
+    (decode stubbed deterministically; see pipeline.multimodal)."""
+    media = documents_as_media(_docs(spark, sf_dir))
+    return extract_features(media, dim=8).select("media_id", "kind", "n_bytes")
+
+
+ORACLE_MM_FEATURES = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes
+FROM documents
+"""
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Multimodal: per-video frame-sampling plan (explode over computed
+    offsets; decode of each frame is the stubbed step)."""
+    media = documents_as_media(_docs(spark, sf_dir))
+    return sample_frames(media, every_ms=500).select("media_id", "frame_ms")
+
+
+ORACLE_MM_FRAMES = """
+SELECT doc_id AS media_id,
+       CAST(unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 500)) AS BIGINT) AS frame_ms
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+def q_k3_stream_replicate(spark, sf_dir):
+    """K3/T1-T6/T10: the full Structured Streaming consumer→replicator
+    pipeline (file-stream source, watermark, dedup-within-watermark,
+    foreachBatch apply sink, checkpoint) materializing user_state; must
+    equal the batch apply kernel's answer (same oracle)."""
+    import os
+    import tempfile
+
+    from .streaming import replicate_available_now
+
+    cdc = events_as_cdc(spark, sf_dir, events=_events(spark, sf_dir))
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_gate_")
+    src = os.path.join(tmp, "src")
+    cdc.write.parquet(src)
+    return replicate_available_now(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        USER_STATE_DESC,
+        os.path.join(tmp, "work"),
+        confidence_ms=0,
+        n_buckets=8,
+    )
+
+
+def q_p5_ttl_trim(spark, sf_dir):
+    """P5/P6: TTL trim — windows older than now-TTL cannot contain live
+    data and are pruned from the read plan."""
+    ev = _events(spark, sf_dir)
+    mx = ev.agg(F.max("ts").alias("mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .where(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 3 DAYS"))
+        .agg(F.count(F.lit(1)).alias("n_live"), F.min("ts").alias("window_lo"))
+    )
+
+
+ORACLE_P5 = """
+SELECT count(*) AS n_live, min(ts) AS window_lo FROM events
+WHERE ts >= (SELECT max(ts) - INTERVAL 3 DAY FROM events)
+"""
+
+
+def q_j3_preimage_verify(spark, sf_dir):
+    """J3/R7: pre-image verification — each change's claimed prior state
+    (here: the previous change in its stream) compared cell-wise; emits a
+    per-stream consistency report."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    claimed = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("prior_value"),
+    )
+    checks = claimed.where(
+        (F.col("event_type") == "view") & F.col("prior_value").isNotNull()
+    )
+    return checks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            F.when(F.col("prior_value") > F.col("value"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_mismatch"),
+    )
+
+
+ORACLE_J3 = """
+SELECT user_id, count(*) AS n_checked,
+       sum(CASE WHEN prior_value > value THEN 1 ELSE 0 END) AS n_mismatch
+FROM (
+  SELECT user_id, event_type, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prior_value
+  FROM events
+) WHERE event_type = 'view' AND prior_value IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_f4_f5_renders(spark, sf_dir):
+    """F4/F5: duration render (sign-aware unit decomposition of inter-event
+    gaps) and zero-padded date render — native expressions."""
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 3)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (F.unix_seconds(F.col("ts")) - F.unix_seconds(F.lag("ts").over(w))).alias(
+        "gap_s"
+    )
+    with_gap = ev.select("user_id", "event_id", "ts", gap_s)
+    return with_gap.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        F.when(
+            F.col("gap_s").isNotNull(),
+            F.format_string(
+                "%dh%dm%ds",
+                (F.col("gap_s") / 3600).cast("long"),
+                ((F.col("gap_s") % 3600) / 60).cast("long"),
+                (F.col("gap_s") % 60).cast("long"),
+            ),
+        ).alias("gap_render"),
+    )
+
+
+ORACLE_F4F5 = """
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d') AS day_str,
+       CASE WHEN gap_s IS NOT NULL THEN
+         printf('%dh%dm%ds', CAST(gap_s // 3600 AS BIGINT),
+                CAST((gap_s % 3600) // 60 AS BIGINT), CAST(gap_s % 60 AS BIGINT))
+       END AS gap_render
+FROM (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+  FROM events WHERE user_id < 3
+)
+"""
+
+
+def q_o3_list_reconstruct(spark, sf_dir):
+    """O3: per-key ordered list reconstruction (timeuuid-order analog):
+    sort entries by (time, uniquifier) inside the group, render values."""
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 50)
+    entries = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    return ev.groupBy("user_id").agg(
+        F.concat_ws("|", F.transform(entries, lambda e: e["event_type"])).alias(
+            "type_seq"
+        )
+    )
+
+
+ORACLE_O3 = """
+SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS type_seq
+FROM events WHERE user_id < 50 GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Relational anchors (scan/agg/join efficiency at bench scale)
 # --------------------------------------------------------------------------
@@ -732,6 +943,14 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "dedup_simhash": (q_dedup_simhash, ORACLE_SIMHASH, "simhash"),
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_EMB_PAIRS, "embedding near-dups"),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN, "ANN brute-force top-k"),
+    "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF, "ANN IVF scale path"),
+    "mm_feature_extract": (q_mm_feature_extract, ORACLE_MM_FEATURES, "multimodal features"),
+    "mm_frame_sample": (q_mm_frame_sample, ORACLE_MM_FRAMES, "video frame sampling"),
+    "k3_stream_replicate": (q_k3_stream_replicate, ORACLE_R1, "K3 streaming replicator"),
+    "p5_ttl_trim": (q_p5_ttl_trim, ORACLE_P5, "P5/P6 TTL pruning"),
+    "j3_preimage_verify": (q_j3_preimage_verify, ORACLE_J3, "J3 pre-image verify"),
+    "f4_f5_renders": (q_f4_f5_renders, ORACLE_F4F5, "F4/F5 renders"),
+    "o3_list_reconstruct": (q_o3_list_reconstruct, ORACLE_O3, "O3 ordered reconstruction"),
     "text_token_count": (q_text_token_count, ORACLE_TOKENS, "token counting"),
     "text_quality": (q_text_quality, ORACLE_QUALITY, "quality scoring"),
     "text_langid": (q_text_langid, ORACLE_LANGID, "language id"),
