@@ -120,7 +120,11 @@ def minhash_lsh_pairs(
     equal-minhash fraction — a single wide-row comparison, no signature
     re-join per permutation.
     """
-    sig = minhash_signatures(df, k=k, n=n, id_col=id_col)
+    # the signature table feeds three plan branches (banding + both sides of
+    # the estimation join); cache it so the shingle scan + k-min aggregation
+    # runs once. At scale this is the table you'd checkpoint: |docs| rows x
+    # k longs, tiny next to the corpus.
+    sig = minhash_signatures(df, k=k, n=n, id_col=id_col).cache()
     n_bands = k // band_rows
     band_structs = [
         F.struct(

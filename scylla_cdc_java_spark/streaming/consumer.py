@@ -170,6 +170,22 @@ class CDCStreamConsumer:
             writer = writer.trigger(processingTime=self.trigger_interval)
         return writer.start()
 
+    def start_printer(self, query_name: str = "cdc-printer", num_rows: int = 20):
+        """K2: the reference's Printer demo — formatted change stream to
+        stdout (Main.printChange, scylla-cdc-printer/.../Main.java:97-151)."""
+        writer = (
+            self.changes()
+            .writeStream.queryName(query_name)
+            .format("console")
+            .option("numRows", num_rows)
+            .option("truncate", "true")
+        )
+        if self.checkpoint_dir:
+            writer = writer.option("checkpointLocation", self.checkpoint_dir)
+        if self.available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
     def start_replicator(
         self,
         desc: CdcTableDescriptor,

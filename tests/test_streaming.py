@@ -189,3 +189,100 @@ def test_streaming_window_counts_and_dedup(spark, tmp_path):
     # dedup within watermark must not overcount; closed windows only, so
     # the final (unclosed) window's rows may be missing from the memory sink
     assert total is None or total <= len(rows)
+
+
+def test_range_delete_pairing_across_batches(spark, tmp_path):
+    """J1 keyed state: a left bound in batch 1 pairs with its right bound
+    arriving in batch 2 — impossible for the batch lead() analog."""
+    import os
+    import time as _time
+
+    from scylla_cdc_java_spark.streaming import pair_range_deletes_stream
+
+    desc = FIXTURE_TABLES["tbl_multiple_clustering_keys"]
+    dml = [
+        *[("insert", ("p",), (i, j), {"v": i * 10 + j}) for i in range(2) for j in range(2)],
+        ("range_delete", ("p",), ((0, 0), True), ((1, None), False)),
+        ("range_delete", ("q",), ((2, None), False), ((4, None), True)),
+    ]
+    rows = CdcLogGenerator(desc).encode(dml)
+    # split so each range delete's left bound lands in an earlier file than
+    # its right bound (bounds are the last 4 rows: L1 R1 L2 R2)
+    schema = build_cdc_log_schema(desc)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, chunk in enumerate([rows[:-3], rows[-3:-1], rows[-1:]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    stream = spark.readStream.schema(schema).format("parquet").option(
+        "maxFilesPerTrigger", 1
+    ).load(src)
+    paired = pair_range_deletes_stream(stream, desc)
+    q = (
+        paired.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("paired_rd")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["pk"], r["left_ck1"], r["left_ck2"], r["right_ck1"], r["right_ck2"],
+         r["left_inclusive"], r["right_inclusive"])
+        for r in spark.sql("select * from paired_rd").collect()
+    }
+    assert got == {
+        ("p", 0, 0, 1, None, True, False),
+        ("q", 2, None, 4, None, False, True),
+    }
+
+
+def test_postimage_pairing_across_batches(spark, tmp_path):
+    """J2 keyed state: op-kind remembered across microbatch boundary."""
+    import copy
+    import os
+    import time as _time
+
+    from scylla_cdc_java_spark.streaming import pair_postimages_stream
+
+    desc = FIXTURE_TABLES["tbl_simple"]
+    gen = CdcLogGenerator(desc)
+    rows = gen.encode(
+        [
+            ("insert", ("a",), (1,), {"v1": 1, "v2": "x"}),
+            ("update", ("a",), (1,), {"v1": 2}),
+        ]
+    )
+    images = []
+    for r in rows:
+        img = copy.deepcopy(r)
+        img["cdc$operation"] = 9
+        img["cdc$batch_seq_no"] = r["cdc$batch_seq_no"] + 1
+        images.append(img)
+    schema = build_cdc_log_schema(desc)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # delta rows in batch 1, their post-images in batch 2
+    for chunk in ([rows[0], images[0], rows[1]], [images[1]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = spark.readStream.schema(schema).format("parquet").option(
+        "maxFilesPerTrigger", 1
+    ).load(src)
+    tagged = pair_postimages_stream(stream, desc)
+    q = (
+        tagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tagged_pi")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["pk"], r["ck"], r["stmt_kind"]) for r in spark.sql("select * from tagged_pi").collect()
+    )
+    assert got == [("a", 1, 1), ("a", 1, 2)]
