@@ -1,0 +1,153 @@
+"""Generation (topology-era) catalog and master-step planning.
+
+The reference's master thread discovers *generations* — epochs of the
+cluster topology, each carrying the set of CDC stream ids — groups their
+streams into per-vnode tasks, and rolls over to the next generation once
+the current one is closed and fully consumed (or TTL-expired):
+
+* discovery queries (S5-S8): ``Driver3MasterCQL.getFetchSmallestGenerationAfter``
+  / ``getFetchStreams`` (scylla-cdc-driver3/.../Driver3MasterCQL.java:167-180,
+  216-229) and the per-table tablet variants (:182-199, :231-247);
+* grouping (A1): ``GenerationBasedCDCMetadataModel.createTasks``
+  (scylla-cdc-base/.../GenerationBasedCDCMetadataModel.java:100-110);
+* TTL skip (P6): ``generationTTLExpired`` (:59-93);
+* completion barrier (A3): ``InMemoryStateStore.areTasksFullyConsumedUntil``
+  (scylla-cdc-lib/.../InMemoryStateStore.java:86-99);
+* the loop itself (T6): ``runMasterLoop`` (:118-141).
+
+Spark mapping: generation metadata is a *tiny* driver-side read (the
+reference reads it with LIMIT-1 CQL); the catalog collects it once and all
+planning is plain Python, exactly like ``MicroBatchStream.planInputPartitions``
+planning on the driver. The per-generation task groups become the source's
+input partitions; the barrier compares streaming offsets (TaskState) against
+the generation end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from ..functions.streamid import vnode_from_stream_id
+from .state import TaskId, TaskState
+
+
+@dataclass(frozen=True)
+class GenerationMetadata:
+    """One topology era: [start_ms, end_ms or open), with its stream set."""
+
+    start_ms: int
+    end_ms: int | None
+    stream_ids: tuple[bytes, ...]
+
+    @property
+    def closed(self) -> bool:
+        return self.end_ms is not None
+
+
+class GenerationCatalog:
+    """Sorted view over known generations (the linked list the reference
+    walks via end-timestamp -> next start-timestamp)."""
+
+    def __init__(self, generations: list[GenerationMetadata]):
+        self._gens = sorted(generations, key=lambda g: g.start_ms)
+
+    @staticmethod
+    def from_dataframe(df: DataFrame) -> "GenerationCatalog":
+        """Build from a metadata DataFrame with columns
+        ``(start_ms long, end_ms long nullable, stream_id binary)``.
+        Metadata is tiny (streams x generations); collecting it on the
+        driver mirrors the reference's planning-time CQL reads."""
+        by_gen: dict[tuple[int, int | None], list[bytes]] = {}
+        for r in df.collect():
+            key = (int(r["start_ms"]), None if r["end_ms"] is None else int(r["end_ms"]))
+            by_gen.setdefault(key, []).append(bytes(r["stream_id"]))
+        return GenerationCatalog(
+            [
+                GenerationMetadata(s, e, tuple(sorted(ids)))
+                for (s, e), ids in by_gen.items()
+            ]
+        )
+
+    def smallest_after(self, after_ms: int) -> GenerationMetadata | None:
+        """S5/S7: the generation with the smallest start > after_ms."""
+        for g in self._gens:
+            if g.start_ms > after_ms:
+                return g
+        return None
+
+    def generation_at(self, start_ms: int) -> GenerationMetadata | None:
+        for g in self._gens:
+            if g.start_ms == start_ms:
+                return g
+        return None
+
+    @staticmethod
+    def ttl_expired(gen: GenerationMetadata, now_ms: int, min_ttl_ms: int | None) -> bool:
+        """P6: a closed generation whose end predates now - min(table TTLs)
+        cannot contain live data; skip it without consuming."""
+        if min_ttl_ms is None or gen.end_ms is None:
+            return False
+        return gen.end_ms < now_ms - min_ttl_ms
+
+
+def group_streams_to_tasks(
+    keyspace: str, table: str, gen: GenerationMetadata
+) -> dict[TaskId, tuple[bytes, ...]]:
+    """A1: group a generation's streams by extracted vnode into tasks;
+    streams stay sorted inside a task (the reference's SortedSet)."""
+    by_vnode: dict[int, list[bytes]] = {}
+    for sid in gen.stream_ids:
+        by_vnode.setdefault(vnode_from_stream_id(sid), []).append(sid)
+    return {
+        TaskId(keyspace, table, gen.start_ms, v): tuple(sorted(ids))
+        for v, ids in by_vnode.items()
+    }
+
+
+def all_tasks_consumed_until(states: dict[TaskId, TaskState], until_ms: int) -> bool:
+    """A3 barrier: every task's window has moved strictly past ``until``."""
+    return all(s.has_passed(until_ms) for s in states.values())
+
+
+@dataclass(frozen=True)
+class MasterDecision:
+    """Outcome of one master step: what the source should do next."""
+
+    action: str  # "wait_first" | "steady" | "wait_consumed" | "rollover"
+    generation: GenerationMetadata | None = None
+    next_generation: GenerationMetadata | None = None
+
+
+def run_master_step(
+    catalog: GenerationCatalog,
+    current_start_ms: int | None,
+    task_states: dict[TaskId, TaskState],
+    now_ms: int,
+    min_ttl_ms: int | None = None,
+) -> MasterDecision:
+    """T6: one iteration of the reference master loop.
+
+    * no current generation -> adopt the first one after the saved point
+      (or keep waiting if none exists yet);
+    * current open -> steady state;
+    * current closed -> roll over when TTL-expired (P6) or when every task
+      passed the generation end (A3); otherwise keep consuming.
+    """
+    if current_start_ms is None:
+        first = catalog.smallest_after(-(2**62))
+        if first is None:
+            return MasterDecision("wait_first")
+        return MasterDecision("rollover", generation=None, next_generation=first)
+
+    gen = catalog.generation_at(current_start_ms)
+    if gen is None or not gen.closed:
+        return MasterDecision("steady", generation=gen)
+
+    expired = GenerationCatalog.ttl_expired(gen, now_ms, min_ttl_ms)
+    consumed = all_tasks_consumed_until(task_states, gen.end_ms)
+    if expired or consumed:
+        nxt = catalog.smallest_after(gen.start_ms)
+        return MasterDecision("rollover", generation=gen, next_generation=nxt)
+    return MasterDecision("wait_consumed", generation=gen)

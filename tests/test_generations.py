@@ -1,0 +1,105 @@
+"""Master-loop planning tests, mirroring the reference's MasterTest
+(scylla-cdc-base/src/test/.../model/master/MasterTest.java): discovery,
+grouping, TTL skip, completion barrier, rollover."""
+
+from __future__ import annotations
+
+from scylla_cdc_java_spark.functions.streamid import make_stream_id
+from scylla_cdc_java_spark.model.generations import (
+    GenerationCatalog,
+    GenerationMetadata,
+    MasterDecision,
+    all_tasks_consumed_until,
+    group_streams_to_tasks,
+    run_master_step,
+)
+from scylla_cdc_java_spark.model.state import TaskId, TaskState
+
+
+def _gen(start, end, vnodes=(0, 1), per_vnode=2):
+    ids = tuple(
+        make_stream_id(v, index=i) for v in vnodes for i in range(per_vnode)
+    )
+    return GenerationMetadata(start, end, ids)
+
+
+def test_smallest_after_and_resume():
+    cat = GenerationCatalog([_gen(100, 200), _gen(200, None), _gen(50, 100)])
+    assert cat.smallest_after(-1).start_ms == 50
+    assert cat.smallest_after(50).start_ms == 100
+    assert cat.smallest_after(100).start_ms == 200
+    assert cat.smallest_after(200) is None
+
+
+def test_group_streams_by_vnode_sorted():
+    gen = _gen(100, None, vnodes=(3, 7), per_vnode=3)
+    tasks = group_streams_to_tasks("ks", "t", gen)
+    assert set(t.vnode for t in tasks) == {3, 7}
+    for tid, streams in tasks.items():
+        assert tid.generation_start_ms == 100
+        assert list(streams) == sorted(streams)
+        assert len(streams) == 3
+
+
+def test_master_step_transitions():
+    cat = GenerationCatalog([_gen(100, 200), _gen(200, None)])
+
+    # nothing known yet -> wait
+    empty = GenerationCatalog([])
+    assert run_master_step(empty, None, {}, now_ms=0).action == "wait_first"
+
+    # cold start -> adopt first generation
+    d = run_master_step(cat, None, {}, now_ms=0)
+    assert d.action == "rollover" and d.next_generation.start_ms == 100
+
+    # current closed, tasks not yet past its end -> wait
+    tid = TaskId("ks", "t", 100, 0)
+    behind = {tid: TaskState(window_start_ms=150, window_end_ms=180)}
+    assert run_master_step(cat, 100, behind, now_ms=10**9).action == "wait_consumed"
+
+    # tasks past the end -> rollover to next
+    ahead = {tid: TaskState(window_start_ms=201, window_end_ms=231)}
+    d = run_master_step(cat, 100, ahead, now_ms=10**9)
+    assert d.action == "rollover" and d.next_generation.start_ms == 200
+
+    # open generation -> steady state
+    assert run_master_step(cat, 200, {}, now_ms=10**9).action == "steady"
+
+
+def test_master_step_ttl_skip():
+    """P6: a closed generation older than now - ttl rolls over even with
+    unconsumed tasks (reference generationTTLExpired)."""
+    cat = GenerationCatalog([_gen(100, 200), _gen(200, None)])
+    tid = TaskId("ks", "t", 100, 0)
+    behind = {tid: TaskState(window_start_ms=110, window_end_ms=140)}
+    d = run_master_step(cat, 100, behind, now_ms=10_000, min_ttl_ms=1_000)
+    assert d.action == "rollover" and d.next_generation.start_ms == 200
+    # ttl not yet elapsed -> still waiting
+    d2 = run_master_step(cat, 100, behind, now_ms=10_000, min_ttl_ms=20_000)
+    assert d2.action == "wait_consumed"
+
+
+def test_barrier_predicate():
+    a, b = TaskId("ks", "t", 1, 0), TaskId("ks", "t", 1, 1)
+    states = {
+        a: TaskState(window_start_ms=250, window_end_ms=280),
+        b: TaskState(window_start_ms=199, window_end_ms=229),
+    }
+    assert not all_tasks_consumed_until(states, 200)
+    states[b] = TaskState(window_start_ms=201, window_end_ms=231)
+    assert all_tasks_consumed_until(states, 200)
+
+
+def test_catalog_from_dataframe(spark):
+    rows = [
+        (100, 200, bytearray(make_stream_id(0, index=1))),
+        (100, 200, bytearray(make_stream_id(1, index=2))),
+        (200, None, bytearray(make_stream_id(0, index=3))),
+    ]
+    df = spark.createDataFrame(
+        rows, "start_ms long, end_ms long, stream_id binary"
+    )
+    cat = GenerationCatalog.from_dataframe(df)
+    g = cat.generation_at(100)
+    assert g.end_ms == 200 and len(g.stream_ids) == 2
+    assert cat.generation_at(200).end_ms is None
