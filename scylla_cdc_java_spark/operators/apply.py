@@ -40,7 +40,6 @@ from ..model.schema import (
     DELETED_PREFIX,
     CdcTableDescriptor,
 )
-from .dedup import dedup_changes
 from .normalize import TIME_MICROS, normalize_changes
 
 _SEQ = "cdc$batch_seq_no"
@@ -158,8 +157,10 @@ def apply_cdc_log(
         raise ValueError(f"unknown mode {mode!r}")
     d = _plain_desc(desc)
     changes = normalize_changes(changes)
-    if dedup:
-        changes = dedup_changes(changes)
+    # P2 dedup happens INSIDE the fold kernel (duplicate ChangeIds are
+    # adjacent after the in-group sort), so the change stream shuffles
+    # exactly once — on the partition key — instead of paying a second
+    # full shuffle for a standalone dropDuplicates.
 
     if mode == "delta":
         changes = changes.where(~F.col(_OP).cast("int").isin([0, 9]))
@@ -175,6 +176,8 @@ def apply_cdc_log(
     delem_cols = [c for c in changes.columns if c.startswith(DELETED_ELEMENTS_PREFIX)]
     base_cols = [f.name for f in desc.base_schema.fields]
     keep = [TIME_MICROS, _SEQ, _OP, *base_cols, *deleted_cols, *delem_cols]
+    if dedup:
+        keep.insert(0, "cdc$stream_id")
     changes = changes.select(*[c for c in keep if c in changes.columns])
 
     if initial_state is not None:
@@ -220,12 +223,18 @@ def apply_cdc_log(
             [*out_schema.fields, T.StructField(TIME_MICROS, T.LongType())]
         )
     kernel = _make_fold_kernel(
-        d, mode, [f.name for f in out_schema.fields], with_version=with_version_col
+        d,
+        mode,
+        [f.name for f in out_schema.fields],
+        with_version=with_version_col,
+        dedup=dedup,
     )
     return changes.groupBy(*d["pk"]).applyInPandas(kernel, schema=out_schema)
 
 
-def _make_fold_kernel(d: dict, mode: str, out_cols: list[str], with_version: bool = False):
+def _make_fold_kernel(
+    d: dict, mode: str, out_cols: list[str], with_version: bool = False, dedup: bool = True
+):
     """Build the per-partition ordered fold. Nested def so cloudpickle
     ships it by value; references only stdlib + pandas."""
     import pandas as pd  # noqa: F401  (captured for the closure)
@@ -345,11 +354,27 @@ def _make_fold_kernel(d: dict, mode: str, out_cols: list[str], with_version: boo
 
         op_arr = cols["cdc$operation"]
         time_arr = cols["cdc$time_micros"]
+        seq_arr = cols["cdc$batch_seq_no"]
+        sid_arr = cols.get("cdc$stream_id") if dedup else None
         ck_arrs = [cols[c] for c in ck_cols]
         reg_arrs = {c: cols.get(c) for c in regular}
         del_arrs = {c: cols.get(f"cdc$deleted_{c}") for c in regular}
         delem_arrs = {c: cols.get(f"cdc$deleted_elements_{c}") for c in regular}
+        run_key, run_seen = None, set()
         for x in range(n_rows):
+            if sid_arr is not None:
+                # P2 in-fold dedup: duplicate deliveries of one ChangeId
+                # (stream, time, seq) are adjacent after the sort; seed
+                # rows (null stream id) are never deduped.
+                key = (int(time_arr[x]), int(seq_arr[x]))
+                if key != run_key:
+                    run_key, run_seen = key, set()
+                sid = sid_arr[x]
+                if sid is not None:
+                    sid = bytes(sid)
+                    if sid in run_seen:
+                        continue
+                    run_seen.add(sid)
             op = int(op_arr[x])
             ck_t = tuple(iv(a[x]) for a in ck_arrs)
             if op == 4:  # partition delete

@@ -66,13 +66,17 @@ def _emb(spark, sf_dir) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_s1_window_scan(spark, sf_dir):
-    """S1/P1: windowed per-stream scan with pushed-down predicates."""
-    ev = _events(spark, sf_dir)
-    return ev.where(
-        (F.col("user_id") % 16 == 3)
-        & (F.col("ts") >= F.lit("2024-01-02 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
-    ).select("event_id", "user_id", "ts", "event_type", "value")
+    """S1/P1: windowed per-stream scan with pushed-down predicates — the
+    time range filters on the raw nanos column so it reaches the parquet
+    scan (row-group pruning) instead of stopping at the ns->ts cast."""
+    from .sources.tables import time_range
+
+    ev = time_range(
+        _events(spark, sf_dir), "ts", "2024-01-02 00:00:00", "2024-01-04 00:00:00"
+    )
+    return ev.where(F.col("user_id") % 16 == 3).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
 
 
 ORACLE_S1 = """

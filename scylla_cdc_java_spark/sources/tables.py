@@ -53,9 +53,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(
+        # keep the raw nanos long as <c>__ns: predicates on the *converted*
+        # timestamp cannot push through the cast, but a range filter on the
+        # raw long reaches the parquet scan (row-group stats pruning) — see
+        # time_range(). Column pruning drops it when unused.
+        df = df.withColumn(f"{c}__ns", F.col(c)).withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000").cast("long"))
         )
+    return df
+
+
+def time_range(df: DataFrame, col: str, lo: str | None = None, hi: str | None = None) -> DataFrame:
+    """Pushdown-friendly event-time range filter ``[lo, hi)``.
+
+    Filters on the raw ``<col>__ns`` long when present so the predicate
+    lands in PushedFilters (parquet row-group pruning at scale); falls back
+    to the converted timestamp column otherwise. Bounds are
+    ``YYYY-MM-DD HH:MM:SS`` UTC strings.
+    """
+    from datetime import datetime, timezone
+
+    raw = f"{col}__ns"
+
+    def ns(bound: str) -> int:
+        dt = datetime.fromisoformat(bound).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp()) * 1_000_000_000
+
+    if raw in df.columns:
+        if lo is not None:
+            df = df.where(F.col(raw) >= F.lit(ns(lo)))
+        if hi is not None:
+            df = df.where(F.col(raw) < F.lit(ns(hi)))
+        return df
+    if lo is not None:
+        df = df.where(F.col(col) >= F.lit(lo).cast("timestamp"))
+    if hi is not None:
+        df = df.where(F.col(col) < F.lit(hi).cast("timestamp"))
     return df
 
 
