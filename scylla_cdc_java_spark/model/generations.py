@@ -111,6 +111,17 @@ def all_tasks_consumed_until(states: dict[TaskId, TaskState], until_ms: int) -> 
     return all(s.has_passed(until_ms) for s in states.values())
 
 
+def reconfigure_workers(
+    active: set[TaskId] | list[TaskId], new: set[TaskId] | list[TaskId]
+) -> tuple[tuple[TaskId, ...], tuple[TaskId, ...]]:
+    """§2.7 task-set difference on reconfiguration: returns
+    ``(to_delete, to_start)`` — obsolete task states to drop and new tasks
+    to schedule (reference LocalTransport.configureWorkers,
+    scylla-cdc-lib/.../LocalTransport.java:84-105: ``toDelete = active − new``)."""
+    a, n = set(active), set(new)
+    return tuple(sorted(a - n)), tuple(sorted(n - a))
+
+
 @dataclass(frozen=True)
 class MasterDecision:
     """Outcome of one master step: what the source should do next."""

@@ -136,6 +136,7 @@ def apply_cdc_log(
     initial_state: DataFrame | None = None,
     dedup: bool = True,
     with_version_col: bool = False,
+    as_of_micros: int | None = None,
 ) -> DataFrame:
     """Apply a CDC change log to (optional) initial state → current state.
 
@@ -152,6 +153,14 @@ def apply_cdc_log(
     (ExecutingPreparedStatementHandler.java:45-53), which are convergent at
     *cell* granularity. A replayed change older than the row's version sorts
     before the seeded row in the fold and is overwritten by it.
+
+    ``as_of_micros`` enables TTL visibility: a write carrying ``cdc$ttl``
+    (seconds — the reference passes it through verbatim via ``USING TTL``,
+    InsertOperationHandler.java:15-48) expires its scalar cells and, for
+    inserts, the row marker at ``write_time + ttl``; cells/markers expired
+    at ``as_of_micros`` are invisible in the output. ``None`` (default)
+    skips expiry evaluation. Collection-element TTLs are not materialized
+    (the delta representation would need per-element expiry tracking).
     """
     if mode not in ("delta", "postimage"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -175,7 +184,7 @@ def apply_cdc_log(
     ]
     delem_cols = [c for c in changes.columns if c.startswith(DELETED_ELEMENTS_PREFIX)]
     base_cols = [f.name for f in desc.base_schema.fields]
-    keep = [TIME_MICROS, _SEQ, _OP, *base_cols, *deleted_cols, *delem_cols]
+    keep = [TIME_MICROS, _SEQ, _OP, "cdc$ttl", *base_cols, *deleted_cols, *delem_cols]
     if dedup:
         keep.insert(0, "cdc$stream_id")
     changes = changes.select(*[c for c in keep if c in changes.columns])
@@ -228,12 +237,18 @@ def apply_cdc_log(
         [f.name for f in out_schema.fields],
         with_version=with_version_col,
         dedup=dedup,
+        as_of=as_of_micros,
     )
     return changes.groupBy(*d["pk"]).applyInPandas(kernel, schema=out_schema)
 
 
 def _make_fold_kernel(
-    d: dict, mode: str, out_cols: list[str], with_version: bool = False, dedup: bool = True
+    d: dict,
+    mode: str,
+    out_cols: list[str],
+    with_version: bool = False,
+    dedup: bool = True,
+    as_of: int | None = None,
 ):
     """Build the per-partition ordered fold. Nested def so cloudpickle
     ships it by value; references only stdlib + pandas."""
@@ -355,6 +370,7 @@ def _make_fold_kernel(
         op_arr = cols["cdc$operation"]
         time_arr = cols["cdc$time_micros"]
         seq_arr = cols["cdc$batch_seq_no"]
+        ttl_arr = cols.get("cdc$ttl")
         sid_arr = cols.get("cdc$stream_id") if dedup else None
         ck_arrs = [cols[c] for c in ck_cols]
         reg_arrs = {c: cols.get(c) for c in regular}
@@ -403,10 +419,15 @@ def _make_fold_kernel(
             # writes: 1 update / 2 insert / 9 postimage
             entry = rows.get(ck_t)
             if entry is None:
-                entry = rows[ck_t] = {"marker": False, "cells": {}}
+                entry = rows[ck_t] = {"marker": False, "cells": {}, "exp": {}}
             entry["ver"] = int(time_arr[x])
+            ttl_val = sv(ttl_arr[x]) if ttl_arr is not None else None
+            exp_val = (
+                int(time_arr[x]) + int(ttl_val) * 1_000_000 if ttl_val else None
+            )
             if op in (2, 9):
                 entry["marker"] = True
+                entry["marker_exp"] = exp_val
             for col in regular:
                 arr = reg_arrs[col]
                 value = arr[x] if arr is not None else None
@@ -431,12 +452,28 @@ def _make_fold_kernel(
                 if value is None and not deleted and del_elems is None:
                     continue  # unset
                 write_cell(entry["cells"], col, value, deleted, del_elems)
+                if kinds[col] == "scalar":
+                    if value is not None:
+                        entry["exp"][col] = exp_val
+                    elif deleted:
+                        entry["exp"].pop(col, None)
             if not entry["marker"] and not entry["cells"]:
                 del rows[ck_t]  # update that wrote only tombstones to a dead row
 
         out = []
         for ck_t, entry in rows.items():
-            if not entry["marker"] and not entry["cells"]:
+            cells, marker = entry["cells"], entry["marker"]
+            if as_of is not None:
+                expmap = entry.get("exp", {})
+                cells = {
+                    c: v
+                    for c, v in cells.items()
+                    if expmap.get(c) is None or expmap[c] > as_of
+                }
+                mexp = entry.get("marker_exp")
+                if marker and mexp is not None and mexp <= as_of:
+                    marker = False
+            if not marker and not cells:
                 continue
             rec = {}
             for c in pk_cols:
@@ -446,7 +483,7 @@ def _make_fold_kernel(
             if with_version:
                 rec[TIME_MICROS] = entry.get("ver")
             for col in regular:
-                v = entry["cells"].get(col)
+                v = cells.get(col)
                 kind = kinds[col]
                 if v is None:
                     rec[col] = None

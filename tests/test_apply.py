@@ -278,3 +278,43 @@ def test_fuzz_differential(spark, table):
         else:
             dml.append(("partition_delete", pk))
     run_diff(spark, table, dml)
+
+
+def test_ttl_expiry_scalar_cells_and_marker(spark):
+    """cdc$ttl visibility: cells and row markers expire at write+ttl when
+    the materialization is evaluated as-of a point in time."""
+    desc = FIXTURE_TABLES["tbl_simple"]
+    gen = CdcLogGenerator(desc)
+    dml = [
+        ("insert", ("a",), (1,), {"v1": 1, "v2": "keep"}),   # no ttl
+        ("insert", ("a",), (2,), {"v1": 2, "v2": "gone"}, 60),   # ttl 60 s
+        ("insert", ("a",), (3,), {"v1": 3, "v2": "x"}, 60),
+        ("update", ("a",), (3,), {"v1": 33}),  # refresh v1 w/o ttl; marker+v2 still expire
+    ]
+    rows_enc = gen.encode(dml)
+    from scylla_cdc_java_spark.model.schema import build_cdc_log_schema
+
+    df = spark.createDataFrame(rows_enc, build_cdc_log_schema(desc))
+    t_last = max(r["cdc$time_ts"] for r in rows_enc)
+    as_of_late = int(t_last.timestamp() * 1e6) + 3600 * 1_000_000  # +1 h
+    got = {r["ck"]: r for r in apply_cdc_log(df, desc, as_of_micros=as_of_late).collect()}
+    assert got[1]["v2"] == "keep"          # untouched, no ttl
+    assert 2 not in got                    # fully expired row
+    assert got[3]["v1"] == 33 and got[3]["v2"] is None  # refreshed cell survives
+
+    as_of_now = int(t_last.timestamp() * 1e6) + 1_000_000  # +1 s: nothing expired
+    got_now = {r["ck"]: r for r in apply_cdc_log(df, desc, as_of_micros=as_of_now).collect()}
+    assert set(got_now) == {1, 2, 3} and got_now[2]["v2"] == "gone"
+
+    # default: no expiry evaluation
+    got_default = {r["ck"]: r for r in apply_cdc_log(df, desc).collect()}
+    assert set(got_default) == {1, 2, 3}
+
+
+def test_reconfigure_workers_diff():
+    from scylla_cdc_java_spark.model.generations import reconfigure_workers
+    from scylla_cdc_java_spark.model.state import TaskId
+
+    t = lambda v: TaskId("ks", "t", 100, v)  # noqa: E731
+    to_delete, to_start = reconfigure_workers([t(0), t(1), t(2)], [t(1), t(2), t(5)])
+    assert to_delete == (t(0),) and to_start == (t(5),)
