@@ -131,6 +131,57 @@ class MasterDecision:
     next_generation: GenerationMetadata | None = None
 
 
+class TableCDCController:
+    """Tablet-mode metadata model (S7/T7): per-*table* generations instead
+    of cluster-wide ones, with dynamic task addition while a generation is
+    live (reference TableCDCController, scylla-cdc-base/.../master/
+    TableCDCController.java:67-75,85-102,156-163; stream-state filtering
+    Driver3MasterCQL.java:50-64).
+
+    Holds one GenerationCatalog per (keyspace, table); ``step`` runs the
+    master iteration for one table; ``added_tasks`` diffs the currently
+    scheduled tasks against the catalog (T7: tablets appearing mid-
+    generation become new tasks for the running worker — in Spark, new
+    input partitions at the next microbatch plan)."""
+
+    def __init__(self) -> None:
+        self._catalogs: dict[tuple[str, str], GenerationCatalog] = {}
+
+    def set_catalog(self, keyspace: str, table: str, catalog: GenerationCatalog) -> None:
+        self._catalogs[(keyspace, table)] = catalog
+
+    def step(
+        self,
+        keyspace: str,
+        table: str,
+        current_start_ms: int | None,
+        task_states: dict[TaskId, TaskState],
+        now_ms: int,
+        min_ttl_ms: int | None = None,
+    ) -> "MasterDecision":
+        cat = self._catalogs.get((keyspace, table), GenerationCatalog([]))
+        return run_master_step(cat, current_start_ms, task_states, now_ms, min_ttl_ms)
+
+    def added_tasks(
+        self,
+        keyspace: str,
+        table: str,
+        generation_start_ms: int,
+        scheduled: set[TaskId] | list[TaskId],
+    ) -> tuple[TaskId, ...]:
+        """T7: tasks present in the catalog's current generation but not yet
+        scheduled — to be added to the running worker."""
+        cat = self._catalogs.get((keyspace, table))
+        if cat is None:
+            return ()
+        gen = cat.generation_at(generation_start_ms)
+        if gen is None:
+            return ()
+        current = set(group_streams_to_tasks(keyspace, table, gen))
+        _, to_start = reconfigure_workers(set(scheduled), current)
+        return to_start
+
+
 def run_master_step(
     catalog: GenerationCatalog,
     current_start_ms: int | None,

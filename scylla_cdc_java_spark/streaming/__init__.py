@@ -11,6 +11,7 @@ from .consumer import (  # noqa: F401
     CDCStreamConsumer,
     dedup_within_watermark,
     read_changes_stream,
+    run_with_retries,
     tumbling_window_counts,
     with_confidence_window,
 )

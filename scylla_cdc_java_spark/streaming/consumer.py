@@ -204,3 +204,34 @@ class CDCStreamConsumer:
         """T10 graceful stop: request stop, then drain."""
         query.stop()
         query.awaitTermination(timeout_s)
+
+
+def run_with_retries(start_query, backoff=None, max_restarts: int | None = None):
+    """T5: the retry state machine around a streaming query.
+
+    The reference reroutes any task failure to a fresh ReadNewWindow action
+    after exponential backoff with jitter (TaskAction.java:35-204, F7);
+    Spark's checkpoint gives the same window-restart semantics — restarting
+    the query replays the failed microbatch from the committed offsets.
+
+    ``start_query`` builds and starts a fresh query; exceptions from
+    ``awaitTermination`` trigger a backoff + restart, ``max_restarts``
+    bounds the attempts (None = retry forever, like the reference master).
+    Returns the final (successfully terminated) query.
+    """
+    import time as _time
+
+    from ..functions.retry import ExponentialRetryBackoffWithJitter
+
+    backoff = backoff or ExponentialRetryBackoffWithJitter()
+    attempt = 0
+    while True:
+        query = start_query()
+        try:
+            query.awaitTermination()
+            return query
+        except Exception:  # noqa: BLE001 — any stream failure is retryable
+            attempt += 1
+            if max_restarts is not None and attempt > max_restarts:
+                raise
+            _time.sleep(backoff.backoff_ms(attempt) / 1000.0)

@@ -103,3 +103,30 @@ def test_catalog_from_dataframe(spark):
     g = cat.generation_at(100)
     assert g.end_ms == 200 and len(g.stream_ids) == 2
     assert cat.generation_at(200).end_ms is None
+
+
+def test_table_controller_tablet_mode():
+    """S7/T7: per-table generations; tablets appearing mid-generation
+    surface as added tasks for the running worker."""
+    from scylla_cdc_java_spark.model.generations import TableCDCController
+
+    ctl = TableCDCController()
+    gen_v1 = _gen(100, None, vnodes=(0,), per_vnode=2)
+    ctl.set_catalog("ks", "t1", GenerationCatalog([gen_v1]))
+    ctl.set_catalog("ks", "t2", GenerationCatalog([]))
+
+    # per-table decisions are independent
+    assert ctl.step("ks", "t1", None, {}, now_ms=0).action == "rollover"
+    assert ctl.step("ks", "t2", None, {}, now_ms=0).action == "wait_first"
+
+    # initial schedule for t1's generation
+    tasks = group_streams_to_tasks("ks", "t1", gen_v1)
+    assert ctl.added_tasks("ks", "t1", 100, set(tasks)) == ()
+
+    # a new tablet (vnode 5) appears in the SAME generation -> new task
+    gen_v2 = GenerationMetadata(
+        100, None, gen_v1.stream_ids + (make_stream_id(5, index=9),)
+    )
+    ctl.set_catalog("ks", "t1", GenerationCatalog([gen_v2]))
+    added = ctl.added_tasks("ks", "t1", 100, set(tasks))
+    assert len(added) == 1 and added[0].vnode == 5

@@ -1,0 +1,115 @@
+"""Pipeline operator tests: similarity scale paths and multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from scylla_cdc_java_spark.pipeline.multimodal import (
+    documents_as_media,
+    extract_features,
+    sample_frames,
+)
+from scylla_cdc_java_spark.pipeline.similarity import (
+    cosine_topk_bruteforce,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+
+
+def _clustered_unit_vecs(rng, n, dim, n_clusters=10, noise=0.15):
+    """Clustered vectors: true neighbors are genuinely close (the ANN use
+    case) — with i.i.d. gaussian data every 'neighbor' is near-orthogonal
+    and bucketed search couldn't (and shouldn't) find it."""
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    out = []
+    for i in range(n):
+        c = centers[i % n_clusters]
+        v = [x + rng.gauss(0, noise) for x in c]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        out.append((i, [x / norm for x in v]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = random.Random(5)
+    return spark.createDataFrame(
+        _clustered_unit_vecs(rng, 200, 16), "vec_id long, embedding array<float>"
+    )
+
+
+def test_lsh_bucketed_recall(spark, emb_df):
+    """LSH-bucketed ANN must agree with brute force for a decent fraction
+    of top-1 neighbors (recall < 1 by construction, >> 0 by usefulness)."""
+    rng = random.Random(9)
+    planes = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]  # 16 buckets
+    queries = emb_df.where(F.col("vec_id") < 20)
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk_bruteforce(emb_df, queries, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in lsh_bucketed_topk(emb_df, queries, planes, k=1).collect()
+    }
+    hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+    assert hits >= len(exact) * 0.5, f"recall too low: {hits}/{len(exact)}"
+
+
+def test_ivf_agrees_with_bruteforce_on_probed_buckets(spark, emb_df):
+    """IVF with nprobe == n_centroids degenerates to exact search."""
+    queries = emb_df.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_bruteforce(emb_df, queries, k=3).collect()
+    }
+    # centroid_mod=50 -> 4 centroids; probing all 4 covers the whole corpus
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb_df, queries, k=3, nprobe=4, centroid_mod=50).collect()
+    }
+    assert full == exact
+
+
+def test_media_features_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "src1", 11), (2, "", "en", "src2", 0)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    media = documents_as_media(docs)
+    f1 = extract_features(media, dim=4).collect()
+    f2 = extract_features(media, dim=4).collect()
+    by = {r["media_id"]: r for r in f1}
+    assert {r["media_id"]: r for r in f2} == by  # deterministic
+    assert by[1]["n_bytes"] == 11
+    assert len(by[1]["feature"]) == 4
+    assert all(0.0 <= x < 1.0 for x in by[1]["feature"])
+
+
+def test_media_strict_mode_raises(spark):
+    docs = spark.createDataFrame(
+        [(1, "x", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    media = documents_as_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        extract_features(media, decode="strict").collect()
+
+
+def test_frame_sampling_bounds(spark):
+    docs = spark.createDataFrame(
+        [(2, "abcde", "en", "s", 5), (5, "ab", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    # doc_id % 3 == 2 -> video; durations 50 ms and 20 ms
+    frames = sample_frames(documents_as_media(docs), every_ms=20).collect()
+    by = {}
+    for r in frames:
+        by.setdefault(r["media_id"], []).append(r["frame_ms"])
+    assert sorted(by[2]) == [0, 20, 40]
+    assert sorted(by[5]) == [0]
+    assert 5 in by and 2 in by

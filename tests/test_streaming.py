@@ -87,6 +87,19 @@ def _rand_dml(desc, rng, n=60):
                     )
                 elif c in desc.non_frozen_collections and tn == "struct":
                     cells[c] = {"fields": {"a": rng.randrange(9), "b": rng.randrange(9)}}
+                elif tn == "struct":  # frozen tuple: whole-value overwrite
+                    fts = [f.dataType.typeName() for f in desc.base_field(c).dataType.fields]
+                    cells[c] = rng.choice(
+                        [
+                            None,
+                            tuple(
+                                rng.randrange(9) if t != "string" else "t%d" % rng.randrange(9)
+                                for t in fts
+                            ),
+                        ]
+                    )
+                elif tn == "binary":
+                    cells[c] = rng.choice([None, bytearray(rng.randbytes(rng.randrange(0, 5)))])
                 elif tn == "string":
                     cells[c] = rng.choice([None, "s%d" % rng.randrange(20)])
                 else:
@@ -104,7 +117,17 @@ def _rand_dml(desc, rng, n=60):
 
 
 @pytest.mark.parametrize(
-    "table", ["tbl_simple", "tbl_multiple_clustering_keys", "tbl_lists", "tbl_maps"]
+    "table",
+    [
+        "tbl_simple",
+        "tbl_multiple_clustering_keys",
+        "tbl_lists",
+        "tbl_maps",
+        "tbl_sets",
+        "tbl_udts",
+        "tbl_tuples",
+        "tbl_blobs",
+    ],
 )
 def test_replicator_multibatch(spark, table, tmp_path):
     """Full pipeline over several microbatches, with cross-batch redelivery
@@ -286,3 +309,46 @@ def test_postimage_pairing_across_batches(spark, tmp_path):
         (r["pk"], r["ck"], r["stmt_kind"]) for r in spark.sql("select * from tagged_pi").collect()
     )
     assert got == [("a", 1, 1), ("a", 1, 2)]
+
+
+def test_run_with_retries_replays_failed_batch(spark, tmp_path):
+    """T5: a sink crash fails the query; the retry loop restarts it and the
+    checkpoint replays the failed batch — end state still converges."""
+    from scylla_cdc_java_spark.functions.retry import ExponentialRetryBackoffWithJitter
+    from scylla_cdc_java_spark.streaming import CDCStreamConsumer, run_with_retries
+    from scylla_cdc_java_spark.streaming.replicator import ReplicatorSink
+
+    desc = FIXTURE_TABLES["tbl_simple"]
+    dml = [("insert", ("a",), (i,), {"v1": i, "v2": "x"}) for i in range(10)]
+    rows = CdcLogGenerator(desc).encode(dml)
+    src = str(tmp_path / "src")
+    schema = build_cdc_log_schema(desc)
+    _write_chunks(spark, schema, rows, src, 1, random.Random(0))
+
+    sink = ReplicatorSink(desc, str(tmp_path / "state"), n_buckets=2)
+    calls = {"n": 0}
+
+    def flaky(batch_df, batch_id):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected sink failure")
+        sink(batch_df, batch_id)
+
+    def start():
+        return (
+            CDCStreamConsumer(spark)
+            .with_source(src, schema)
+            .with_confidence_window_ms(0)
+            .with_checkpoint(str(tmp_path / "ckpt"))
+            .trigger_available_now()
+            .start(flaky)
+        )
+
+    run_with_retries(
+        start,
+        backoff=ExponentialRetryBackoffWithJitter(base_ms=10, cap_ms=50),
+        max_restarts=3,
+    )
+    assert calls["n"] >= 2
+    state = sink.current_state(spark)
+    _assert_state_matches(desc, state, dml)
