@@ -43,6 +43,30 @@ def format_cql_duration(months: int, days: int, nanoseconds: int) -> str:
     return ("-" if negative else "") + body
 
 
+def format_change(row: dict, pk_cols: list[str], ck_cols: list[str]) -> str:
+    """K2: render one change row the way the reference Printer does —
+    operation, change id, then every column with its kind
+    (scylla-cdc-printer/.../Main.java:97-151: header :104-110, per-column
+    kind/name/value :112-141).
+    """
+    from ..model.ops import OperationType
+
+    op = OperationType(int(row["cdc$operation"])).name
+    sid = row.get("cdc$stream_id")
+    sid_hex = bytes(sid).hex().upper() if sid is not None else "?"
+    lines = [
+        f"[{op}] stream={sid_hex} time={row.get('cdc$time', row.get('cdc$time_ts'))}"
+        f" seq={row.get('cdc$batch_seq_no')}"
+    ]
+    kinds = {**{c: "PARTITION_KEY" for c in pk_cols}, **{c: "CLUSTERING_KEY" for c in ck_cols}}
+    for name, value in row.items():
+        if name.startswith("cdc$"):
+            continue
+        kind = kinds.get(name, "REGULAR")
+        lines.append(f"  {kind:15s} {name} = {value!r}")
+    return "\n".join(lines)
+
+
 def format_cql_date(year: int, month: int, day: int) -> str:
     """Zero-padded ISO date string (handles years < 1000 like the reference)."""
     sign = "-" if year < 0 else ""

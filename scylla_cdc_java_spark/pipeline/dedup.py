@@ -121,10 +121,13 @@ def minhash_lsh_pairs(
     re-join per permutation.
     """
     # the signature table feeds three plan branches (banding + both sides of
-    # the estimation join); cache it so the shingle scan + k-min aggregation
-    # runs once. At scale this is the table you'd checkpoint: |docs| rows x
-    # k longs, tiny next to the corpus.
+    # the estimation join); cache it AND materialize it now — inside a single
+    # downstream action the branches would race ahead of cache population
+    # and each recompute the shingle scan + k-min aggregation. At scale this
+    # is the table you'd checkpoint: |docs| rows x k longs, tiny next to the
+    # corpus.
     sig = minhash_signatures(df, k=k, n=n, id_col=id_col).cache()
+    sig.count()
     n_bands = k // band_rows
     band_structs = [
         F.struct(

@@ -128,3 +128,70 @@ def test_task_state_serde_roundtrip():
     trimmed = st.trim(2000)
     assert trimmed.window_start_ms == 2000 and trimmed.last_consumed_time is None
     assert st.trim(500) is st
+
+
+# ---- property tests (hypothesis) -------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(st.integers(min_value=0, max_value=(1 << 59) // 10 - 1))
+@settings(max_examples=200, deadline=None)
+def test_timeuuid_roundtrip_property(micros):
+    from scylla_cdc_java_spark.functions.timeuuid import make_timeuuid, timeuuid_micros
+
+    assert timeuuid_micros(make_timeuuid(micros)) == micros
+
+
+@given(st.integers(min_value=0, max_value=(1 << 22) - 1), st.integers(min_value=0, max_value=2**63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_streamid_vnode_roundtrip_property(vnode, index):
+    from scylla_cdc_java_spark.functions.streamid import (
+        make_stream_id,
+        vnode_from_stream_id,
+    )
+
+    sid = make_stream_id(vnode, index=index)
+    assert len(sid) == 16 and vnode_from_stream_id(sid) == vnode
+
+
+# upper bound: the 60-bit v1 timestamp field caps wall-clock at ~year 5236;
+# stay within it (same inherent limit as the reference's TimeUUID)
+@given(st.integers(min_value=0, max_value=10**13))
+@settings(max_examples=100, deadline=None)
+def test_window_bounds_cover_ms_property(ms):
+    """start_of_ms(ms) <= any uuid in ms < ... <= end_of_ms(ms), and windows
+    [a,b) / [b,c) never share a uuid (the 1 ms overlap fix)."""
+    from scylla_cdc_java_spark.functions.timeuuid import (
+        end_of_ms,
+        make_timeuuid,
+        start_of_ms,
+        timeuuid_micros,
+    )
+
+    lo, hi = start_of_ms(ms), end_of_ms(ms)
+    assert timeuuid_micros(lo) == ms * 1000
+    assert timeuuid_micros(hi) == (ms + 1) * 1000 - 1  # last tick of the ms
+    inside = make_timeuuid(ms * 1000 + 500)
+    assert lo.time <= inside.time <= hi.time
+    nxt = start_of_ms(ms + 1)
+    assert hi.time < nxt.time
+
+
+def test_format_change_printer():
+    from scylla_cdc_java_spark.functions.render import format_change
+
+    row = {
+        "cdc$stream_id": b"\x00" * 15 + b"\x31",
+        "cdc$time": "00000000-0000-1000-8080-808080808080",
+        "cdc$batch_seq_no": 0,
+        "cdc$operation": 2,
+        "pk": "a",
+        "ck": 1,
+        "v1": 42,
+    }
+    out = format_change(row, ["pk"], ["ck"])
+    assert out.splitlines()[0].startswith("[ROW_INSERT] stream=")
+    assert "PARTITION_KEY   pk = 'a'" in out
+    assert "CLUSTERING_KEY  ck = 1" in out
+    assert "REGULAR         v1 = 42" in out

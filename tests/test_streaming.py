@@ -352,3 +352,48 @@ def test_run_with_retries_replays_failed_batch(spark, tmp_path):
     assert calls["n"] >= 2
     state = sink.current_state(spark)
     _assert_state_matches(desc, state, dml)
+
+
+def test_streaming_latency_within_reference_bound(spark, tmp_path):
+    """BASELINE latency parity: with small windows (reference IT config uses
+    3 s/3 s) an event must be visible in the materialized state well within
+    the reference bound of queryWindow + confidenceWindow + trigger —
+    we assert a generous 30 s envelope (the IT convergence await)."""
+    import time as _time
+
+    from scylla_cdc_java_spark.streaming import CDCStreamConsumer
+    from scylla_cdc_java_spark.streaming.replicator import ReplicatorSink
+
+    desc = FIXTURE_TABLES["tbl_simple"]
+    rows = CdcLogGenerator(desc).encode(
+        [("insert", ("a",), (1,), {"v1": 7, "v2": "live"})]
+    )
+    schema = build_cdc_log_schema(desc)
+    src = str(tmp_path / "src")
+    sink = ReplicatorSink(desc, str(tmp_path / "state"), n_buckets=2)
+    consumer = (
+        CDCStreamConsumer(spark)
+        .with_source(src, schema)
+        .with_confidence_window_ms(1000)
+        .with_checkpoint(str(tmp_path / "ckpt"))
+        .with_trigger_interval("1 second")
+    )
+    # the source dir must exist before the stream starts
+    spark.createDataFrame([], schema).write.parquet(src)
+    query = consumer.start(sink)
+    try:
+        t0 = _time.time()
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        deadline = t0 + 30.0
+        seen = False
+        while _time.time() < deadline:
+            state = sink.current_state(spark)
+            if state is not None and state.where("pk = 'a' AND ck = 1").take(1):
+                seen = True
+                break
+            _time.sleep(0.5)
+        latency = _time.time() - t0
+        assert seen, "event not materialized within the 30 s reference bound"
+        assert latency < 30.0
+    finally:
+        CDCStreamConsumer.stop(query)
