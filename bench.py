@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "dedup_embedding_pairs",
     "ann_cosine_topk",
     "ann_ivf_topk",

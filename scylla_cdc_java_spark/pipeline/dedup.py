@@ -166,6 +166,62 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate *clusters*: connected components over a pair list,
+    labeling every document with the smallest doc id reachable through
+    near-duplicate edges (singletons label themselves). This is the step
+    that turns pairwise dedup output into keep-one-per-cluster decisions.
+
+    Implementation: iterative min-label propagation — each round joins the
+    label table to the (undirected) edge list, takes the min neighbor
+    label, and stops at fixpoint. Rounds = graph diameter; near-dup
+    components are short chains in practice. Each round localCheckpoints
+    to cut lineage (iterative DataFrame algorithms otherwise replan the
+    whole history). At 100 TB scale swap the loop body for the
+    large-star/small-star formulation — same join shape, O(log n) rounds.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = edges.localCheckpoint()
+
+    labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash over distinct tokens: bit j of the output is the sign
     of the sum over tokens of ±1 according to bit j of the token hash.

@@ -23,6 +23,7 @@ from .functions.timeuuid import GREGORIAN_OFFSET_100NS, timeuuid_micros_col
 from .operators.apply import apply_cdc_log, materialize_lww
 from .operators.normalize import normalize_changes
 from .pipeline.dedup import (
+    dedup_clusters,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -516,6 +517,48 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.25
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: connected components (iterative min-label
+    propagation) over the n-gram Jaccard pair list."""
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return dedup_clusters(docs, pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
@@ -945,6 +988,7 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD, "n-gram jaccard"),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_MINHASH, "minhash LSH"),
     "dedup_simhash": (q_dedup_simhash, ORACLE_SIMHASH, "simhash"),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS, "near-dup components"),
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_EMB_PAIRS, "embedding near-dups"),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN, "ANN brute-force top-k"),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF, "ANN IVF scale path"),

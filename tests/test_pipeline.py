@@ -113,3 +113,16 @@ def test_frame_sampling_bounds(spark):
     assert sorted(by[2]) == [0, 20, 40]
     assert sorted(by[5]) == [0]
     assert 5 in by and 2 in by
+
+
+def test_dedup_clusters_multihop_chain(spark):
+    """Connected components must propagate across multi-hop chains, not
+    just direct pairs."""
+    from scylla_cdc_java_spark.pipeline.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (7, 8)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
