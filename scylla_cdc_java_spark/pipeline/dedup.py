@@ -45,18 +45,40 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, n: int = 3, threshold: float = 0.2, id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard via inverted index.
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct word n-grams.
+
+    ``max_df`` is the skew guard for the self-join: shingles appearing in
+    more than ``max_df`` documents are dropped from the inverted index
+    before pairing (a shingle in d docs produces d² candidate rows — one
+    boilerplate shingle across 1% of a 100 TB corpus would dominate the
+    shuffle). Sizes are still computed over ALL shingles, so the estimate
+    only loses the capped shingles' intersection contribution — the
+    standard recall/cost trade; ``None`` keeps exact semantics.
     """
     # the shingle set feeds three plan branches (a-side, b-side, sizes);
     # cache it so the split/explode/md5 work runs once
     sh = shingles(df.select(id_col, "text"), n=n).cache()
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh_join = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        sh_join = sh
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    a = sh_join.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh_join.select(F.col(id_col).alias("doc_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))

@@ -98,6 +98,37 @@ class ReplicatorSink:
             spark, manifest, [int(b) for b in manifest["buckets"]]
         )
 
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Drop version directories no manifest among the newest
+        ``keep_versions`` references, plus superseded manifests. Returns the
+        removed paths. Run out-of-band (like Delta VACUUM) — never
+        concurrently with a writer."""
+        import shutil
+
+        versions = sorted(
+            int(f[len("manifest-") : -len(".json")])
+            for f in os.listdir(self.state_dir)
+            if f.startswith("manifest-") and f.endswith(".json")
+        )
+        if not versions:
+            return []
+        kept = versions[-keep_versions:]
+        live_dirs: set[str] = set()
+        for v in kept:
+            with open(os.path.join(self.state_dir, f"manifest-{v}.json")) as fh:
+                m = json.load(fh)
+            live_dirs.update(rel.split("/", 1)[0] for rel in m["buckets"].values())
+        removed = []
+        for entry in os.listdir(self.state_dir):
+            path = os.path.join(self.state_dir, entry)
+            if entry.startswith("v") and os.path.isdir(path) and entry not in live_dirs:
+                shutil.rmtree(path)
+                removed.append(path)
+            elif entry.startswith("manifest-") and int(entry[9:-5]) not in kept:
+                os.remove(path)
+                removed.append(path)
+        return removed
+
     # -- the sink body --------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):

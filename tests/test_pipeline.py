@@ -126,3 +126,16 @@ def test_dedup_clusters_multihop_chain(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
+
+
+def test_ngram_max_df_caps_hot_shingles(spark):
+    from scylla_cdc_java_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved by the site"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} words here {boiler}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.1).count()
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_df=3).count()
+    assert uncapped > 0 and capped == 0  # only boilerplate shingles joined them
