@@ -13,7 +13,13 @@ from .streamid import (
     vnode_from_stream_id,
     vnode_col,
 )
-from .render import format_cql_date, format_cql_duration
+from .cqltypes import (
+    descriptor_from_cql,
+    min_table_ttl_ms,
+    parse_cql_type,
+    validate_descriptor,
+)
+from .render import format_change, format_cql_date, format_cql_duration
 from .retry import ExponentialRetryBackoffWithJitter
 
 __all__ = [
@@ -28,7 +34,12 @@ __all__ = [
     "stream_id_hex_col",
     "vnode_from_stream_id",
     "vnode_col",
+    "format_change",
     "format_cql_date",
     "format_cql_duration",
+    "parse_cql_type",
+    "descriptor_from_cql",
+    "validate_descriptor",
+    "min_table_ttl_ms",
     "ExponentialRetryBackoffWithJitter",
 ]

@@ -195,3 +195,101 @@ def test_format_change_printer():
     assert "PARTITION_KEY   pk = 'a'" in out
     assert "CLUSTERING_KEY  ck = 1" in out
     assert "REGULAR         v1 = 42" in out
+
+
+# ---- CQL type compiler (F9) -------------------------------------------------
+
+
+def test_cql_scalar_mapping():
+    from pyspark.sql import types as T
+
+    from scylla_cdc_java_spark.functions.cqltypes import parse_cql_type
+
+    cases = {
+        "text": T.StringType(),
+        "BIGINT": T.LongType(),
+        "blob": T.BinaryType(),
+        "decimal": T.DecimalType(38, 18),
+        "varint": T.DecimalType(38, 0),
+        "smallint": T.ShortType(),
+        "tinyint": T.ByteType(),
+        "timeuuid": T.StringType(),
+        "time": T.LongType(),
+    }
+    for s, want in cases.items():
+        got, frozen = parse_cql_type(s)
+        assert got == want and frozen, s
+    dur, _ = parse_cql_type("duration")
+    assert [f.name for f in dur.fields] == ["months", "days", "nanoseconds"]
+
+
+def test_cql_nested_and_frozen():
+    from pyspark.sql import types as T
+
+    from scylla_cdc_java_spark.functions.cqltypes import parse_cql_type
+
+    t, frozen = parse_cql_type("map<int, frozen<list<text>>>")
+    assert t == T.MapType(T.IntegerType(), T.ArrayType(T.StringType()))
+    assert not frozen  # outer map is bare -> non-frozen
+    t2, frozen2 = parse_cql_type("frozen<map<int,text>>")
+    assert frozen2 and isinstance(t2, T.MapType)
+    tup, ftup = parse_cql_type("tuple<int, text, tuple<int,int>>")
+    assert ftup and [f.name for f in tup.fields] == ["_1", "_2", "_3"]
+    udt, fudt = parse_cql_type("addr", udts={"addr": {"street": "text", "zip": "int"}})
+    assert not fudt and [f.name for f in udt.fields] == ["street", "zip"]
+
+
+def test_descriptor_from_cql_and_log_schema():
+    from pyspark.sql import types as T
+
+    from scylla_cdc_java_spark.functions.cqltypes import (
+        descriptor_from_cql,
+        min_table_ttl_ms,
+        validate_descriptor,
+    )
+    from scylla_cdc_java_spark.model.schema import build_cdc_log_schema
+
+    desc = descriptor_from_cql(
+        "t",
+        {
+            "pk": "text",
+            "ck": "int",
+            "vals": "list<int>",
+            "tags": "set<text>",
+            "props": "map<int,text>",
+            "snap": "frozen<list<int>>",
+        },
+        ["pk"],
+        ["ck"],
+        ttl_seconds=86400,
+    )
+    validate_descriptor(desc)
+    assert desc.non_frozen_collections == ["vals", "tags", "props"]
+    assert desc.list_columns == ["vals"]
+    log = build_cdc_log_schema(desc)
+    # non-frozen list logged as map<timeuuid, elem>; frozen list stays array
+    assert log["vals"].dataType == T.MapType(T.StringType(), T.IntegerType())
+    assert log["snap"].dataType == T.ArrayType(T.IntegerType())
+    assert "cdc$deleted_elements_vals" in log.fieldNames()
+    assert "cdc$deleted_elements_snap" not in log.fieldNames()
+
+    other = descriptor_from_cql("u", {"pk": "int"}, ["pk"], ttl_seconds=3600)
+    assert min_table_ttl_ms([desc, other]) == 3600 * 1000
+    no_ttl = descriptor_from_cql("w", {"pk": "int"}, ["pk"])
+    assert min_table_ttl_ms([desc, no_ttl]) is None  # None-as-epoch-0 sentinel
+
+
+def test_validate_descriptor_rejects_bad_tables():
+    import pytest as _pytest
+
+    from scylla_cdc_java_spark.functions.cqltypes import (
+        descriptor_from_cql,
+        validate_descriptor,
+    )
+
+    with _pytest.raises(ValueError, match="partition key"):
+        validate_descriptor(descriptor_from_cql("t", {"a": "int"}, []))
+    with _pytest.raises(ValueError, match="not declared"):
+        validate_descriptor(descriptor_from_cql("t", {"a": "int"}, ["missing"]))
+    with _pytest.raises(ValueError, match="unsupported CQL type"):
+        descriptor_from_cql("t", {"a": "fancytype"}, ["a"])
