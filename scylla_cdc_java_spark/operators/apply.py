@@ -14,18 +14,20 @@ operations/ handler tree) as batch DataFrame operators:
 * ``apply_cdc_log`` — the full-fidelity kernel: cell-level CQL write
   semantics (insert/update/row-delete/partition-delete/range-delete,
   null-vs-unset via ``cdc$deleted_*``, non-frozen collection deltas,
-  pre/post-image modes). Implemented as ``applyInPandas`` over
-  *partition-key* groups: one shuffle on the partition key co-locates every
+  pre/post-image modes, TTL expiry). Implemented as ``applyInPandas`` over
+  *hash-bucket* groups of the partition key: one shuffle co-locates every
   change that can affect a CQL partition (row ops, partition deletes, range
-  bounds), then an ordered fold inside the Arrow batch applies them in
-  (cdc$time, batch_seq_no) order — the same per-stream total order the
-  reference relies on (WorkerTest.testWorkerConsumesSingleVNodeChangesInOrder).
+  bounds), then an ordered fold inside the Arrow batch applies each
+  partition's changes in (cdc$time, batch_seq_no) order — the same
+  per-stream total order the reference relies on
+  (WorkerTest.testWorkerConsumesSingleVNodeChangesInOrder).
 
-Scale posture: the kernel's only shuffle is ``groupBy(partition keys)`` —
-the minimum possible co-location requirement for CQL semantics. Skewed
+Scale posture: the kernel's only shuffle is the bucketed groupBy — the
+minimum co-location requirement for CQL semantics, with kernel-call count
+bounded by ``n_kernel_buckets`` instead of key cardinality. Skewed
 partitions degrade exactly like hot CQL partitions; AQE skew handling
-applies. Everything before the kernel (normalize, dedup, op-split) is
-native/codegen.
+applies. Everything before the kernel (normalize, op-split) is
+native/codegen; P2 dedup rides inside the fold.
 """
 
 from __future__ import annotations
@@ -137,6 +139,7 @@ def apply_cdc_log(
     dedup: bool = True,
     with_version_col: bool = False,
     as_of_micros: int | None = None,
+    n_kernel_buckets: int | None = 1024,
 ) -> DataFrame:
     """Apply a CDC change log to (optional) initial state → current state.
 
@@ -161,6 +164,15 @@ def apply_cdc_log(
     at ``as_of_micros`` are invisible in the output. ``None`` (default)
     skips expiry evaluation. Collection-element TTLs are not materialized
     (the delta representation would need per-element expiry tracking).
+
+    ``n_kernel_buckets``: the fold groups on ``hash(pk) % n`` rather than
+    the raw partition key, folding every CQL partition of a bucket in one
+    Arrow batch — kernel invocations (and task bookkeeping) stay bounded
+    at ``n`` instead of growing with key cardinality, while the shuffle
+    volume is identical and co-location still holds (a partition's rows
+    all hash to the same bucket). Size it so one bucket's changes fit an
+    executor comfortably; ``None`` groups by the raw key (one kernel call
+    per CQL partition — only sensible for few, huge partitions).
     """
     if mode not in ("delta", "postimage"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -239,7 +251,16 @@ def apply_cdc_log(
         dedup=dedup,
         as_of=as_of_micros,
     )
-    return changes.groupBy(*d["pk"]).applyInPandas(kernel, schema=out_schema)
+    if n_kernel_buckets is None:
+        return changes.groupBy(*d["pk"]).applyInPandas(kernel, schema=out_schema)
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in d["pk"]]), F.lit(n_kernel_buckets)
+    ).alias("__kbucket")
+    return (
+        changes.withColumn("__kbucket", bucket)
+        .groupBy("__kbucket")
+        .applyInPandas(kernel, schema=out_schema)
+    )
 
 
 def _make_fold_kernel(
@@ -275,8 +296,11 @@ def _make_fold_kernel(
         )
         cols = {c: pdf[c].to_numpy()[order] for c in pdf.columns}
         n_rows = len(order)
-        rows: dict[tuple, dict] = {}
-        pending_left: tuple | None = None  # (ck_bound, inclusive)
+        # one kernel call folds EVERY CQL partition of its hash bucket:
+        # state nests pk -> ck -> entry, range-delete pairing is keyed per
+        # pk (the reference keys its buffer per stream, RangeDeleteState)
+        rows: dict[tuple, dict[tuple, dict]] = {}
+        pending_left: dict[tuple, tuple] = {}  # pk -> (ck_bound, inclusive)
 
         def bound_ok(ck_t, bound, inclusive, is_left):
             for a, b in zip(ck_t, bound):
@@ -372,6 +396,7 @@ def _make_fold_kernel(
         seq_arr = cols["cdc$batch_seq_no"]
         ttl_arr = cols.get("cdc$ttl")
         sid_arr = cols.get("cdc$stream_id") if dedup else None
+        pk_arrs = [cols[c] for c in pk_cols]
         ck_arrs = [cols[c] for c in ck_cols]
         reg_arrs = {c: cols.get(c) for c in regular}
         del_arrs = {c: cols.get(f"cdc$deleted_{c}") for c in regular}
@@ -392,34 +417,42 @@ def _make_fold_kernel(
                         continue
                     run_seen.add(sid)
             op = int(op_arr[x])
+            pk_t = tuple(
+                iv(a[x]) if not isinstance(a[x], (bytes, bytearray)) else bytes(a[x])
+                for a in pk_arrs
+            )
             ck_t = tuple(iv(a[x]) for a in ck_arrs)
             if op == 4:  # partition delete
-                rows.clear()
-                pending_left = None
+                rows.pop(pk_t, None)
+                pending_left.pop(pk_t, None)
                 continue
             if op in (5, 6):
-                pending_left = (ck_t, op == 5)
+                pending_left[pk_t] = (ck_t, op == 5)
                 continue
             if op in (7, 8):
-                if pending_left is not None:
-                    lb, lincl = pending_left
+                pend = pending_left.pop(pk_t, None)
+                if pend is not None and pk_t in rows:
+                    lb, lincl = pend
                     rincl = op == 7
+                    part = rows[pk_t]
                     doomed = [
                         k
-                        for k in rows
+                        for k in part
                         if bound_ok(k, lb, lincl, True) and bound_ok(k, ck_t, rincl, False)
                     ]
                     for k in doomed:
-                        del rows[k]
-                    pending_left = None
+                        del part[k]
                 continue
             if op == 3:  # row delete
-                rows.pop(ck_t, None)
+                part = rows.get(pk_t)
+                if part is not None:
+                    part.pop(ck_t, None)
                 continue
             # writes: 1 update / 2 insert / 9 postimage
-            entry = rows.get(ck_t)
+            part = rows.setdefault(pk_t, {})
+            entry = part.get(ck_t)
             if entry is None:
-                entry = rows[ck_t] = {"marker": False, "cells": {}, "exp": {}}
+                entry = part[ck_t] = {"marker": False, "cells": {}, "exp": {}}
             entry["ver"] = int(time_arr[x])
             ttl_val = sv(ttl_arr[x]) if ttl_arr is not None else None
             exp_val = (
@@ -458,10 +491,11 @@ def _make_fold_kernel(
                     elif deleted:
                         entry["exp"].pop(col, None)
             if not entry["marker"] and not entry["cells"]:
-                del rows[ck_t]  # update that wrote only tombstones to a dead row
+                del part[ck_t]  # update that wrote only tombstones to a dead row
 
         out = []
-        for ck_t, entry in rows.items():
+        for pk_t, part in rows.items():
+          for ck_t, entry in part.items():
             cells, marker = entry["cells"], entry["marker"]
             if as_of is not None:
                 expmap = entry.get("exp", {})
@@ -476,8 +510,8 @@ def _make_fold_kernel(
             if not marker and not cells:
                 continue
             rec = {}
-            for c in pk_cols:
-                rec[c] = cols[c][0] if n_rows else None
+            for c, v in zip(pk_cols, pk_t):
+                rec[c] = v
             for c, v in zip(ck_cols, ck_t):
                 rec[c] = v
             if with_version:
