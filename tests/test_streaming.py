@@ -434,3 +434,115 @@ def test_replicator_vacuum_keeps_live_state(spark, tmp_path):
         _canon(tuple(r[n] for n in names)) for r in state.collect()
     )
     assert after == before_named
+
+
+def test_generation_directories_roll_over(spark, tmp_path):
+    """T6 in the file-source mapping: each generation is a
+    generation=<id> directory; new directories are picked up as their
+    files arrive and the generation id surfaces as a column."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    desc = FIXTURE_TABLES["tbl_simple"]
+    gen = CdcLogGenerator(desc)
+    rows = gen.encode(
+        [("insert", ("p%d" % i,), (i,), {"v1": i, "v2": "g"}) for i in range(6)]
+    )
+    schema = build_cdc_log_schema(desc)
+    src = str(tmp_path / "src")
+    for gid, chunk in [(1, rows[:3]), (2, rows[3:])]:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(
+            os.path.join(src, f"generation={gid}")
+        )
+        _time.sleep(1.1)
+
+    # partition discovery (with basePath) exposes the generation column
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", src)
+        .load(src)
+    )
+    counts = stream.groupBy("generation").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("gen_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["generation"]: r["n"] for r in spark.sql("select * from gen_counts").collect()}
+    assert got == {1: 3, 2: 3}
+
+
+def test_replicator_postimage_mode_stream(spark, tmp_path):
+    """K3 post-image mode end-to-end: op-9 full images applied as row
+    overwrites, deletes still honored."""
+    import copy
+
+    desc = FIXTURE_TABLES["tbl_simple"]
+    gen = CdcLogGenerator(desc)
+    rows = gen.encode(
+        [
+            ("insert", ("a",), (1,), {"v1": 1, "v2": "x"}),
+            ("update", ("a",), (1,), {"v1": 2}),
+            ("insert", ("a",), (2,), {"v1": 9, "v2": "z"}),
+            ("row_delete", ("a",), (2,)),
+        ]
+    )
+    # synthesize the post-image for each delta write (full row at that time)
+    snapshots = {1: {"v1": None, "v2": None}}
+    images = []
+    for r in rows:
+        if r["cdc$operation"] == 2 and r["ck"] == 1:
+            snapshots[1] = {"v1": r["v1"], "v2": r["v2"]}
+        elif r["cdc$operation"] == 1:
+            for c in ("v1", "v2"):
+                if r[c] is not None:
+                    snapshots[1][c] = r[c]
+        elif r["cdc$operation"] == 2 and r["ck"] == 2:
+            pass
+        if r["cdc$operation"] in (1, 2):
+            img = copy.deepcopy(r)
+            img["cdc$operation"] = 9
+            img["cdc$batch_seq_no"] = r["cdc$batch_seq_no"] + 1
+            if img["ck"] == 1:
+                img.update(snapshots[1])
+            images.append(img)
+    schema = build_cdc_log_schema(desc)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows + images, schema).coalesce(1).write.parquet(src)
+    state = replicate_available_now(
+        spark, src, schema, desc, str(tmp_path / "work"), mode="postimage", n_buckets=2
+    )
+    got = {r["ck"]: r for r in state.collect()}
+    assert set(got) == {1}
+    assert got[1]["v1"] == 2 and got[1]["v2"] == "x"
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+@pytest.mark.parametrize("table", ["tbl_multiple_clustering_keys", "tbl_lists"])
+def test_replicator_multibatch_extra_seeds(spark, table, seed, tmp_path):
+    """Extra fuzz seeds over the trickiest schemas (multi-ck range deletes,
+    list timeuuid order) through the full streaming path."""
+    desc = FIXTURE_TABLES[table]
+    rng = random.Random(seed)
+    dml = _rand_dml(desc, rng, n=70)
+    rows = CdcLogGenerator(desc).encode(dml)
+    src = str(tmp_path / "src")
+    _write_chunks(spark, build_cdc_log_schema(desc), rows, src, 3, rng, replay_frac=0.2)
+    state = replicate_available_now(
+        spark,
+        src,
+        build_cdc_log_schema(desc),
+        desc,
+        str(tmp_path / "work"),
+        n_buckets=4,
+        max_files_per_trigger=1,
+    )
+    _assert_state_matches(desc, state, dml)
