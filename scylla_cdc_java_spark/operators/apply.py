@@ -278,7 +278,8 @@ def _make_fold_kernel(
     GREGORIAN = 0x01B21DD213814000
     pk_cols, ck_cols, regular, kinds = d["pk"], d["ck"], d["regular"], d["kinds"]
     udt_fields = d["udt_fields"]
-    postimage = mode == "postimage"
+    # mode-dependent op filtering happens before the kernel; op 9 rows are
+    # always applied as full-row images here (real post-images or seeds)
 
     def timeuuid_key(u: str):
         import uuid as _uuid

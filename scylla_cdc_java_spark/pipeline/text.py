@@ -11,7 +11,7 @@ double arithmetic only, so results are bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword inventories for the n-gram/stopword heuristic.
@@ -79,6 +79,55 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical document fingerprint: md5 of lower/trim/space-collapsed text."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), " +", " ")))
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def vocabulary(
+    df: DataFrame, top_k: int = 100, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by total occurrence count.
+
+    One explode + one partial-aggregatable groupBy; the top-k is a single
+    driver-side limit over the (tiny) aggregated table — at 100 TB the
+    aggregate output is |vocab|, not |corpus|. Deterministic tie-break on
+    the token string.
+    """
+    toks = df.select(F.explode(tokens_col(text_col)).alias("token"))
+    counts = (
+        toks.where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token"))
+        .limit(top_k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("token"))),
+        )
+        .select("rank", "token", "n")
+    )
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent id
+    hash — the standard leakage-safe dataset split: stable across runs,
+    engines and partitionings (portable md5-based hash, no RNG state).
+    """
+    from .dedup import h31
+
+    bucket = h31(F.col(id_col).cast("string")) % F.lit(100)
+    split = (
+        F.when(bucket < val_pct, F.lit("val"))
+        .when(bucket < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
 
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text", out: str = "shingle") -> DataFrame:

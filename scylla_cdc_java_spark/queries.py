@@ -37,7 +37,14 @@ from .pipeline.similarity import (
     quantized_dot,
     quantized_pairs_gemm,
 )
-from .pipeline.text import add_fingerprint, add_langid, add_quality, add_token_stats
+from .pipeline.text import (
+    add_fingerprint,
+    add_langid,
+    add_quality,
+    add_token_stats,
+    assign_splits,
+    vocabulary,
+)
 from .sources.events_cdc import USER_STATE_DESC, events_as_cdc, stream_id_expr
 from .sources.tables import load_table
 
@@ -905,6 +912,43 @@ FROM events WHERE user_id < 50 GROUP BY user_id
 """
 
 
+def q_text_vocab(spark, sf_dir):
+    """Corpus vocabulary: top-100 tokens by count (deterministic ties)."""
+    return vocabulary(_docs(spark, sf_dir), top_k=100)
+
+
+ORACLE_VOCAB = """
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank, token, n
+FROM (
+  SELECT token, count(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> '' GROUP BY token
+)
+ORDER BY n DESC, token LIMIT 100
+"""
+
+
+def q_text_split_assign(spark, sf_dir):
+    """Deterministic leakage-safe train/val/test split by id hash."""
+    d = assign_splits(_docs(spark, sf_dir), val_pct=5, test_pct=5)
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+
+
+ORACLE_SPLIT = """
+SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc FROM (
+  SELECT doc_id,
+         CASE WHEN b < 5 THEN 'val' WHEN b < 10 THEN 'test' ELSE 'train' END AS split
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2147483647 % 100 AS b
+    FROM documents
+  )
+) GROUP BY split
+"""
+
+
 # --------------------------------------------------------------------------
 # Relational anchors (scan/agg/join efficiency at bench scale)
 # --------------------------------------------------------------------------
@@ -1003,6 +1047,8 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "text_quality": (q_text_quality, ORACLE_QUALITY, "quality scoring"),
     "text_langid": (q_text_langid, ORACLE_LANGID, "language id"),
     "text_fingerprint": (q_text_fingerprint, ORACLE_FINGERPRINT, "fingerprinting"),
+    "text_vocab": (q_text_vocab, ORACLE_VOCAB, "vocabulary top-k"),
+    "text_split_assign": (q_text_split_assign, ORACLE_SPLIT, "train/val/test split"),
     "agg_lineitem_pushdown": (q_agg_lineitem_pushdown, ORACLE_AGG_LINEITEM, "scan+agg anchor"),
     "join_broadcast_revenue": (q_join_broadcast_revenue, ORACLE_JOIN_REVENUE, "broadcast join anchor"),
 }
