@@ -188,6 +188,29 @@ def minhash_lsh_pairs(
     )
 
 
+def stream_exact_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup of a (streaming) document feed by content hash.
+
+    Works on batch and streaming DataFrames alike. On a stream with an
+    event-time column the state is watermark-bounded
+    (``dropDuplicatesWithinWatermark``): a duplicate arriving within the
+    watermark is dropped, one arriving later is the caller's documented
+    loss/dup bound — the same trade the CDC confidence window makes (T2/T8).
+    Without an event time, plain ``dropDuplicates`` keeps O(|unique|) state:
+    fine for availableNow backfills, not for unbounded feeds.
+    """
+    out = df.withColumn("content_hash", F.md5(F.col(content_col)))
+    if event_time_col is not None:
+        out = out.withWatermark(f"`{event_time_col}`", watermark)
+        return out.dropDuplicatesWithinWatermark(["content_hash"])
+    return out.dropDuplicates(["content_hash"])
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

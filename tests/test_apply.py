@@ -13,6 +13,7 @@ import random
 
 import pytest
 
+from scylla_cdc_java_spark.model.schema import build_cdc_log_schema
 from scylla_cdc_java_spark.operators import apply_cdc_log
 from scylla_cdc_java_spark.testing import CdcLogGenerator, FIXTURE_TABLES, replay_dml
 
@@ -318,3 +319,43 @@ def test_reconfigure_workers_diff():
     t = lambda v: TaskId("ks", "t", 100, v)  # noqa: E731
     to_delete, to_start = reconfigure_workers([t(0), t(1), t(2)], [t(1), t(2), t(5)])
     assert to_delete == (t(0),) and to_start == (t(5),)
+
+
+def test_apply_per_key_grouping_fallback(spark):
+    """n_kernel_buckets=None groups by the raw partition key — must agree
+    with the bucketed default."""
+    desc = FIXTURE_TABLES["tbl_simple"]
+    gen = CdcLogGenerator(desc)
+    dml = [
+        ("insert", ("a",), (1,), {"v1": 1, "v2": "x"}),
+        ("insert", ("b",), (2,), {"v1": 2, "v2": "y"}),
+        ("row_delete", ("a",), (1,)),
+        ("insert", ("a",), (3,), {"v1": 3, "v2": "z"}),
+    ]
+    df = gen.spark_df(spark, dml, shuffle=True, duplicate_frac=0.3)
+    bucketed = sorted(
+        _canon(tuple(r)) for r in apply_cdc_log(df, desc).collect()
+    )
+    per_key = sorted(
+        _canon(tuple(r))
+        for r in apply_cdc_log(df, desc, n_kernel_buckets=None).collect()
+    )
+    assert bucketed == per_key and len(bucketed) == 2
+
+
+def test_resume_filter_cursor(spark):
+    """P2 resume: only changes strictly after the saved cursor survive."""
+    from scylla_cdc_java_spark.model.state import TaskState
+    from scylla_cdc_java_spark.operators.dedup import resume_filter
+
+    desc = FIXTURE_TABLES["tbl_simple"]
+    gen = CdcLogGenerator(desc)
+    dml = [("insert", ("a",), (i,), {"v1": i, "v2": "s"}) for i in range(10)]
+    rows = gen.encode(dml)
+    df = spark.createDataFrame(rows, build_cdc_log_schema(desc))
+    cursor_uuid = rows[4]["cdc$time"]
+    st = TaskState(0, 10**15, "00" * 16, cursor_uuid)
+    kept = resume_filter(df, st).select("ck").collect()
+    assert sorted(r["ck"] for r in kept) == [5, 6, 7, 8, 9]
+    no_cursor = TaskState(0, 10**15)
+    assert resume_filter(df, no_cursor).count() == 10

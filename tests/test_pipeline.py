@@ -139,3 +139,32 @@ def test_ngram_max_df_caps_hot_shingles(spark):
     uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.1).count()
     capped = ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_df=3).count()
     assert uncapped > 0 and capped == 0  # only boilerplate shingles joined them
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup drops redelivered/duplicate documents."""
+    import os
+
+    from scylla_cdc_java_spark.pipeline.dedup import stream_exact_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows1 = [(1, "alpha beta"), (2, "gamma")]
+    rows2 = [(3, "alpha beta"), (4, "delta"), (5, "gamma")]  # 3,5 are dups
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("docs_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    texts = sorted(r["text"] for r in spark.sql("select text from docs_dedup").collect())
+    assert texts == ["alpha beta", "delta", "gamma"]
