@@ -15,5 +15,9 @@ from .consumer import (  # noqa: F401
     tumbling_window_counts,
     with_confidence_window,
 )
-from .pairing import pair_postimages_stream, pair_range_deletes_stream  # noqa: F401
+from .pairing import (  # noqa: F401
+    pair_postimages_stream,
+    pair_range_deletes_stream,
+    pair_range_deletes_tws,
+)
 from .replicator import ReplicatorSink, replicate_available_now  # noqa: F401

@@ -546,3 +546,46 @@ def test_replicator_multibatch_extra_seeds(spark, table, seed, tmp_path):
         max_files_per_trigger=1,
     )
     _assert_state_matches(desc, state, dml)
+
+
+def test_range_delete_pairing_tws_across_batches(spark, tmp_path):
+    """J1 on transformWithStateInPandas: identical cross-batch semantics
+    to the applyInPandasWithState variant. Needs google.protobuf (the TWS
+    state protocol) — skipped where unavailable."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import os
+    import time as _time
+
+    from scylla_cdc_java_spark.streaming import pair_range_deletes_tws
+
+    desc = FIXTURE_TABLES["tbl_multiple_clustering_keys"]
+    dml = [
+        ("insert", ("p",), (0, 0), {"v": 1}),
+        ("range_delete", ("p",), ((0, 0), True), ((1, None), False)),
+    ]
+    rows = CdcLogGenerator(desc).encode(dml)
+    schema = build_cdc_log_schema(desc)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # left bound in file 1, right bound in file 2
+    for chunk in ([rows[0], rows[1]], [rows[2]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    stream = spark.readStream.schema(schema).format("parquet").option(
+        "maxFilesPerTrigger", 1
+    ).load(src)
+    paired = pair_range_deletes_tws(stream, desc)
+    q = (
+        paired.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("paired_tws")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r["pk"], r["left_ck1"], r["left_ck2"], r["right_ck1"], r["right_ck2"])
+        for r in spark.sql("select * from paired_tws").collect()
+    ]
+    assert got == [("p", 0, 0, 1, None)]
