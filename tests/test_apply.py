@@ -359,3 +359,27 @@ def test_resume_filter_cursor(spark):
     assert sorted(r["ck"] for r in kept) == [5, 6, 7, 8, 9]
     no_cursor = TaskState(0, 10**15)
     assert resume_filter(df, no_cursor).count() == 10
+
+
+def test_range_delete_unbounded_both_sides(spark):
+    """Range delete with no ck bound on either side clears existing rows of
+    the partition (eq-prefix walk with empty prefix) but, unlike a
+    partition delete, is itself just a ranged tombstone."""
+    dml = [
+        ("insert", ("p",), (1, 1), {"v": 1}),
+        ("insert", ("p",), (2, 2), {"v": 2}),
+        ("insert", ("q",), (1, 1), {"v": 3}),
+        ("range_delete", ("p",), ((None, None), True), ((None, None), True)),
+        ("insert", ("p",), (3, 3), {"v": 4}),
+    ]
+    rows = run_diff(spark, "tbl_multiple_clustering_keys", dml)
+    keys = sorted((r["pk"], r["ck1"]) for r in rows)
+    assert keys == [("p", 3), ("q", 1)]
+
+
+def test_apply_empty_input(spark):
+    from scylla_cdc_java_spark.model.schema import build_cdc_log_schema
+
+    desc = FIXTURE_TABLES["tbl_simple"]
+    df = spark.createDataFrame([], build_cdc_log_schema(desc))
+    assert apply_cdc_log(df, desc).collect() == []
