@@ -1,0 +1,63 @@
+"""Physical-plan regression guards.
+
+Locks in the plan shapes PLANS.md documents: predicate pushdown reaching
+the scan, broadcast joins staying broadcast, and the apply kernel keeping
+its single-shuffle shape. A refactor that silently degrades one of these
+(e.g. a cast blocking pushdown again) fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scylla_cdc_java_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    fn, _, _ = QUERIES[name]
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return fn(spark, SF)._jdf.queryExecution().explainString(mode)
+
+
+def test_s1_time_range_is_pushed(spark):
+    plan = _plan(spark, "s1_window_scan")
+    assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan, (
+        "ts range must reach PushedFilters via the raw nanos column"
+    )
+    assert plan.count("Exchange") == 0  # pure scan+filter+project
+
+
+def test_lineitem_agg_pushdown_and_partial_agg(spark):
+    plan = _plan(spark, "agg_lineitem_pushdown")
+    assert "LessThanOrEqual(l_shipdate," in plan
+    # partial (map-side) + final aggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "l_comment" not in plan  # column pruning reached the scan
+
+
+def test_revenue_join_stays_broadcast(spark):
+    plan = _plan(spark, "join_broadcast_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "lineitem side must never shuffle for this join"
+
+
+def test_apply_kernel_single_shuffle(spark):
+    plan = _plan(spark, "r1_apply_delta")
+    # one exchange feeding the fold; formatted mode lists it once per section
+    assert plan.count("Exchange") <= 2, "apply must not regain a dedup shuffle"
+    assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan
+
+
+def test_ivf_broadcasts_probes(spark):
+    plan = _plan(spark, "ann_ivf_topk")
+    assert "BroadcastHashJoin" in plan, "query probes must broadcast, not shuffle the corpus"
+
+
+@pytest.mark.parametrize("name", ["text_fingerprint", "text_quality", "text_langid"])
+def test_text_ops_stay_native(spark, name):
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "text ops must remain JVM-side expressions"
+    )
