@@ -111,12 +111,16 @@ def minhash_signatures(
     columns ``mh_0..mh_{k-1}`` = min over the doc's shingles of
     ``(2i+1) * h31(shingle) + 7919 i  mod  2^31-1``.
 
-    All k permutations aggregate in ONE pass over the shingle set (k
+    All k permutations aggregate in ONE pass over the shingle stream (k
     parallel ``min`` aggregates with map-side partial aggregation) — no
-    per-permutation explode, no k-fold shuffle blowup. At 100 TB this is
-    one shuffle of |doc x distinct-shingle| rows, each carrying one long.
+    per-permutation explode, no k-fold shuffle blowup, and no distinct
+    pre-shuffle (min is duplicate-insensitive, so repeated shingles cannot
+    change the signature). At 100 TB this is ONE shuffle of the partially
+    aggregated per-doc rows.
     """
-    sh = shingles(df.select(id_col, "text"), n=n).withColumn("h", h31(F.col("shingle")))
+    sh = shingles(df.select(id_col, "text"), n=n, distinct=False).withColumn(
+        "h", h31(F.col("shingle"))
+    )
     aggs = [
         F.min(
             ((F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i)) % F.lit(MERSENNE31))

@@ -130,14 +130,25 @@ def assign_splits(
     return df.withColumn("split", split)
 
 
-def shingles(df: DataFrame, n: int = 3, text_col: str = "text", out: str = "shingle") -> DataFrame:
-    """Word n-gram shingles, exploded to one row per (doc, distinct shingle).
+def shingles(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    out: str = "shingle",
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles, exploded to one row per (doc, shingle).
 
     Native: split + sequence + transform + explode — no UDF.
+    ``distinct=True`` dedups per (doc, shingle) — REQUIRED for set-semantic
+    consumers (Jaccard) but it costs a full shuffle; duplicate-insensitive
+    consumers (min-aggregation in MinHash) should pass ``distinct=False``
+    and skip it.
     """
     toks = tokens_col(text_col)
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
         lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
     )
-    return df.withColumn(out, F.explode(sh)).drop(text_col).dropDuplicates(["doc_id", out])
+    exploded = df.withColumn(out, F.explode(sh)).drop(text_col)
+    return exploded.dropDuplicates(["doc_id", out]) if distinct else exploded
