@@ -589,3 +589,32 @@ def test_range_delete_pairing_tws_across_batches(spark, tmp_path):
         for r in spark.sql("select * from paired_tws").collect()
     ]
     assert got == [("p", 0, 0, 1, None)]
+
+
+def test_replicator_bucket_removed_when_emptied(spark, tmp_path):
+    """A batch that deletes every row of a bucket must drop the bucket's
+    manifest pointer (not leave a stale file reference)."""
+    from scylla_cdc_java_spark.streaming.replicator import ReplicatorSink
+
+    desc = FIXTURE_TABLES["tbl_simple"]
+    gen = CdcLogGenerator(desc)
+    # encode() returns (and keeps appending to) its internal row list —
+    # snapshot the insert rows before encoding the delete
+    ins = [dict(r) for r in gen.encode([("insert", ("solo",), (1,), {"v1": 1, "v2": "x"})])]
+    schema = build_cdc_log_schema(desc)
+    src1 = str(tmp_path / "src")
+    _write_chunks(spark, schema, ins, src1, 1, random.Random(0))
+    work = str(tmp_path / "work")
+    state = replicate_available_now(spark, src1, schema, desc, work, n_buckets=2)
+    assert state.count() == 1
+
+    # second wave deletes the only row
+    dels = gen.encode([("row_delete", ("solo",), (1,))])[len(ins):]
+    _write_chunks(spark, schema, dels, src1, 1, random.Random(1))
+    state2 = replicate_available_now(spark, src1, schema, desc, work, n_buckets=2)
+    assert state2.count() == 0
+
+    sink = ReplicatorSink(desc, str(tmp_path / "work" / "state"), n_buckets=2)
+    manifest = sink._latest_manifest()
+    assert manifest["buckets"] == {}  # pointer dropped, not stale
+    assert sink.current_state(spark) is None or sink.current_state(spark).count() == 0
