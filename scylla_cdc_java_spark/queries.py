@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 
 from .functions.streamid import vnode_col
 from .functions.timeuuid import GREGORIAN_OFFSET_100NS, timeuuid_micros_col
-from .operators.apply import apply_cdc_log, materialize_lww
+from .operators.apply import apply_cdc_log, materialize_lww, pair_range_deletes
 from .operators.normalize import normalize_changes
+from .operators.preimage import preimage_report
 from .pipeline.dedup import (
     dedup_clusters,
     exact_dedup_groups,
@@ -45,7 +46,13 @@ from .pipeline.text import (
     assign_splits,
     vocabulary,
 )
-from .sources.events_cdc import USER_STATE_DESC, events_as_cdc, stream_id_expr
+from .sources.events_cdc import (
+    KV_STATE_DESC,
+    USER_STATE_DESC,
+    events_as_cdc,
+    events_as_cdc_ops,
+    stream_id_expr,
+)
 from .sources.tables import load_table
 
 
@@ -836,13 +843,15 @@ def q_j3_preimage_verify(spark, sf_dir):
         F.count(F.lit(1)).alias("n_checked"),
         F.sum(
             F.when(F.col("prior_value") > F.col("value"), F.lit(1)).otherwise(F.lit(0))
-        ).alias("n_mismatch"),
+        )
+        .cast("long")
+        .alias("n_mismatch"),
     )
 
 
 ORACLE_J3 = """
 SELECT user_id, count(*) AS n_checked,
-       sum(CASE WHEN prior_value > value THEN 1 ELSE 0 END) AS n_mismatch
+       CAST(sum(CASE WHEN prior_value > value THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
 FROM (
   SELECT user_id, event_type, value,
          lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prior_value
@@ -1008,6 +1017,184 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# Real op-code coverage: events_as_cdc_ops feeds the apply kernel every CDC
+# operation 0-9; the oracles replay the same semantics in SQL (survival =
+# latest write per (grp, user_id) with no later covering tombstone), the
+# window/anti-join shape of the reference's golden-test verification
+# (ReplicatorCorrectnessTestIT.java:319-348).
+# --------------------------------------------------------------------------
+
+_OPS_EV_CTE = """
+ev AS (
+  SELECT event_id, user_id,
+         user_id % 40 AS grp,
+         1600000000000000 + event_id * 1000 AS t,
+         event_id % 24 AS m,
+         COALESCE(value, 0.0) AS v,
+         COALESCE(props, 'p' || CAST(user_id % 7 AS VARCHAR)) AS p,
+         user_id - 40 * (event_id % 5 + 1) AS lo,
+         user_id + 40 * (event_id % 3 + 1) AS hi
+  FROM events
+)"""
+
+_OPS_KILL_PART = (
+    "AND NOT EXISTS (SELECT 1 FROM ev d WHERE d.m = 0"
+    " AND d.grp = w.grp AND d.t > w.t)"
+)
+_OPS_KILL_ROW = (
+    "AND NOT EXISTS (SELECT 1 FROM ev d WHERE d.m = 3"
+    " AND d.grp = w.grp AND d.user_id = w.user_id AND d.t > w.t)"
+)
+_OPS_KILL_RANGE = (
+    "AND NOT EXISTS (SELECT 1 FROM ev d WHERE d.m = 1 AND d.grp = w.grp"
+    " AND d.t > w.t AND w.user_id BETWEEN d.lo AND d.hi)"
+    " AND NOT EXISTS (SELECT 1 FROM ev d WHERE d.m = 2 AND d.grp = w.grp"
+    " AND d.t > w.t AND w.user_id > d.lo AND w.user_id < d.hi)"
+)
+
+
+def _ops_replay_sql(write_pred: str, kills: tuple) -> str:
+    body = "SELECT w.grp, w.user_id, w.v AS value, w.p AS props FROM lastw w"
+    return f"""
+WITH {_OPS_EV_CTE},
+writes AS (SELECT grp, user_id, t, v, p FROM ev WHERE {write_pred}),
+lastw AS (
+  SELECT grp, user_id, t, v, p FROM (
+    SELECT grp, user_id, t, v, p,
+           row_number() OVER (PARTITION BY grp, user_id ORDER BY t DESC) AS rn
+    FROM writes) s WHERE rn = 1
+)
+{body}
+WHERE 1=1 {' '.join(kills)}
+"""
+
+
+def q_r5_partition_delete(spark, sf_dir):
+    """R5: real op-4 partition deletes through the apply kernel — every row
+    of a CQL partition written before the tombstone dies; later writes
+    resurrect (RowDeleteOperationHandler/partitionDelete dispatch)."""
+    cdc = events_as_cdc_ops(
+        spark, sf_dir, events=_events(spark, sf_dir), include=("write", "partition")
+    )
+    return apply_cdc_log(cdc, KV_STATE_DESC, mode="delta", n_kernel_buckets=64)
+
+
+ORACLE_R5 = _ops_replay_sql("m >= 6", (_OPS_KILL_PART,))
+
+
+def q_r6_range_delete(spark, sf_dir):
+    """R6: real op-5..8 range-delete bound pairs through the kernel —
+    inclusive and exclusive clustering bounds kill covered rows written
+    before the tombstone (RangeDeleteState pairing + bound comparison)."""
+    cdc = events_as_cdc_ops(
+        spark, sf_dir, events=_events(spark, sf_dir), include=("write", "range")
+    )
+    return apply_cdc_log(cdc, KV_STATE_DESC, mode="delta", n_kernel_buckets=64)
+
+
+ORACLE_R6 = _ops_replay_sql("m >= 6", (_OPS_KILL_RANGE,))
+
+
+def q_r9_delta_full_mix(spark, sf_dir):
+    """R9 + full delta mix: all op codes 0-9 in one log; delta mode must
+    apply ops 1-8 and ignore the image rows (ReplicatorConsumer PRE_IMAGE/
+    POST_IMAGE no-op filter) — the oracle replays writes+tombstones only."""
+    cdc = events_as_cdc_ops(spark, sf_dir, events=_events(spark, sf_dir))
+    return apply_cdc_log(cdc, KV_STATE_DESC, mode="delta", n_kernel_buckets=64)
+
+
+ORACLE_R9 = _ops_replay_sql(
+    "m >= 6", (_OPS_KILL_PART, _OPS_KILL_ROW, _OPS_KILL_RANGE)
+)
+
+
+def q_r8_postimage_apply(spark, sf_dir):
+    """R8: post-image mode — op-9 rows are the only writes (full-row
+    images), tombstones still apply (PostImageOperationHandler)."""
+    cdc = events_as_cdc_ops(spark, sf_dir, events=_events(spark, sf_dir))
+    return apply_cdc_log(cdc, KV_STATE_DESC, mode="postimage", n_kernel_buckets=64)
+
+
+ORACLE_R8 = _ops_replay_sql(
+    "m = 4", (_OPS_KILL_PART, _OPS_KILL_ROW, _OPS_KILL_RANGE)
+)
+
+
+def q_j1_bound_pairing_ops(spark, sf_dir):
+    """J1 on real bound rows: pair op-5/6 left bounds with op-7/8 right
+    bounds per stream in (time, seq) order (RangeDeleteState.java:8-38)."""
+    cdc = events_as_cdc_ops(
+        spark, sf_dir, events=_events(spark, sf_dir), include=("range",)
+    )
+    paired = pair_range_deletes(cdc, KV_STATE_DESC)
+    return paired.select(
+        "grp",
+        "delete_time_micros",
+        F.col("left_inclusive").cast("int").alias("left_inclusive"),
+        F.col("right_inclusive").cast("int").alias("right_inclusive"),
+        "left_user_id",
+        "right_user_id",
+    )
+
+
+ORACLE_J1_OPS = """
+SELECT user_id % 40 AS grp,
+       1600000000000000 + event_id * 1000 AS delete_time_micros,
+       CAST(CASE WHEN event_id % 24 = 1 THEN 1 ELSE 0 END AS INT) AS left_inclusive,
+       CAST(CASE WHEN event_id % 24 = 1 THEN 1 ELSE 0 END AS INT) AS right_inclusive,
+       user_id - 40 * (event_id % 5 + 1) AS left_user_id,
+       user_id + 40 * (event_id % 3 + 1) AS right_user_id
+FROM events WHERE event_id % 24 IN (1, 2)
+"""
+
+
+def q_j3_preimage_report(spark, sf_dir):
+    """J3/R7 on real op-0 rows: ``preimage_report`` checks every pre-image
+    cell-wise against the materialized state (PreImageOperationHandler
+    checkPreimage:72-113); here the state is the full delta replay, so a
+    mismatch means later writes changed the cell."""
+    cdc = events_as_cdc_ops(spark, sf_dir, events=_events(spark, sf_dir))
+    state = apply_cdc_log(cdc, KV_STATE_DESC, mode="delta", n_kernel_buckets=64)
+    rep = preimage_report(cdc, state, KV_STATE_DESC)
+    return rep.select(
+        "grp",
+        "user_id",
+        F.col("cdc$time_micros").alias("t_micros"),
+        F.col("row_missing").cast("int").alias("row_missing"),
+        "n_checked",
+        "n_mismatch",
+        F.array_join("mismatched_cols", ",").alias("bad_cols"),
+    )
+
+
+ORACLE_J3_REPORT = f"""
+WITH {_OPS_EV_CTE},
+writes AS (SELECT grp, user_id, t, v, p FROM ev WHERE m >= 6),
+lastw AS (
+  SELECT grp, user_id, t, v, p FROM (
+    SELECT grp, user_id, t, v, p,
+           row_number() OVER (PARTITION BY grp, user_id ORDER BY t DESC) AS rn
+    FROM writes) s WHERE rn = 1
+),
+state AS (
+  SELECT w.grp, w.user_id, w.v AS value, w.p AS props FROM lastw w
+  WHERE 1=1 {_OPS_KILL_PART} {_OPS_KILL_ROW} {_OPS_KILL_RANGE}
+)
+SELECT pr.grp, pr.user_id, pr.t AS t_micros,
+       CAST(CASE WHEN st.user_id IS NULL THEN 1 ELSE 0 END AS INT) AS row_missing,
+       CAST(2 AS INT) AS n_checked,
+       CAST(CASE WHEN st.user_id IS NULL THEN 2 ELSE
+            (CASE WHEN pr.v <> st.value THEN 1 ELSE 0 END)
+          + (CASE WHEN pr.p <> st.props THEN 1 ELSE 0 END) END AS INT) AS n_mismatch,
+       concat_ws(',',
+         CASE WHEN st.user_id IS NULL OR pr.v <> st.value THEN 'value' END,
+         CASE WHEN st.user_id IS NULL OR pr.p <> st.props THEN 'props' END) AS bad_cols
+FROM (SELECT grp, user_id, t, v, p FROM ev WHERE m = 5) pr
+LEFT JOIN state st ON pr.grp = st.grp AND pr.user_id = st.user_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "s1_window_scan": (q_s1_window_scan, ORACLE_S1, "S1/P1 windowed stream scan"),
     "s4_ordered_stream_read": (q_s4_ordered_stream_read, ORACLE_S4, "S4/O1 per-stream order"),
@@ -1028,6 +1215,12 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "r1_apply_lww_fast": (q_r1_apply_lww_fast, ORACLE_R1, "R1 fast LWW path"),
     "r3_set_delta": (q_r3_set_delta, ORACLE_R3, "R3 collection delta"),
     "r4_row_delete_effect": (q_r4_row_delete_effect, ORACLE_R4, "R4 row tombstones"),
+    "r5_partition_delete": (q_r5_partition_delete, ORACLE_R5, "R5 op-4 partition deletes"),
+    "r6_range_delete": (q_r6_range_delete, ORACLE_R6, "R6 op-5..8 range deletes"),
+    "r9_delta_full_mix": (q_r9_delta_full_mix, ORACLE_R9, "R9 image no-op + full op mix"),
+    "r8_postimage_apply": (q_r8_postimage_apply, ORACLE_R8, "R8 op-9 post-image apply"),
+    "j1_bound_pairing_ops": (q_j1_bound_pairing_ops, ORACLE_J1_OPS, "J1 real bound pairing"),
+    "j3_preimage_report": (q_j3_preimage_report, ORACLE_J3_REPORT, "J3 op-0 preimage_report"),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT, "exact dedup"),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD, "n-gram jaccard"),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_MINHASH, "minhash LSH"),

@@ -56,6 +56,137 @@ def stream_id_expr(user_col: str = "user_id", n_vnodes: int = 16):
     return F.unhex(F.lpad(F.hex(lower), 32, "0"))
 
 
+KV_STATE_DESC = CdcTableDescriptor(
+    name="kv_state",
+    base_schema=T.StructType(
+        [
+            T.StructField("grp", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    partition_keys=["grp"],
+    clustering_keys=["user_id"],
+)
+
+# Deterministic op-code assignment for events_as_cdc_ops: m = event_id % 24.
+# 0 -> PARTITION_DELETE(4); 1 -> inclusive RANGE_DELETE bounds (5,7);
+# 2 -> exclusive RANGE_DELETE bounds (6,8); 3 -> ROW_DELETE(3);
+# 4 -> POST_IMAGE(9); 5 -> PRE_IMAGE(0); 6-14 -> ROW_INSERT(2);
+# 15-23 -> ROW_UPDATE(1). Mirrored verbatim by the DuckDB replay oracles in
+# queries.py (ORACLE_R5/R6/...), so the full op-code surface of the apply
+# kernel sits under the driver's correctness gate — the Spark analog of the
+# reference's golden test (ReplicatorCorrectnessTestIT.java:193-252).
+_OPS_MOD = 24
+
+
+def events_as_cdc_ops(
+    spark: SparkSession,
+    sf_dir: str,
+    events: DataFrame | None = None,
+    n_groups: int = 40,
+    n_vnodes: int = 16,
+    include: tuple = ("write", "partition", "row", "range", "image"),
+) -> DataFrame:
+    """The ``events`` table as a CDC log over a virtual ``kv_state`` table
+    (pk ``grp = user_id % n_groups``, ck ``user_id``) exercising every
+    CDC operation code 0-9 deterministically.
+
+    ``include`` selects which statement kinds appear in the log (writes =
+    ops 1/2, partition deletes = 4, row deletes = 3, range-delete bound
+    pairs = 5-8, images = 0/9); range deletes emit their two bound rows as
+    a batch sharing ``cdc$time`` with ``cdc$batch_seq_no`` 0/1, exactly the
+    log layout the reference reads (RangeDeleteState.java:8-38).
+    All expressions are native so the adapter stays in codegen.
+    """
+    ev = events if events is not None else load_table(spark, sf_dir, "events")
+    m = F.pmod(F.col("event_id"), F.lit(_OPS_MOD))
+    base = ev.select(
+        m.alias("m"),
+        F.pmod(F.col("user_id"), F.lit(n_groups)).alias("grp"),
+        F.col("user_id"),
+        (F.lit(1_600_000_000_000_000) + F.col("event_id") * F.lit(1000)).alias("t"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("v"),
+        F.coalesce(
+            F.col("props"),
+            F.concat(F.lit("p"), F.pmod(F.col("user_id"), F.lit(7)).cast("string")),
+        ).alias("p"),
+        (
+            F.col("user_id")
+            - F.lit(n_groups) * (F.pmod(F.col("event_id"), F.lit(5)) + 1)
+        ).alias("lo"),
+        (
+            F.col("user_id")
+            + F.lit(n_groups) * (F.pmod(F.col("event_id"), F.lit(3)) + 1)
+        ).alias("hi"),
+    )
+
+    def envelope(df, op, seq, eob, ck, val, prp):
+        return df.select(
+            stream_id_expr("grp", n_vnodes).alias("cdc$stream_id"),
+            F.timestamp_micros(F.col("t")).alias("cdc$time_ts"),
+            F.col("t").alias("cdc$time_micros"),
+            F.lit(seq).cast("int").alias("cdc$batch_seq_no"),
+            op.cast("byte").alias("cdc$operation"),
+            F.lit(eob).alias("cdc$end_of_batch"),
+            F.lit(None).cast("long").alias("cdc$ttl"),
+            F.col("grp"),
+            ck.cast("long").alias("user_id"),
+            val.cast("double").alias("value"),
+            prp.cast("string").alias("props"),
+        )
+
+    singles_pred = F.lit(False)
+    if "write" in include:
+        singles_pred = singles_pred | (F.col("m") >= 6)
+    if "partition" in include:
+        singles_pred = singles_pred | (F.col("m") == 0)
+    if "row" in include:
+        singles_pred = singles_pred | (F.col("m") == 3)
+    if "image" in include:
+        singles_pred = singles_pred | F.col("m").isin(4, 5)
+    singles = envelope(
+        base.where(singles_pred),
+        F.when(F.col("m") == 0, F.lit(4))
+        .when(F.col("m") == 3, F.lit(3))
+        .when(F.col("m") == 4, F.lit(9))
+        .when(F.col("m") == 5, F.lit(0))
+        .when(F.col("m") >= 15, F.lit(1))
+        .otherwise(F.lit(2)),
+        seq=0,
+        eob=True,
+        ck=F.when(F.col("m") == 0, F.lit(None)).otherwise(F.col("user_id")),
+        val=F.when(F.col("m") >= 4, F.col("v")),
+        prp=F.when(F.col("m") >= 4, F.col("p")),
+    )
+    out = singles
+    if "range" in include:
+        rng = base.where(F.col("m").isin(1, 2))
+        null_d = F.lit(None).cast("double")
+        null_s = F.lit(None).cast("string")
+        left = envelope(
+            rng,
+            F.when(F.col("m") == 1, F.lit(5)).otherwise(F.lit(6)),
+            seq=0,
+            eob=False,
+            ck=F.col("lo"),
+            val=null_d,
+            prp=null_s,
+        )
+        right = envelope(
+            rng,
+            F.when(F.col("m") == 1, F.lit(7)).otherwise(F.lit(8)),
+            seq=1,
+            eob=True,
+            ck=F.col("hi"),
+            val=null_d,
+            prp=null_s,
+        )
+        out = out.unionByName(left).unionByName(right)
+    return out
+
+
 def events_as_cdc(
     spark: SparkSession, sf_dir: str, n_vnodes: int = 16, events: DataFrame | None = None
 ) -> DataFrame:
