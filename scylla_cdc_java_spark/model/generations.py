@@ -106,8 +106,23 @@ def group_streams_to_tasks(
     }
 
 
-def all_tasks_consumed_until(states: dict[TaskId, TaskState], until_ms: int) -> bool:
-    """A3 barrier: every task's window has moved strictly past ``until``."""
+def all_tasks_consumed_until(
+    states: dict[TaskId, TaskState],
+    until_ms: int,
+    expected: "set[TaskId] | None" = None,
+) -> bool:
+    """A3 barrier: every task's window has moved strictly past ``until``.
+
+    When ``expected`` is given, a task with no persisted state counts as
+    NOT consumed (reference InMemoryStateStore.areTasksFullyConsumedUntil
+    iterates the generation's task ids); without it, an empty state map is
+    conservatively not-consumed — never vacuously true on a fresh restart."""
+    if expected is not None:
+        return all(
+            t in states and states[t].has_passed(until_ms) for t in expected
+        )
+    if not states:
+        return False
     return all(s.has_passed(until_ms) for s in states.values())
 
 
@@ -160,7 +175,14 @@ class TableCDCController:
         min_ttl_ms: int | None = None,
     ) -> "MasterDecision":
         cat = self._catalogs.get((keyspace, table), GenerationCatalog([]))
-        return run_master_step(cat, current_start_ms, task_states, now_ms, min_ttl_ms)
+        expected = None
+        if current_start_ms is not None:
+            gen = cat.generation_at(current_start_ms)
+            if gen is not None:
+                expected = set(group_streams_to_tasks(keyspace, table, gen))
+        return run_master_step(
+            cat, current_start_ms, task_states, now_ms, min_ttl_ms, expected_tasks=expected
+        )
 
     def added_tasks(
         self,
@@ -188,6 +210,7 @@ def run_master_step(
     task_states: dict[TaskId, TaskState],
     now_ms: int,
     min_ttl_ms: int | None = None,
+    expected_tasks: "set[TaskId] | None" = None,
 ) -> MasterDecision:
     """T6: one iteration of the reference master loop.
 
@@ -208,7 +231,7 @@ def run_master_step(
         return MasterDecision("steady", generation=gen)
 
     expired = GenerationCatalog.ttl_expired(gen, now_ms, min_ttl_ms)
-    consumed = all_tasks_consumed_until(task_states, gen.end_ms)
+    consumed = all_tasks_consumed_until(task_states, gen.end_ms, expected_tasks)
     if expired or consumed:
         nxt = catalog.smallest_after(gen.start_ms)
         return MasterDecision("rollover", generation=gen, next_generation=nxt)

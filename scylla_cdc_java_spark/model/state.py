@@ -58,17 +58,15 @@ class TaskState:
         """T1: advance to [end, end + size), clearing the in-window cursor."""
         return TaskState(self.window_end_ms, self.window_end_ms + window_size_ms)
 
-    def trim(self, min_start_ms: int) -> "TaskState":
-        """P5 TTL trim: fast-forward a cursor that points before ``min_start_ms``."""
-        if self.window_start_ms >= min_start_ms:
+    def trim(self, min_start_ms: int, window_size_ms: int = 0) -> "TaskState":
+        """P5 TTL trim, matching the reference's ``trimTaskState``
+        (scylla-cdc-base TaskState handling): a window is left untouched
+        unless it ended entirely before ``min_start_ms``; a fully-expired
+        window resets to ``[min_start, min_start + window_size_ms)`` with
+        the in-window cursor cleared."""
+        if self.window_end_ms >= min_start_ms:
             return self
-        return replace(
-            self,
-            window_start_ms=min_start_ms,
-            window_end_ms=max(self.window_end_ms, min_start_ms),
-            last_consumed_stream_hex=None,
-            last_consumed_time=None,
-        )
+        return TaskState(min_start_ms, min_start_ms + window_size_ms)
 
     def last_consumed_micros(self) -> int | None:
         if self.last_consumed_time is None:

@@ -146,9 +146,15 @@ def shingles(
     and skip it.
     """
     toks = tokens_col(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
-    )
+    # Guard short documents: sequence(0, size-n) steps DOWNWARD when
+    # size < n (negative slice indices abort the job); a doc with fewer
+    # than n tokens has no n-shingles, so emit none and explode drops it.
+    sh = F.when(
+        F.size(toks) >= F.lit(n),
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     exploded = df.withColumn(out, F.explode(sh)).drop(text_col)
     return exploded.dropDuplicates(["doc_id", out]) if distinct else exploded

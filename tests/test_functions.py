@@ -125,9 +125,14 @@ def test_task_state_serde_roundtrip():
     assert st.move_to_next_window(3000) == TaskState(4000, 7000)
     assert not st.has_passed(1000)
     assert st.has_passed(999)
-    trimmed = st.trim(2000)
-    assert trimmed.window_start_ms == 2000 and trimmed.last_consumed_time is None
+    # reference trimTaskState: partially-overlapping windows stay untouched;
+    # only a window that ended entirely before the minimum is reset, and it
+    # re-spans window_size_ms from the minimum.
+    assert st.trim(2000) is st
     assert st.trim(500) is st
+    reset = st.trim(5000, window_size_ms=3000)
+    assert reset == TaskState(5000, 8000)
+    assert reset.last_consumed_time is None
 
 
 # ---- property tests (hypothesis) -------------------------------------------

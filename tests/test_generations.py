@@ -88,6 +88,21 @@ def test_barrier_predicate():
     assert not all_tasks_consumed_until(states, 200)
     states[b] = TaskState(window_start_ms=201, window_end_ms=231)
     assert all_tasks_consumed_until(states, 200)
+    # a task id the generation expects but no worker has persisted counts
+    # as NOT consumed (reference areTasksFullyConsumedUntil); an empty
+    # state map is never vacuously consumed on a fresh restart.
+    c = TaskId("ks", "t", 1, 2)
+    assert not all_tasks_consumed_until(states, 200, expected={a, b, c})
+    assert all_tasks_consumed_until(states, 200, expected={a, b})
+    assert not all_tasks_consumed_until({}, 200)
+
+
+def test_master_step_fresh_restart_not_vacuously_consumed():
+    """A closed generation with no persisted task states must NOT roll
+    over before any worker has consumed it (fresh-restart race)."""
+    cat = GenerationCatalog([_gen(100, 200), _gen(200, None)])
+    d = run_master_step(cat, 100, {}, now_ms=10**9)
+    assert d.action == "wait_consumed"
 
 
 def test_catalog_from_dataframe(spark):

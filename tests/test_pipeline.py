@@ -141,6 +141,25 @@ def test_ngram_max_df_caps_hot_shingles(spark):
     assert uncapped > 0 and capped == 0  # only boilerplate shingles joined them
 
 
+def test_shingles_short_documents(spark):
+    """Docs with fewer than n tokens must yield zero shingles, not a
+    descending-sequence crash (negative slice indices abort the job)."""
+    from scylla_cdc_java_spark.pipeline.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from scylla_cdc_java_spark.pipeline.text import shingles
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "now three tokens"),
+         (5, "four tokens right here"), (6, "four tokens right here")],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, n=3)
+    got = {r["doc_id"] for r in sh.select("doc_id").distinct().collect()}
+    assert got == {4, 5, 6}  # short docs silently contribute nothing
+    # consumers survive a corpus containing short/empty docs end-to-end
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.9).count() == 1
+    assert minhash_lsh_pairs(docs, n=3).count() >= 1
+
+
 def test_stream_exact_dedup(spark, tmp_path):
     """Streaming exact dedup drops redelivered/duplicate documents."""
     import os
