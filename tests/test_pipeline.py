@@ -128,6 +128,20 @@ def test_dedup_clusters_multihop_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 7, 8: 7, 9: 9}
 
 
+def test_dedup_clusters_deep_chain_logarithmic(spark):
+    """A 300-node chain has diameter 300: min-label propagation would need
+    300 rounds, large-star/small-star must converge within max_iter=20."""
+    from scylla_cdc_java_spark.pipeline.dedup import dedup_clusters
+
+    n = 300
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = dedup_clusters(docs, pairs, max_iter=20).collect()
+    assert all(r["cluster_id"] == 0 for r in got) and len(got) == n
+
+
 def test_ngram_max_df_caps_hot_shingles(spark):
     from scylla_cdc_java_spark.pipeline.dedup import ngram_jaccard_pairs
 
