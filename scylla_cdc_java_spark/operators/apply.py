@@ -131,6 +131,85 @@ def _plain_desc(desc: CdcTableDescriptor) -> dict:
     }
 
 
+def _apply_scalar_native(
+    changes: DataFrame, d: dict, with_version: bool, out_cols: list[str]
+) -> DataFrame:
+    """Fully-native cell-granularity LWW apply for scalar-only tables.
+
+    The reference's prepared-statement writes are per-cell last-writer-wins
+    with tombstone shadowing (PreparedUpdateOperationHandler.java:19-66,
+    ``USING TIMESTAMP``); for tables with no non-frozen collections that
+    fold is expressible as ONE duplicate-insensitive aggregation:
+
+    * per (pk, ck): latest tombstone ``(t, seq)`` (row delete; partition
+      delete too when the table has no clustering keys), latest marker
+      write (insert/post-image), and per column the latest *written* state
+      (a value or an explicit ``cdc$deleted_*`` tombstone; op-9 images
+      write every column);
+    * a cell is live iff its last write is newer than the tombstone and
+      carried a value; the row is emitted iff the marker or any cell is
+      live.
+
+    Because every aggregate is max/max_by, at-least-once redelivery (P2)
+    deduplicates for free, partial aggregation runs map-side, and the one
+    shuffle on the key is the whole plan — no Python, no per-row fold.
+    Tables WITH clustering keys additionally fold op-4 partition deletes
+    in via a per-pk max joined back on pk (broadcast-sized: one row per
+    partition that saw a partition delete). Range deletes (ops 5-8) are
+    NOT handled here — callers route logs that may contain them through
+    the fold kernel.
+    """
+    pk, ck, regular = d["pk"], d["ck"], d["regular"]
+    key = [*pk, *ck]
+    opI = F.col(_OP).cast("int")
+    ord_struct = F.struct(
+        F.col(TIME_MICROS).alias("t"), F.col(_SEQ).cast("int").alias("s")
+    )
+    neg = F.struct(
+        F.lit(-(2**63)).cast("long").alias("t"), F.lit(0).cast("int").alias("s")
+    )
+    is_write = opI.isin(1, 2, 9)
+    is_marker = opI.isin(2, 9)
+    is_rowdel = opI == 3 if ck else opI.isin(3, 4)
+
+    aggs = [
+        F.max(F.when(is_rowdel, ord_struct)).alias("__del"),
+        F.max(F.when(is_marker, ord_struct)).alias("__marker"),
+        F.max(F.when(is_write, F.col(TIME_MICROS))).alias("__ver"),
+    ]
+    for c in regular:
+        darr = F.col(f"cdc$deleted_{c}") if f"cdc$deleted_{c}" in changes.columns else F.lit(None)
+        written = is_write & (
+            F.col(c).isNotNull() | F.coalesce(darr, F.lit(False)) | (opI == 9)
+        )
+        aggs.append(F.max(F.when(written, ord_struct)).alias(f"__w_{c}"))
+        aggs.append(F.max_by(F.col(c), F.when(written, ord_struct)).alias(f"__v_{c}"))
+    grouped = changes.groupBy(*key).agg(*aggs)
+
+    if ck:
+        pdel = (
+            changes.where(opI == 4)
+            .groupBy(*pk)
+            .agg(F.max(ord_struct).alias("__pdel"))
+        )
+        grouped = grouped.join(pdel, pk, "left")
+        del_eff = F.coalesce(F.greatest(F.col("__del"), F.col("__pdel")), neg)
+    else:
+        del_eff = F.coalesce(F.col("__del"), neg)
+
+    vals = {c: F.when(F.col(f"__w_{c}") > del_eff, F.col(f"__v_{c}")) for c in regular}
+    marker_alive = F.coalesce(F.col("__marker") > del_eff, F.lit(False))
+    any_cell = F.lit(False)
+    for c in regular:
+        any_cell = any_cell | vals[c].isNotNull()
+    sel = [*key]
+    if with_version:
+        sel.append(F.col("__ver").alias(TIME_MICROS))
+    sel += [vals[c].alias(c) for c in regular]
+    out = grouped.where(marker_alive | any_cell).select(*sel)
+    return out.select(*out_cols)
+
+
 def apply_cdc_log(
     changes: DataFrame,
     desc: CdcTableDescriptor,
@@ -140,6 +219,7 @@ def apply_cdc_log(
     with_version_col: bool = False,
     as_of_micros: int | None = None,
     n_kernel_buckets: int | None = 1024,
+    native: bool | None = None,
 ) -> DataFrame:
     """Apply a CDC change log to (optional) initial state → current state.
 
@@ -173,6 +253,13 @@ def apply_cdc_log(
     all hash to the same bucket). Size it so one bucket's changes fit an
     executor comfortably; ``None`` groups by the raw key (one kernel call
     per CQL partition — only sensible for few, huge partitions).
+
+    ``native``: route scalar-only tables through the fully-native
+    cell-LWW aggregation (``_apply_scalar_native``) instead of the Python
+    fold. ``None`` (default) auto-enables it when the table also has no
+    clustering keys (range deletes impossible); ``True`` forces it for
+    ck-tables whose log is known to hold no range-delete bounds;
+    ``False`` always uses the fold kernel.
     """
     if mode not in ("delta", "postimage"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -243,6 +330,24 @@ def apply_cdc_log(
         out_schema = T.StructType(
             [*out_schema.fields, T.StructField(TIME_MICROS, T.LongType())]
         )
+
+    # Native fast path: scalar-only tables skip the Python fold entirely.
+    # Auto-enabled for clustering-key-less tables (ops 5-8 cannot exist
+    # there, and op 3/4 coincide) when TTL visibility isn't requested;
+    # callers that KNOW their log holds no range-delete bounds can force
+    # ``native=True`` for ck-tables too (partition deletes still handled).
+    scalar_only = all(k == "scalar" for k in d["kinds"].values())
+    if native is None:
+        native = scalar_only and not d["ck"] and as_of_micros is None
+    if native:
+        if not scalar_only:
+            raise ValueError("native apply requires a scalar-only (frozen) table")
+        if as_of_micros is not None:
+            raise ValueError("native apply does not evaluate TTL expiry")
+        return _apply_scalar_native(
+            changes, d, with_version_col, [f.name for f in out_schema.fields]
+        )
+
     kernel = _make_fold_kernel(
         d,
         mode,

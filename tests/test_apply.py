@@ -281,6 +281,98 @@ def test_fuzz_differential(spark, table):
     run_diff(spark, table, dml)
 
 
+def _scalar_dml(rng, desc, n=150, partition_frac=0.08):
+    """Random scalar-only DML: inserts/updates (values, explicit nulls,
+    unset), row deletes, partition deletes — no range deletes."""
+    from pyspark.sql import types as T
+
+    pks = [("p%d" % i,) for i in range(4)]
+    n_ck = len(desc.clustering_keys)
+    dml = []
+    for _ in range(n):
+        roll = rng.random()
+        pk = rng.choice(pks)
+        ck = tuple(rng.randrange(0, 5) for _ in range(n_ck))
+        cells = {}
+        for c in desc.regular_columns:
+            if rng.random() < 0.75:
+                if isinstance(desc.base_field(c).dataType, T.IntegerType):
+                    cells[c] = rng.choice([None, rng.randrange(1000)])
+                else:
+                    cells[c] = rng.choice([None, "val%d" % rng.randrange(50)])
+        if roll < 0.45:
+            dml.append(("insert", pk, ck, cells))
+        elif roll < 0.75 and cells:
+            dml.append(("update", pk, ck, cells))
+        elif roll < 1 - partition_frac:
+            dml.append(("row_delete", pk, ck))
+        else:
+            dml.append(("partition_delete", pk))
+    return dml
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_native_scalar_apply_ckless_fuzz(spark, seed):
+    """The native cell-LWW path (auto-selected for clustering-key-less
+    scalar tables) must match the pure-Python replay oracle AND the fold
+    kernel under shuffled, duplicated delivery."""
+    from pyspark.sql import types as T
+
+    from scylla_cdc_java_spark.model.schema import CdcTableDescriptor
+    from scylla_cdc_java_spark.testing.generator import CdcLogGenerator
+
+    desc = CdcTableDescriptor(
+        name="tbl_flat",
+        base_schema=T.StructType(
+            [
+                T.StructField("pk", T.StringType()),
+                T.StructField("v1", T.IntegerType()),
+                T.StructField("v2", T.StringType()),
+            ]
+        ),
+        partition_keys=["pk"],
+        clustering_keys=[],
+    )
+    rng = random.Random(seed)
+    dml = _scalar_dml(rng, desc)
+    df = CdcLogGenerator(desc, seed=seed).spark_df(
+        spark, dml, shuffle=True, duplicate_frac=0.25
+    )
+    native = apply_cdc_log(df, desc, mode="delta")  # auto-native (no ck)
+    assert "FlatMapGroupsInPandas" not in native._jdf.queryExecution().executedPlan().toString()
+    kernel = apply_cdc_log(df, desc, mode="delta", native=False)
+    want = replay_dml(desc, dml)
+    names = [f.name for f in desc.base_schema.fields]
+    canon = lambda rows: sorted(_canon(tuple(r[n] for n in names)) for r in rows)  # noqa: E731
+    got_n, got_k, want_c = canon(native.collect()), canon(kernel.collect()), canon(want)
+    assert got_n == want_c and got_k == want_c
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_native_scalar_apply_with_ck_fuzz(spark, seed):
+    """Forced native path on a clustering-key table (no range deletes in
+    the log): partition deletes fold in via the per-pk join."""
+    desc = FIXTURE_TABLES["tbl_simple"]
+    rng = random.Random(seed)
+    dml = _scalar_dml(rng, desc, partition_frac=0.15)
+    df = CdcLogGenerator(desc, seed=seed).spark_df(
+        spark, dml, shuffle=True, duplicate_frac=0.25
+    )
+    native = apply_cdc_log(df, desc, mode="delta", native=True)
+    want = replay_dml(desc, dml)
+    names = [f.name for f in desc.base_schema.fields]
+    canon = lambda rows: sorted(_canon(tuple(r[n] for n in names)) for r in rows)  # noqa: E731
+    assert canon(native.collect()) == canon(want)
+
+
+def test_native_rejects_collection_tables(spark):
+    desc = FIXTURE_TABLES["tbl_sets"]
+    gen = CdcLogGenerator(desc)
+    df = gen.spark_df(spark, [("insert", ("a",), (1,), {"v": {"overwrite": [1]}})])
+    with pytest.raises(ValueError, match="scalar-only"):
+        apply_cdc_log(df, desc, native=True)
+
+
 def test_ttl_expiry_scalar_cells_and_marker(spark):
     """cdc$ttl visibility: cells and row markers expire at write+ttl when
     the materialization is evaluated as-of a point in time."""

@@ -43,11 +43,24 @@ def test_revenue_join_stays_broadcast(spark):
     assert "SortMergeJoin" not in plan, "lineitem side must never shuffle for this join"
 
 
-def test_apply_kernel_single_shuffle(spark):
+def test_apply_scalar_native_no_python(spark):
+    """r1 (scalar, ck-less table) must take the native cell-LWW path:
+    one aggregation exchange, zero Python/Arrow eval nodes."""
     plan = _plan(spark, "r1_apply_delta")
-    # one exchange feeding the fold; formatted mode lists it once per section
     assert plan.count("Exchange") <= 2, "apply must not regain a dedup shuffle"
+    for node in ("FlatMapGroupsInPandas", "FlatMapGroupsInArrow", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, f"native apply path regressed to {node}"
+    # string-valued max_by buffers aggregate via SortAggregate; either way
+    # it is one JVM aggregation with a map-side partial phase
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_apply_kernel_single_shuffle(spark):
+    """Collection/ck tables keep the single-shuffle fold-kernel shape."""
+    plan = _plan(spark, "r9_delta_full_mix")
     assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan
+    # exchanges: one for the kernel bucket groupBy (+ AQE bookkeeping)
+    assert plan.count("Exchange") <= 2, "kernel must keep its single co-location shuffle"
 
 
 def test_ivf_broadcasts_probes(spark):
