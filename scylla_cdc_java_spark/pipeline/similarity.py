@@ -81,44 +81,84 @@ def quantized_pairs_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    n_shards: int = 8,
 ) -> DataFrame:
-    """All-pairs similarity above ``threshold`` via blocked integer GEMM.
+    """All-pairs similarity above ``threshold`` via *sharded* blocked
+    integer GEMM — nothing is collected on the driver.
 
-    The corpus's quantized matrix is collected once (the broadcast side —
-    at 2k x 64 this is a few hundred KB; beyond broadcast size, shard the
-    matrix and union the per-shard outputs) and each partition computes a
-    ``block x corpus`` int64 matrix product in numpy — hundreds of times
-    faster than per-pair array expressions, and exactly the same integers.
-    Emits (vec_a, vec_b, dot_q) with vec_a < vec_b.
+    The corpus is hash-sharded into ``n_shards`` groups; every unordered
+    shard pair ``(i, j)`` with ``i <= j`` becomes one task whose rows are
+    co-located by a single shuffle (each vector is replicated to the
+    ``n_shards + 1`` blocks it participates in), and the task computes the
+    ``|shard| x |shard|`` int64 matrix product in numpy — the same exact
+    integers as per-pair expressions, hundreds of times faster. Task
+    memory is bounded by two shards, never the corpus, so the operator
+    scales by raising ``n_shards`` (communication O(n * n_shards), compute
+    O(n^2 d / p) spread over ``n_shards^2 / 2`` tasks). Emits
+    ``(vec_a, vec_b, dot_q)`` with ``vec_a < vec_b``, each pair exactly
+    once (off-diagonal blocks see the pair in one role split; diagonal
+    blocks enforce the id order). For near-dup mining at extreme scale
+    prefer LSH bucketing (``lsh_bucketed_topk``/MinHash banding) to prune
+    candidates first and keep GEMM for intra-bucket scoring.
     """
-    import numpy as np
-
-    q = emb.select(F.col(id_col).alias("vid"), quantize_embedding(vec_col, scale).alias("qv"))
-    rows = q.collect()
-    ids = np.array([r["vid"] for r in rows], dtype=np.int64)
-    mat = np.array([r["qv"] for r in rows], dtype=np.int64)
     thr = int(threshold)
+    q = emb.select(
+        F.col(id_col).alias("vid"), quantize_embedding(vec_col, scale).alias("qv")
+    ).withColumn("shard", F.pmod(F.xxhash64(F.col("vid")), F.lit(n_shards)))
+    # A-role in blocks (s, j) for j >= s; B-role in blocks (i, s) for i < s
+    a_blocks = F.transform(
+        F.sequence(F.col("shard"), F.lit(n_shards - 1)),
+        lambda j: F.struct(
+            F.col("shard").alias("bi"), j.alias("bj"), F.lit(0).alias("role")
+        ),
+    )
+    b_blocks = F.when(
+        F.col("shard") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("shard") - 1),
+            lambda i: F.struct(
+                i.alias("bi"), F.col("shard").alias("bj"), F.lit(1).alias("role")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bi:long,bj:long,role:int>>"))
+    exploded = q.select(
+        "vid", "qv", F.explode(F.concat(a_blocks, b_blocks)).alias("blk")
+    ).select("vid", "qv", F.col("blk.bi"), F.col("blk.bj"), F.col("blk.role"))
 
-    def kernel(batches):
+    def kernel(pdf):
         import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            block_ids = pdf["vid"].to_numpy(dtype=np.int64)
-            block = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
-            dots = block @ mat.T
-            bi, cj = np.nonzero((dots >= thr) & (block_ids[:, None] < ids[None, :]))
-            yield pd.DataFrame(
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "dot_q": []}, dtype="int64")
+        a = pdf[pdf["role"] == 0]
+        diagonal = bool((pdf["bi"] == pdf["bj"]).iloc[0])
+        b = a if diagonal else pdf[pdf["role"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        a_ids = a["vid"].to_numpy(dtype=np.int64)
+        b_ids = b["vid"].to_numpy(dtype=np.int64)
+        a_mat = np.stack([np.asarray(v, dtype=np.int64) for v in a["qv"]])
+        b_mat = np.stack([np.asarray(v, dtype=np.int64) for v in b["qv"]])
+        dots = a_mat @ b_mat.T
+        ai, bj = np.nonzero((dots >= thr) & (a_ids[:, None] < b_ids[None, :]))
+        if not diagonal:
+            # ids of disjoint shards are unordered: also keep a > b hits,
+            # canonicalized below — each unordered pair appears once
+            ai2, bj2 = np.nonzero((dots >= thr) & (a_ids[:, None] > b_ids[None, :]))
+            return pd.DataFrame(
                 {
-                    "vec_a": block_ids[bi],
-                    "vec_b": ids[cj],
-                    "dot_q": dots[bi, cj],
+                    "vec_a": np.concatenate([a_ids[ai], b_ids[bj2]]),
+                    "vec_b": np.concatenate([b_ids[bj], a_ids[ai2]]),
+                    "dot_q": np.concatenate([dots[ai, bj], dots[ai2, bj2]]),
                 }
             )
+        return pd.DataFrame(
+            {"vec_a": a_ids[ai], "vec_b": b_ids[bj], "dot_q": dots[ai, bj]}
+        )
 
-    return q.mapInPandas(kernel, schema="vec_a long, vec_b long, dot_q long")
+    return exploded.groupBy("bi", "bj").applyInPandas(
+        kernel, schema="vec_a long, vec_b long, dot_q long"
+    )
 
 
 def ivf_topk(

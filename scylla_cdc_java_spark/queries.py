@@ -752,6 +752,43 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM ranked WHERE
 """
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (hyperplane signs): the documented
+    scale path for similarity search — candidates restricted to the
+    query's bucket, corpus shuffles once on the bucket key. Basis-vector
+    planes keep the bucket bits bit-stable across engines (pure sign
+    inspection of stored floats, no float arithmetic)."""
+    from .pipeline.similarity import lsh_bucketed_topk
+
+    dim, nbits = 64, 4
+    planes = [[1.0 if i == j else 0.0 for i in range(dim)] for j in range(nbits)]
+    emb = _emb(spark, sf_dir)
+    return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 5), planes, k=3)
+
+
+ORACLE_ANN_LSH = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv,
+           (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(qq.qv, c.qv) AS BIGINT) AS dot_q
+  FROM q qq JOIN q c ON c.bucket = qq.bucket AND qq.vec_id < 5 AND c.vec_id <> qq.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM ranked WHERE rank <= 3
+"""
+
+
 def q_mm_feature_extract(spark, sf_dir):
     """Multimodal: binary payload → typed features via Arrow mapInPandas
     (decode stubbed deterministically; see pipeline.multimodal)."""
@@ -1229,6 +1266,7 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_EMB_PAIRS, "embedding near-dups"),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN, "ANN brute-force top-k"),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF, "ANN IVF scale path"),
+    "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH, "ANN LSH-bucketed scale path"),
     "mm_feature_extract": (q_mm_feature_extract, ORACLE_MM_FEATURES, "multimodal features"),
     "mm_frame_sample": (q_mm_frame_sample, ORACLE_MM_FRAMES, "video frame sampling"),
     "k3_stream_replicate": (q_k3_stream_replicate, ORACLE_R1, "K3 streaming replicator"),

@@ -115,6 +115,37 @@ def test_frame_sampling_bounds(spark):
     assert 5 in by and 2 in by
 
 
+def test_sharded_gemm_pairs_exactly_once(spark, emb_df):
+    """The sharded block GEMM must emit every qualifying unordered pair
+    exactly once (diagonal + off-diagonal blocks), matching a brute-force
+    per-pair computation, for shard counts spanning the corpus size."""
+    from scylla_cdc_java_spark.pipeline.similarity import (
+        quantize_embedding,
+        quantized_dot,
+        quantized_pairs_gemm,
+    )
+
+    q = emb_df.select("vec_id", quantize_embedding("embedding").alias("qv"))
+    a = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"))
+    b = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"))
+    want = sorted(
+        (r["vec_a"], r["vec_b"], r["dot_q"])
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot_q", quantized_dot(F.col("qa"), F.col("qb")))
+        .where(F.col("dot_q") >= 800_000)
+        .collect()
+    )
+    assert want  # fixture must actually produce qualifying pairs
+    for n_shards in (1, 3, 8):
+        got = sorted(
+            (r["vec_a"], r["vec_b"], r["dot_q"])
+            for r in quantized_pairs_gemm(
+                emb_df, threshold=800_000, n_shards=n_shards
+            ).collect()
+        )
+        assert got == want, f"n_shards={n_shards}"
+
+
 def test_dedup_clusters_multihop_chain(spark):
     """Connected components must propagate across multi-hop chains, not
     just direct pairs."""
