@@ -489,6 +489,40 @@ WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.2
 """
 
 
+def q_dedup_ngram_jaccard_capped(spark, sf_dir):
+    """The skew-guarded production form: shingles in more than ``max_df``
+    documents are dropped from the inverted index before pairing (a
+    shingle in d docs is a d^2 candidate explosion at 100 TB); sizes stay
+    exact, the oracle applies the identical document-frequency cap."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2, max_df=5)
+
+
+ORACLE_NGRAM_JACCARD_CAPPED = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 5),
+shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+       round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.2
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), k=32, band_rows=4, threshold=0.25)
 
@@ -1259,7 +1293,12 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "j1_bound_pairing_ops": (q_j1_bound_pairing_ops, ORACLE_J1_OPS, "J1 real bound pairing"),
     "j3_preimage_report": (q_j3_preimage_report, ORACLE_J3_REPORT, "J3 op-0 preimage_report"),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT, "exact dedup"),
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD, "n-gram jaccard"),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD, "n-gram jaccard (exact)"),
+    "dedup_ngram_jaccard_capped": (
+        q_dedup_ngram_jaccard_capped,
+        ORACLE_NGRAM_JACCARD_CAPPED,
+        "n-gram jaccard, df-capped skew guard",
+    ),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_MINHASH, "minhash LSH"),
     "dedup_simhash": (q_dedup_simhash, ORACLE_SIMHASH, "simhash"),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS, "near-dup components"),
