@@ -113,6 +113,61 @@ def build_cdc_log_schema(desc: CdcTableDescriptor) -> T.StructType:
     return T.StructType(fields)
 
 
+def descriptor_diff(
+    old: CdcTableDescriptor, new: CdcTableDescriptor
+) -> tuple[list[str], list[str]]:
+    """Schema evolution between two versions of a table descriptor:
+    returns ``(added, dropped)`` regular columns (ALTER TABLE ADD/DROP —
+    the cases the reference's schema factory reconciles mid-stream,
+    Driver3SchemaFactory.java:73-153, and its AlterTableBase integration
+    tests exercise). CQL cannot alter primary-key columns; a pk/ck
+    mismatch raises."""
+    if old.primary_key != new.primary_key:
+        raise ValueError(
+            f"primary key changed {old.primary_key} -> {new.primary_key}; "
+            "CQL schema evolution cannot alter key columns"
+        )
+    o, n = set(old.regular_columns), set(new.regular_columns)
+    added = [c for c in new.regular_columns if c not in o]
+    dropped = [c for c in old.regular_columns if c not in n]
+    return added, dropped
+
+
+def conform_state(state, desc: CdcTableDescriptor, keep_extra: tuple = ()):
+    """Reconcile a materialized state frame written under an *older* schema
+    with the current descriptor — the restart path of schema evolution:
+
+    * columns the new schema added are filled with NULL (ALTER ADD: rows
+      written before the alter have no value for the new column);
+    * columns the new schema dropped disappear (ALTER DROP discards data);
+    * primary-key columns must be present (cannot be altered in CQL).
+
+    ``keep_extra`` preserves bookkeeping columns (version, bucket) when
+    present. Used by the replicator when seeding ``initial_state`` from a
+    state table produced before an ALTER (reference rebuilds ChangeSchema
+    when the column-definition hash changes, Driver3WorkerCQL.java:133-159).
+    """
+    from pyspark.sql import functions as F
+
+    cols = set(state.columns)
+    missing_keys = [k for k in desc.primary_key if k not in cols]
+    if missing_keys:
+        raise ValueError(
+            f"state is missing primary-key columns {missing_keys}; "
+            "schema evolution cannot add or drop key columns"
+        )
+    sel = []
+    for f in desc.base_schema.fields:
+        if f.name in cols:
+            sel.append(F.col(f.name))
+        else:
+            sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+    for c in keep_extra:
+        if c in cols:
+            sel.append(F.col(c))
+    return state.select(*sel)
+
+
 def split_columns(schema: T.StructType) -> tuple[list[str], list[str]]:
     """P3: (cdc metadata columns, base-table columns) of a CDC log schema."""
     cdc = [f.name for f in schema.fields if f.name.startswith(CDC_PREFIX)]

@@ -33,7 +33,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..model.schema import CdcTableDescriptor
+from ..model.schema import CdcTableDescriptor, conform_state
 from ..operators.apply import apply_cdc_log
 from ..operators.normalize import TIME_MICROS
 
@@ -87,16 +87,22 @@ class ReplicatorSink:
         ]
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        # buckets written before an ALTER lack added columns; merge the
+        # file schemas so they surface as NULL instead of vanishing
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def current_state(self, spark: SparkSession) -> DataFrame | None:
-        """The latest committed state across all buckets (version col included)."""
+        """The latest committed state across all buckets (version col
+        included), conformed to the current descriptor schema."""
         manifest = self._latest_manifest()
         if manifest is None:
             return None
-        return self._read_buckets(
+        state = self._read_buckets(
             spark, manifest, [int(b) for b in manifest["buckets"]]
         )
+        if state is None:
+            return None
+        return conform_state(state, self.desc, keep_extra=(TIME_MICROS, _BUCKET))
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Drop version directories no manifest among the newest
@@ -131,18 +137,24 @@ class ReplicatorSink:
 
     # -- the sink body --------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
         spark = batch_df.sparkSession
         pk = list(self.desc.partition_keys)
         batch_df = batch_df.withColumn(_BUCKET, _bucket_expr(pk, self.n_buckets))
-        # The changed-bucket set is tiny (<= n_buckets ints) — safe to collect.
+        # One pass over the pk-only projection yields the changed-bucket set
+        # (<= n_buckets ints — safe to collect) AND the emptiness check; no
+        # separate take(1) pre-read of the source.
         changed = sorted(
             r[0] for r in batch_df.select(_BUCKET).distinct().collect()
         )
+        if not changed:
+            return
         manifest = self._latest_manifest() or {"version": -1, "buckets": {}}
         initial = self._read_buckets(spark, manifest, changed)
         if initial is not None:
+            # schema evolution between restarts: state written under an
+            # older descriptor gains NULLs for added columns and sheds
+            # dropped ones before seeding the apply (ALTER ADD/DROP)
+            initial = conform_state(initial, self.desc, keep_extra=(TIME_MICROS,))
             initial = initial.withColumn(_BUCKET, _bucket_expr(pk, self.n_buckets))
 
         new_state = apply_cdc_log(

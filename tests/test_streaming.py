@@ -399,6 +399,106 @@ def test_streaming_latency_within_reference_bound(spark, tmp_path):
         CDCStreamConsumer.stop(query)
 
 
+def test_replicator_schema_evolution_add_and_drop(spark, tmp_path):
+    """AlterAddColIT/AlterDropColIT analog (reference AlterTableBase.java:28
+    family): restart the replicator with an ALTERed descriptor — rows
+    materialized under the old schema gain NULL for an added column and
+    shed a dropped one; replication continues on the same state dir."""
+    from pyspark.sql import types as T
+
+    from scylla_cdc_java_spark.model.schema import CdcTableDescriptor, descriptor_diff
+    from scylla_cdc_java_spark.streaming.replicator import ReplicatorSink
+
+    def desc_of(*fields):
+        return CdcTableDescriptor(
+            name="tbl_evo",
+            base_schema=T.StructType([T.StructField(n, t) for n, t in fields]),
+            partition_keys=["pk"],
+            clustering_keys=["ck"],
+        )
+
+    S, I = T.StringType(), T.IntegerType()
+    v1 = desc_of(("pk", S), ("ck", I), ("v1", I))
+    v2 = desc_of(("pk", S), ("ck", I), ("v1", I), ("v2", S))  # ALTER ADD v2
+    v3 = desc_of(("pk", S), ("ck", I), ("v2", S))  # ALTER DROP v1
+    assert descriptor_diff(v1, v2) == (["v2"], [])
+    assert descriptor_diff(v2, v3) == ([], ["v1"])
+
+    state_dir = str(tmp_path / "state")
+    g1 = CdcLogGenerator(v1)
+    sink1 = ReplicatorSink(v1, state_dir, n_buckets=4)
+    sink1(
+        g1.spark_df(
+            spark,
+            [("insert", ("a",), (1,), {"v1": 10}), ("insert", ("b",), (1,), {"v1": 20})],
+            shuffle=False,
+        ),
+        0,
+    )
+
+    # restart with the column added; log times continue after batch 1
+    g2 = CdcLogGenerator(v2)
+    g2._t = g1._t
+    sink2 = ReplicatorSink(v2, state_dir, n_buckets=4)
+    sink2(
+        g2.spark_df(
+            spark,
+            [
+                ("insert", ("a",), (2,), {"v1": 11, "v2": "x"}),
+                ("update", ("b",), (1,), {"v2": "y"}),
+            ],
+            shuffle=False,
+        ),
+        1,
+    )
+    got = {
+        (r["pk"], r["ck"]): (r["v1"], r["v2"])
+        for r in sink2.current_state(spark).collect()
+    }
+    assert got == {("a", 1): (10, None), ("a", 2): (11, "x"), ("b", 1): (20, "y")}
+
+    # restart again with v1 dropped; untouched buckets also stop exposing it
+    g3 = CdcLogGenerator(v3)
+    g3._t = g2._t
+    sink3 = ReplicatorSink(v3, state_dir, n_buckets=4)
+    sink3(
+        g3.spark_df(spark, [("insert", ("c",), (1,), {"v2": "z"})], shuffle=False), 2
+    )
+    state3 = sink3.current_state(spark)
+    assert "v1" not in state3.columns
+    got3 = {(r["pk"], r["ck"]): r["v2"] for r in state3.collect()}
+    assert got3 == {("a", 1): None, ("a", 2): "x", ("b", 1): "y", ("c", 1): "z"}
+
+
+def test_conform_state_rejects_key_changes(spark):
+    from pyspark.sql import types as T
+
+    from scylla_cdc_java_spark.model.schema import (
+        CdcTableDescriptor,
+        conform_state,
+        descriptor_diff,
+    )
+
+    desc = CdcTableDescriptor(
+        name="t",
+        base_schema=T.StructType(
+            [T.StructField("pk", T.StringType()), T.StructField("v", T.IntegerType())]
+        ),
+        partition_keys=["pk"],
+    )
+    state = spark.createDataFrame([(1, 2)], "other string, v int")
+    with pytest.raises(ValueError, match="primary-key"):
+        conform_state(state, desc)
+    desc2 = CdcTableDescriptor(
+        name="t",
+        base_schema=desc.base_schema,
+        partition_keys=["pk"],
+        clustering_keys=["v"],
+    )
+    with pytest.raises(ValueError, match="key"):
+        descriptor_diff(desc, desc2)
+
+
 def test_replicator_vacuum_keeps_live_state(spark, tmp_path):
     """vacuum removes superseded version dirs/manifests but never a dir the
     kept manifest still points into; state reads identically after."""
