@@ -70,6 +70,53 @@ class GenerationCatalog:
             ]
         )
 
+    @staticmethod
+    def from_v1_dataframe(df: DataFrame) -> "GenerationCatalog":
+        """S6: legacy V1 metadata layout — one row per generation carrying
+        the FULL stream set (``system_distributed.cdc_streams_descriptions``:
+        ``time`` + ``streams set<blob>``), no explicit end: a generation
+        closes at the next one's start, the last stays open. Columns:
+        ``(time_ms long, streams array<binary>)``."""
+        rows = sorted(df.collect(), key=lambda r: int(r["time_ms"]))
+        gens = []
+        for i, r in enumerate(rows):
+            end = int(rows[i + 1]["time_ms"]) if i + 1 < len(rows) else None
+            gens.append(
+                GenerationMetadata(
+                    int(r["time_ms"]),
+                    end,
+                    tuple(sorted(bytes(s) for s in r["streams"])),
+                )
+            )
+        return GenerationCatalog(gens)
+
+    @staticmethod
+    def discover(
+        v2_df: DataFrame | None = None,
+        v1_df: DataFrame | None = None,
+        rewritten: bool = False,
+    ) -> "GenerationCatalog":
+        """S6 version dispatch — the ``fetchShouldQueryLegacyTables`` analog
+        (Driver3MasterCQL.java:89-150): when the ``rewritten`` probe row is
+        present (``system.cdc_local 'rewritten'``), every V1 generation has
+        been rewritten into the V2 tables and legacy metadata is skipped;
+        otherwise V1 generations merge with V2 (V2 wins a start-timestamp
+        collision) and open ends are re-closed against the merged timeline."""
+        by_start: dict[int, GenerationMetadata] = {}
+        if v1_df is not None and not rewritten:
+            for g in GenerationCatalog.from_v1_dataframe(v1_df)._gens:
+                by_start[g.start_ms] = g
+        if v2_df is not None:
+            for g in GenerationCatalog.from_dataframe(v2_df)._gens:
+                by_start[g.start_ms] = g
+        merged = [by_start[s] for s in sorted(by_start)]
+        for i, g in enumerate(merged[:-1]):
+            if g.end_ms is None:
+                merged[i] = GenerationMetadata(
+                    g.start_ms, merged[i + 1].start_ms, g.stream_ids
+                )
+        return GenerationCatalog(merged)
+
     def smallest_after(self, after_ms: int) -> GenerationMetadata | None:
         """S5/S7: the generation with the smallest start > after_ms."""
         for g in self._gens:

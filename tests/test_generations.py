@@ -120,6 +120,46 @@ def test_catalog_from_dataframe(spark):
     assert cat.generation_at(200).end_ms is None
 
 
+def test_v1_v2_discovery_dispatch(spark):
+    """S6: the same two generations described in legacy V1 layout (full
+    stream set per row, ends implicit) and V2 layout must yield identical
+    task plans; the 'rewritten' probe skips V1; un-rewritten V1-only
+    generations merge in ahead of V2 ones."""
+    s1, s2, s3 = (make_stream_id(0, index=1), make_stream_id(1, index=2),
+                  make_stream_id(0, index=3))
+    v2_rows = [
+        (100, 200, bytearray(s1)),
+        (100, 200, bytearray(s2)),
+        (200, None, bytearray(s3)),
+    ]
+    v2_df = spark.createDataFrame(v2_rows, "start_ms long, end_ms long, stream_id binary")
+    v1_rows = [
+        (100, [bytearray(s1), bytearray(s2)]),
+        (200, [bytearray(s3)]),
+    ]
+    v1_df = spark.createDataFrame(v1_rows, "time_ms long, streams array<binary>")
+
+    cat_v2 = GenerationCatalog.discover(v2_df=v2_df)
+    cat_v1 = GenerationCatalog.discover(v1_df=v1_df)
+    for start in (100, 200):
+        a, b = cat_v1.generation_at(start), cat_v2.generation_at(start)
+        assert (a.start_ms, a.end_ms, a.stream_ids) == (b.start_ms, b.end_ms, b.stream_ids)
+        assert group_streams_to_tasks("ks", "t", a) == group_streams_to_tasks("ks", "t", b)
+
+    # rewritten probe: legacy table is ignored entirely
+    older = spark.createDataFrame(
+        [(50, [bytearray(s1)])], "time_ms long, streams array<binary>"
+    )
+    assert GenerationCatalog.discover(v2_df=v2_df, v1_df=older, rewritten=True).generation_at(50) is None
+
+    # un-rewritten: the V1-only generation merges in and closes at the
+    # next known start
+    merged = GenerationCatalog.discover(v2_df=v2_df, v1_df=older)
+    g50 = merged.generation_at(50)
+    assert g50 is not None and g50.end_ms == 100
+    assert merged.generation_at(100).end_ms == 200
+
+
 def test_table_controller_tablet_mode():
     """S7/T7: per-table generations; tablets appearing mid-generation
     surface as added tasks for the running worker."""
