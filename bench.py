@@ -27,12 +27,15 @@ from scylla_cdc_java_spark.queries import QUERIES  # noqa: E402
 HEADLINE = [
     "r1_apply_delta",
     "r1_apply_lww_fast",
+    "r9_delta_full_mix",
     "s4_ordered_stream_read",
     "t1_tumbling_windows",
     "j1_range_delete_pairing",
     "r3_set_delta",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "ann_lsh_topk",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
