@@ -242,8 +242,11 @@ def apply_cdc_log(
     InsertOperationHandler.java:15-48) expires its scalar cells and, for
     inserts, the row marker at ``write_time + ttl``; cells/markers expired
     at ``as_of_micros`` are invisible in the output. ``None`` (default)
-    skips expiry evaluation. Collection-element TTLs are not materialized
-    (the delta representation would need per-element expiry tracking).
+    skips expiry evaluation. Collection *elements* inherit the TTL of the
+    write that last set them (per-element expiry, the reference's
+    ``USING TTL`` pass-through on collection writes,
+    ExecutingPreparedStatementHandler.java:45-53) — expired set/map/list
+    elements and UDT fields vanish from the materialized value.
 
     ``n_kernel_buckets``: the fold groups on ``hash(pk) % n`` rather than
     the raw partition key, folding every CQL partition of a bucket in one
@@ -427,7 +430,12 @@ def _make_fold_kernel(
                 return dict(v)
             return dict(v)
 
-        def write_cell(cells, col, value, deleted, del_elems):
+        def write_cell(cells, col, value, deleted, del_elems, ee, exp_val):
+            # ``ee`` (element-expiry dict, only when as_of is evaluated)
+            # inherits the write's TTL per written element/field — the
+            # reference passes ``USING TTL`` through on collection writes
+            # (ExecutingPreparedStatementHandler.java:45-53), so elements
+            # carry the TTL of the write that last set them.
             kind = kinds[col]
             if kind == "scalar":
                 if value is not None:
@@ -437,10 +445,18 @@ def _make_fold_kernel(
                 return
             if kind == "set":
                 cur = set() if deleted else set(cells.get(col) or ())
+                if ee is not None and deleted:
+                    ee.clear()
                 if value is not None:
                     cur.update(value)
+                    if ee is not None:
+                        for e in value:
+                            ee[e] = exp_val
                 if del_elems is not None:
                     cur.difference_update(del_elems)
+                    if ee is not None:
+                        for e in del_elems:
+                            ee.pop(e, None)
                 if cur:
                     cells[col] = sorted(cur)
                 else:
@@ -448,11 +464,19 @@ def _make_fold_kernel(
                 return
             if kind in ("map", "list"):
                 cur = {} if deleted else dict(cells.get(col) or {})
+                if ee is not None and deleted:
+                    ee.clear()
                 if value is not None:
-                    cur.update(coerce_map(value))
+                    vm = coerce_map(value)
+                    cur.update(vm)
+                    if ee is not None:
+                        for k in vm:
+                            ee[k] = exp_val
                 if del_elems is not None:
                     for k in del_elems:
                         cur.pop(k, None)
+                        if ee is not None:
+                            ee.pop(k, None)
                 if cur:
                     cells[col] = cur
                 else:
@@ -462,6 +486,8 @@ def _make_fold_kernel(
                 names = udt_fields[col]
                 if deleted:
                     cur = dict.fromkeys(names)
+                    if ee is not None:
+                        ee.clear()
                 else:
                     cur = dict(cells.get(col) or dict.fromkeys(names))
                 if value is not None:
@@ -469,9 +495,13 @@ def _make_fold_kernel(
                     for n, fv in zip(names, vals):
                         if fv is not None:
                             cur[n] = fv
+                            if ee is not None:
+                                ee[n] = exp_val
                 if del_elems is not None:
                     for idx in del_elems:
                         cur[names[int(idx)]] = None
+                        if ee is not None:
+                            ee.pop(names[int(idx)], None)
                 if any(v is not None for v in cur.values()):
                     cells[col] = cur
                 else:
@@ -590,7 +620,10 @@ def _make_fold_kernel(
                     del_elems = list(del_elems)
                 if value is None and not deleted and del_elems is None:
                     continue  # unset
-                write_cell(entry["cells"], col, value, deleted, del_elems)
+                ee = None
+                if as_of is not None and kinds[col] != "scalar":
+                    ee = entry.setdefault("eexp", {}).setdefault(col, {})
+                write_cell(entry["cells"], col, value, deleted, del_elems, ee, exp_val)
                 if kinds[col] == "scalar":
                     if value is not None:
                         entry["exp"][col] = exp_val
@@ -605,11 +638,30 @@ def _make_fold_kernel(
             cells, marker = entry["cells"], entry["marker"]
             if as_of is not None:
                 expmap = entry.get("exp", {})
-                cells = {
-                    c: v
-                    for c, v in cells.items()
-                    if expmap.get(c) is None or expmap[c] > as_of
-                }
+                eexp = entry.get("eexp", {})
+                new_cells = {}
+                for c, v in cells.items():
+                    if kinds[c] == "scalar":
+                        if expmap.get(c) is None or expmap[c] > as_of:
+                            new_cells[c] = v
+                        continue
+                    ee = eexp.get(c, {})
+
+                    def live(k):
+                        e = ee.get(k)
+                        return e is None or e > as_of
+
+                    if kinds[c] == "set":
+                        v = [e for e in v if live(e)]
+                    elif kinds[c] in ("map", "list"):
+                        v = {k: val for k, val in v.items() if live(k)}
+                    else:  # udt: expired fields null out
+                        v = {n: (val if live(n) else None) for n, val in v.items()}
+                        if not any(val is not None for val in v.values()):
+                            v = None
+                    if v:
+                        new_cells[c] = v
+                cells = new_cells
                 mexp = entry.get("marker_exp")
                 if marker and mexp is not None and mexp <= as_of:
                     marker = False

@@ -404,6 +404,47 @@ def test_ttl_expiry_scalar_cells_and_marker(spark):
     assert set(got_default) == {1, 2, 3}
 
 
+def test_ttl_expiry_collection_elements(spark):
+    """Per-element TTL: elements written USING TTL expire individually;
+    elements (re)written later without TTL persist — set, map, and list."""
+    from scylla_cdc_java_spark.model.schema import build_cdc_log_schema
+
+    for table, mk, expect in [
+        # insert {1,2} with ttl, later add {3} without: only 3 survives
+        ("tbl_sets",
+         [("insert", ("a",), (1,), {"v": {"overwrite": [1, 2]}}, 60),
+          ("update", ("a",), (1,), {"v": {"add": [3]}})],
+         [3]),
+        # map: k1 with ttl, k2 refreshed without ttl after the ttl'd write
+        ("tbl_maps",
+         [("insert", ("a",), (1,), {"v": {"overwrite": {1: 10, 2: 20}}}, 60),
+          ("update", ("a",), (1,), {"v": {"add": {2: 21}}})],
+         {2: 21}),
+        # list: ttl'd elements vanish, later append survives
+        ("tbl_lists",
+         [("insert", ("a",), (1,), {"v": {"overwrite": [7, 8]}}, 60),
+          ("update", ("a",), (1,), {"v": {"add": [9]}})],
+         [9]),
+    ]:
+        desc = FIXTURE_TABLES[table]
+        gen = CdcLogGenerator(desc)
+        rows_enc = gen.encode(mk)
+        df = spark.createDataFrame(rows_enc, build_cdc_log_schema(desc))
+        t_last = max(r["cdc$time_ts"] for r in rows_enc)
+        late = int(t_last.timestamp() * 1e6) + 3600 * 1_000_000
+        got = {r["ck"]: r for r in apply_cdc_log(df, desc, as_of_micros=late).collect()}
+        v = got[1]["v"]
+        v = _canon(v) if not isinstance(v, list) else sorted(v)
+        want = _canon(expect) if isinstance(expect, dict) else sorted(expect)
+        assert v == want, f"{table}: {v} != {want}"
+        # before expiry everything is visible
+        soon = int(t_last.timestamp() * 1e6) + 1_000_000
+        got_soon = {r["ck"]: r for r in apply_cdc_log(df, desc, as_of_micros=soon).collect()}
+        assert got_soon[1]["v"] is not None and len(got_soon[1]["v"]) == len(expect) + (
+            2 if table != "tbl_maps" else 1
+        )
+
+
 def test_reconfigure_workers_diff():
     from scylla_cdc_java_spark.model.generations import reconfigure_workers
     from scylla_cdc_java_spark.model.state import TaskId
