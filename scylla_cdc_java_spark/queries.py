@@ -566,8 +566,8 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.25
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Near-dup clusters: connected components (iterative min-label
-    propagation) over the n-gram Jaccard pair list."""
+    """Near-dup clusters: connected components (large-star/small-star
+    contraction, O(log n) rounds) over the n-gram Jaccard pair list."""
     docs = _docs(spark, sf_dir)
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
     return dedup_clusters(docs, pairs)
@@ -1220,6 +1220,57 @@ FROM events WHERE event_id % 24 IN (1, 2)
 """
 
 
+_TTL_AS_OF = 1_600_000_000_000_000 + 2_000 * 1_000_000  # first write + 2000 s
+
+
+def q_ttl_apply_visibility(spark, sf_dir):
+    """TTL visibility through the kernel: writes carrying cdc$ttl expire
+    their cells (and, for inserts, the row marker) at write_time + ttl;
+    the state is evaluated as-of a fixed instant 2000 s after the first
+    write, so ttl <= 1800 s writes are expired and ttl >= 2700 s survive
+    (reference USING TTL pass-through, InsertOperationHandler.java:15-48)."""
+    cdc = events_as_cdc_ops(
+        spark, sf_dir, events=_events(spark, sf_dir), with_ttl=True
+    )
+    return apply_cdc_log(
+        cdc, KV_STATE_DESC, mode="delta", as_of_micros=_TTL_AS_OF, n_kernel_buckets=64
+    )
+
+
+ORACLE_TTL_VIS = f"""
+WITH {_OPS_EV_CTE.replace("FROM events", ''', CASE WHEN event_id % 2 = 0
+              THEN 900 * (event_id % 5 + 1) END AS ttl
+  FROM events''')},
+writes AS (SELECT grp, user_id, t, v, p, ttl, m FROM ev WHERE m >= 6),
+cand AS (
+  SELECT * FROM writes w
+  WHERE 1=1 {_OPS_KILL_PART} {_OPS_KILL_ROW} {_OPS_KILL_RANGE}
+),
+lastw AS (
+  SELECT grp, user_id, t, v, p, ttl FROM (
+    SELECT *, row_number() OVER (PARTITION BY grp, user_id ORDER BY t DESC) AS rn
+    FROM cand) s WHERE rn = 1
+),
+lastins AS (
+  SELECT grp, user_id, t, ttl FROM (
+    SELECT *, row_number() OVER (PARTITION BY grp, user_id ORDER BY t DESC) AS rn
+    FROM cand WHERE m <= 14) s WHERE rn = 1
+),
+vis AS (
+  SELECT lw.grp, lw.user_id, lw.v, lw.p,
+         (lw.ttl IS NULL OR lw.t + lw.ttl * 1000000 > {_TTL_AS_OF}) AS cell_alive,
+         (li.user_id IS NOT NULL
+          AND (li.ttl IS NULL OR li.t + li.ttl * 1000000 > {_TTL_AS_OF})) AS marker_alive
+  FROM lastw lw LEFT JOIN lastins li
+    ON li.grp = lw.grp AND li.user_id = lw.user_id
+)
+SELECT grp, user_id,
+       CASE WHEN cell_alive THEN v END AS value,
+       CASE WHEN cell_alive THEN p END AS props
+FROM vis WHERE cell_alive OR marker_alive
+"""
+
+
 def q_j3_preimage_report(spark, sf_dir):
     """J3/R7 on real op-0 rows: ``preimage_report`` checks every pre-image
     cell-wise against the materialized state (PreImageOperationHandler
@@ -1291,6 +1342,7 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "r9_delta_full_mix": (q_r9_delta_full_mix, ORACLE_R9, "R9 image no-op + full op mix"),
     "r8_postimage_apply": (q_r8_postimage_apply, ORACLE_R8, "R8 op-9 post-image apply"),
     "j1_bound_pairing_ops": (q_j1_bound_pairing_ops, ORACLE_J1_OPS, "J1 real bound pairing"),
+    "ttl_apply_visibility": (q_ttl_apply_visibility, ORACLE_TTL_VIS, "cdc$ttl as-of expiry"),
     "j3_preimage_report": (q_j3_preimage_report, ORACLE_J3_REPORT, "J3 op-0 preimage_report"),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT, "exact dedup"),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD, "n-gram jaccard (exact)"),

@@ -88,6 +88,7 @@ def events_as_cdc_ops(
     n_groups: int = 40,
     n_vnodes: int = 16,
     include: tuple = ("write", "partition", "row", "range", "image"),
+    with_ttl: bool = False,
 ) -> DataFrame:
     """The ``events`` table as a CDC log over a virtual ``kv_state`` table
     (pk ``grp = user_id % n_groups``, ck ``user_id``) exercising every
@@ -120,7 +121,19 @@ def events_as_cdc_ops(
             F.col("user_id")
             + F.lit(n_groups) * (F.pmod(F.col("event_id"), F.lit(3)) + 1)
         ).alias("hi"),
+        # deterministic per-write TTL (seconds): even event ids carry
+        # 900..4500 s; odd writes are permanent
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(2)) == 0,
+            F.lit(900) * (F.pmod(F.col("event_id"), F.lit(5)) + 1),
+        )
+        .cast("long")
+        .alias("ttl0"),
     )
+
+    ttl_expr = (
+        F.when(F.col("m") >= 6, F.col("ttl0")) if with_ttl else F.lit(None)
+    ).cast("long")
 
     def envelope(df, op, seq, eob, ck, val, prp):
         return df.select(
@@ -130,7 +143,7 @@ def events_as_cdc_ops(
             F.lit(seq).cast("int").alias("cdc$batch_seq_no"),
             op.cast("byte").alias("cdc$operation"),
             F.lit(eob).alias("cdc$end_of_batch"),
-            F.lit(None).cast("long").alias("cdc$ttl"),
+            ttl_expr.alias("cdc$ttl"),
             F.col("grp"),
             ck.cast("long").alias("user_id"),
             val.cast("double").alias("value"),
