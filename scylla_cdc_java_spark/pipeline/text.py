@@ -109,6 +109,104 @@ def vocabulary(
     )
 
 
+def add_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
+    repetitious documents are low-quality training data):
+
+    * ``top_token_frac`` — occurrences of the most frequent token / total
+      tokens (boilerplate and keyword-stuffed docs score high);
+    * ``dup_bigram_frac`` — 1 - distinct/total word bigrams (internal
+      phrase repetition).
+
+    Pure array expressions per document — no explode, no shuffle, stays in
+    whole-stage codegen; at 100 TB this is a map-only pass.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    # most-frequent-token count: max over distinct tokens of occurrence count
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(2)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    return df.withColumns(
+        {
+            "n_tokens": n,
+            "top_token_frac": F.round(top_cnt.cast("double") / n.cast("double"), 6),
+            "dup_bigram_frac": F.when(
+                n_bi > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(bigrams)).cast("double")
+                    / n_bi.cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_common: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_common`` distinct word ``n``-grams with a benchmark document —
+    the standard train/test-overlap check run before training (the same
+    inverted-index join shape as n-gram Jaccard, so the scale posture is
+    identical: shuffle on the shingle key, hot shingles capped upstream).
+
+    Returns ``(doc_id, bench_id, n_common)`` per contaminated pair.
+    """
+    c = shingles(corpus.select(id_col, "text"), n=n)
+    b = shingles(benchmark.select(id_col, "text"), n=n).withColumnRenamed(
+        id_col, "bench_id"
+    )
+    return (
+        c.join(b, "shingle")
+        .where(F.col(id_col) != F.col("bench_id"))
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Deterministic stratified down-sampling for dataset mixing: keep a
+    document iff ``h31(id) % denom < rate(stratum) * denom`` — the
+    hash-based Bernoulli sample every mixture pipeline uses so reruns,
+    engines and partitionings agree row-for-row (no RNG state). Map-only.
+    """
+    from .dedup import h31
+
+    rate = F.lit(float(default_rate))
+    for k, v in rates.items():
+        rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(rate)
+    keep = (h31(F.col(id_col).cast("string")) % F.lit(denom)).cast("double") < (
+        rate * F.lit(float(denom))
+    )
+    return df.where(keep)
+
+
 def assign_splits(
     df: DataFrame,
     id_col: str = "doc_id",

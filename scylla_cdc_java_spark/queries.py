@@ -1016,6 +1016,88 @@ def q_text_split_assign(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-token fraction,
+    duplicate-bigram fraction) — map-only array expressions."""
+    from .pipeline.text import add_repetition_stats
+
+    return add_repetition_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "top_token_frac", "dup_bigram_frac"
+    )
+
+
+ORACLE_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, len(toks) AS n,
+         list_max(list_transform(list_distinct(toks),
+                                 d -> len(list_filter(toks, x -> x = d)))) AS topc,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bi
+  FROM t
+)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+       round(topc / CAST(n AS DOUBLE), 6) AS top_token_frac,
+       CASE WHEN len(bi) > 0
+            THEN round(1.0 - len(list_distinct(bi)) / CAST(len(bi) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM c
+"""
+
+
+def q_text_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing >= 2 distinct word
+    5-grams with a benchmark doc (benchmark = every 20th doc id)."""
+    from .pipeline.text import contamination_pairs
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return contamination_pairs(docs, bench, n=5, min_common=2)
+
+
+ORACLE_CONTAMINATION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                  || toks[i+3] || ' ' || toks[i+4])) AS shingle
+  FROM t
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+SELECT c.doc_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS n_common
+FROM sh c JOIN sh b ON c.shingle = b.shingle
+    AND b.doc_id % 20 = 0 AND c.doc_id <> b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_text_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified down-sampling (dataset mixing):
+    per-source keep rates, engine-portable id hash, map-only."""
+    from .pipeline.text import stratified_sample
+
+    sampled = stratified_sample(
+        _docs(spark, sf_dir), rates={"src0": 0.25, "src1": 0.5}, stratum_col="source"
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("first_doc")
+    )
+
+
+ORACLE_STRATIFIED = """
+SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2147483647 % 10000 AS b,
+         CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5 ELSE 1.0 END AS rate
+  FROM documents
+) WHERE b < rate * 10000
+GROUP BY source
+"""
+
+
 ORACLE_SPLIT = """
 SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc FROM (
   SELECT doc_id,
@@ -1371,6 +1453,9 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "text_fingerprint": (q_text_fingerprint, ORACLE_FINGERPRINT, "fingerprinting"),
     "text_vocab": (q_text_vocab, ORACLE_VOCAB, "vocabulary top-k"),
     "text_split_assign": (q_text_split_assign, ORACLE_SPLIT, "train/val/test split"),
+    "text_repetition": (q_text_repetition, ORACLE_REPETITION, "repetition quality signals"),
+    "text_contamination": (q_text_contamination, ORACLE_CONTAMINATION, "benchmark decontamination"),
+    "text_stratified_sample": (q_text_stratified_sample, ORACLE_STRATIFIED, "stratified mix sampling"),
     "agg_lineitem_pushdown": (q_agg_lineitem_pushdown, ORACLE_AGG_LINEITEM, "scan+agg anchor"),
     "join_broadcast_revenue": (q_join_broadcast_revenue, ORACLE_JOIN_REVENUE, "broadcast join anchor"),
 }

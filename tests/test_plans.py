@@ -68,7 +68,11 @@ def test_ivf_broadcasts_probes(spark):
     assert "BroadcastHashJoin" in plan, "query probes must broadcast, not shuffle the corpus"
 
 
-@pytest.mark.parametrize("name", ["text_fingerprint", "text_quality", "text_langid"])
+@pytest.mark.parametrize(
+    "name",
+    ["text_fingerprint", "text_quality", "text_langid", "text_repetition",
+     "text_stratified_sample", "text_contamination"],
+)
 def test_text_ops_stay_native(spark, name):
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
