@@ -47,10 +47,12 @@ from .pipeline.text import (
     vocabulary,
 )
 from .sources.events_cdc import (
+    KV_SET_DESC,
     KV_STATE_DESC,
     USER_STATE_DESC,
     events_as_cdc,
     events_as_cdc_ops,
+    events_as_cdc_setops,
     stream_id_expr,
 )
 from .sources.tables import load_table
@@ -1302,6 +1304,57 @@ FROM events WHERE event_id % 24 IN (1, 2)
 """
 
 
+def q_r3_set_delta_ops(spark, sf_dir):
+    """R3 on REAL delta encodings: the kernel folds element adds (payload),
+    removals (cdc$deleted_elements_tags) and whole-set overwrites
+    (cdc$deleted_tags) with per-element last-writer-wins — the collection
+    semantics of RawChange.java:151-238 — and the oracle replays them in
+    SQL over the element action log."""
+    cdc = events_as_cdc_setops(spark, sf_dir, events=_events(spark, sf_dir))
+    state = apply_cdc_log(cdc, KV_SET_DESC, mode="delta", n_kernel_buckets=64)
+    return state.select(
+        "grp",
+        "user_id",
+        F.size("tags").alias("n_elems"),
+        F.concat_ws(
+            ",", F.transform(F.col("tags"), lambda x: x.cast("string"))
+        ).alias("elems"),
+    )
+
+
+ORACLE_R3_OPS = """
+WITH ev2 AS (
+  SELECT user_id % 40 AS grp, user_id,
+         1600000000000000 + event_id * 1000 AS t,
+         event_id % 4 AS m,
+         CAST(user_id % 10 AS INT) AS e1,
+         CAST((user_id + event_id) % 10 AS INT) AS e2
+  FROM events
+),
+acts AS (
+  SELECT grp, user_id, t, e1 AS e, 1 AS is_add FROM ev2 WHERE m = 0
+  UNION ALL SELECT grp, user_id, t, e2, 1 FROM ev2 WHERE m = 0
+  UNION ALL SELECT grp, user_id, t, e2, 1 FROM ev2 WHERE m = 2
+  UNION ALL SELECT grp, user_id, t, e1, 0 FROM ev2 WHERE m = 1
+  UNION ALL SELECT grp, user_id, t, CAST(d.e AS INT), 0
+    FROM ev2 CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS e) d
+    WHERE m = 2 AND d.e <> e2
+  UNION ALL SELECT grp, user_id, t, CAST(d.e AS INT), 0
+    FROM ev2 CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS e) d
+    WHERE m = 3
+),
+last AS (
+  SELECT grp, user_id, e, is_add,
+         row_number() OVER (PARTITION BY grp, user_id, e ORDER BY t DESC) AS rn
+  FROM acts
+),
+present AS (SELECT grp, user_id, e FROM last WHERE rn = 1 AND is_add = 1)
+SELECT grp, user_id, CAST(count(*) AS INT) AS n_elems,
+       string_agg(e::VARCHAR, ',' ORDER BY e) AS elems
+FROM present GROUP BY 1, 2
+"""
+
+
 _TTL_AS_OF = 1_600_000_000_000_000 + 2_000 * 1_000_000  # first write + 2000 s
 
 
@@ -1417,7 +1470,8 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "f3_vnode_extract": (q_f3_vnode_extract, ORACLE_F3, "F3/F6 stream id bits"),
     "r1_apply_delta": (q_r1_apply_delta, ORACLE_R1, "R1-R4 apply kernel"),
     "r1_apply_lww_fast": (q_r1_apply_lww_fast, ORACLE_R1, "R1 fast LWW path"),
-    "r3_set_delta": (q_r3_set_delta, ORACLE_R3, "R3 collection delta"),
+    "r3_set_delta": (q_r3_set_delta, ORACLE_R3, "R3 collection delta (analog)"),
+    "r3_set_delta_ops": (q_r3_set_delta_ops, ORACLE_R3_OPS, "R3 real delta encodings"),
     "r4_row_delete_effect": (q_r4_row_delete_effect, ORACLE_R4, "R4 row tombstones"),
     "r5_partition_delete": (q_r5_partition_delete, ORACLE_R5, "R5 op-4 partition deletes"),
     "r6_range_delete": (q_r6_range_delete, ORACLE_R6, "R6 op-5..8 range deletes"),

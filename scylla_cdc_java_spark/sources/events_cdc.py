@@ -200,6 +200,63 @@ def events_as_cdc_ops(
     return out
 
 
+KV_SET_DESC = CdcTableDescriptor(
+    name="kv_set",
+    base_schema=T.StructType(
+        [
+            T.StructField("grp", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("tags", T.ArrayType(T.IntegerType())),
+        ]
+    ),
+    partition_keys=["grp"],
+    clustering_keys=["user_id"],
+    non_frozen_collections=["tags"],
+)
+
+
+def events_as_cdc_setops(
+    spark: SparkSession,
+    sf_dir: str,
+    events: DataFrame | None = None,
+    n_groups: int = 40,
+    n_vnodes: int = 16,
+) -> DataFrame:
+    """The ``events`` table as a CDC log over a non-frozen SET column,
+    emitting the real delta encodings (RawChange.java:151-238): element
+    adds (payload array), element removals (``cdc$deleted_elements_tags``),
+    whole-set overwrites (``cdc$deleted_tags`` + payload), and row deletes.
+
+    Deterministic mapping (m = event_id % 4, e1 = user_id % 10,
+    e2 = (user_id + event_id) % 10): 0 -> add {e1, e2}; 1 -> remove {e1};
+    2 -> overwrite to {e2}; 3 -> row delete. Mirrored exactly by
+    ORACLE_R3_OPS in queries.py, putting the kernel's collection-delta
+    fold (per-element last-writer-wins) under the driver's oracle gate.
+    """
+    ev = events if events is not None else load_table(spark, sf_dir, "events")
+    m = F.pmod(F.col("event_id"), F.lit(4))
+    e1 = F.pmod(F.col("user_id"), F.lit(10)).cast("int")
+    e2 = F.pmod(F.col("user_id") + F.col("event_id"), F.lit(10)).cast("int")
+    return ev.select(
+        stream_id_expr("user_id", n_vnodes).alias("cdc$stream_id"),
+        F.timestamp_micros(
+            F.lit(1_600_000_000_000_000) + F.col("event_id") * F.lit(1000)
+        ).alias("cdc$time_ts"),
+        (F.lit(1_600_000_000_000_000) + F.col("event_id") * F.lit(1000)).alias(
+            "cdc$time_micros"
+        ),
+        F.lit(0).cast("int").alias("cdc$batch_seq_no"),
+        F.when(m == 3, F.lit(3)).otherwise(F.lit(1)).cast("byte").alias("cdc$operation"),
+        F.lit(True).alias("cdc$end_of_batch"),
+        F.lit(None).cast("long").alias("cdc$ttl"),
+        F.pmod(F.col("user_id"), F.lit(n_groups)).alias("grp"),
+        F.col("user_id"),
+        F.when(m == 0, F.array(e1, e2)).when(m == 2, F.array(e2)).alias("tags"),
+        F.when(m == 2, F.lit(True)).alias("cdc$deleted_tags"),
+        F.when(m == 1, F.array(e1)).alias("cdc$deleted_elements_tags"),
+    )
+
+
 def events_as_cdc(
     spark: SparkSession, sf_dir: str, n_vnodes: int = 16, events: DataFrame | None = None
 ) -> DataFrame:
