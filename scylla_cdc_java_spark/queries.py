@@ -47,10 +47,12 @@ from .pipeline.text import (
     vocabulary,
 )
 from .sources.events_cdc import (
+    KV_LIST_DESC,
     KV_SET_DESC,
     KV_STATE_DESC,
     USER_STATE_DESC,
     events_as_cdc,
+    events_as_cdc_listops,
     events_as_cdc_ops,
     events_as_cdc_setops,
     stream_id_expr,
@@ -1355,6 +1357,43 @@ FROM present GROUP BY 1, 2
 """
 
 
+def q_o3_list_ops(spark, sf_dir):
+    """O3 on REAL list encodings: the kernel reconstructs list order from
+    the timeuuid keys of the map<timeuuid, elem> wire form, with whole-
+    list overwrites resetting position (ExecutingPreparedStatementHandler
+    asObject normalization + TreeMap sort, :64-90)."""
+    cdc = events_as_cdc_listops(spark, sf_dir, events=_events(spark, sf_dir))
+    state = apply_cdc_log(cdc, KV_LIST_DESC, mode="delta", n_kernel_buckets=64)
+    return state.select(
+        "grp",
+        "user_id",
+        F.size("items").alias("n_items"),
+        F.concat_ws(
+            ",", F.transform(F.col("items"), lambda x: x.cast("string"))
+        ).alias("items"),
+    )
+
+
+ORACLE_O3_OPS = """
+WITH ev3 AS (
+  SELECT user_id % 40 AS grp, user_id, event_id, event_id % 3 AS m,
+         CAST((user_id + event_id) % 100 AS INT) AS e
+  FROM events
+),
+lastow AS (
+  SELECT grp, user_id, max(event_id) AS ow FROM ev3 WHERE m = 2 GROUP BY 1, 2
+),
+live AS (
+  SELECT v.grp, v.user_id, v.e, v.event_id
+  FROM ev3 v LEFT JOIN lastow o ON v.grp = o.grp AND v.user_id = o.user_id
+  WHERE v.event_id >= COALESCE(o.ow, -1)
+)
+SELECT grp, user_id, CAST(count(*) AS INT) AS n_items,
+       string_agg(e::VARCHAR, ',' ORDER BY event_id) AS items
+FROM live GROUP BY 1, 2
+"""
+
+
 _TTL_AS_OF = 1_600_000_000_000_000 + 2_000 * 1_000_000  # first write + 2000 s
 
 
@@ -1472,6 +1511,7 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "r1_apply_lww_fast": (q_r1_apply_lww_fast, ORACLE_R1, "R1 fast LWW path"),
     "r3_set_delta": (q_r3_set_delta, ORACLE_R3, "R3 collection delta (analog)"),
     "r3_set_delta_ops": (q_r3_set_delta_ops, ORACLE_R3_OPS, "R3 real delta encodings"),
+    "o3_list_ops": (q_o3_list_ops, ORACLE_O3_OPS, "O3 real timeuuid list encoding"),
     "r4_row_delete_effect": (q_r4_row_delete_effect, ORACLE_R4, "R4 row tombstones"),
     "r5_partition_delete": (q_r5_partition_delete, ORACLE_R5, "R5 op-4 partition deletes"),
     "r6_range_delete": (q_r6_range_delete, ORACLE_R6, "R6 op-5..8 range deletes"),

@@ -257,6 +257,62 @@ def events_as_cdc_setops(
     )
 
 
+KV_LIST_DESC = CdcTableDescriptor(
+    name="kv_list",
+    base_schema=T.StructType(
+        [
+            T.StructField("grp", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("items", T.ArrayType(T.IntegerType())),
+        ]
+    ),
+    partition_keys=["grp"],
+    clustering_keys=["user_id"],
+    non_frozen_collections=["items"],
+    list_columns=["items"],
+)
+
+
+def events_as_cdc_listops(
+    spark: SparkSession,
+    sf_dir: str,
+    events: DataFrame | None = None,
+    n_groups: int = 40,
+    n_vnodes: int = 16,
+) -> DataFrame:
+    """The ``events`` table as a CDC log over a non-frozen LIST column in
+    the real wire encoding — ``map<timeuuid, elem>`` whose key's time
+    component carries list position (Driver3SchemaFactory.java:189-229,
+    O3): every event appends one element keyed by a synthetic v1 timeuuid
+    whose time field is the event id; every third event overwrites the
+    list (``cdc$deleted_items`` + its own element). Mirrored by
+    ORACLE_O3_OPS: the reconstructed list is the appends since the last
+    overwrite, in timeuuid (= event) order.
+    """
+    ev = events if events is not None else load_table(spark, sf_dir, "events")
+    m = F.pmod(F.col("event_id"), F.lit(3))
+    e = F.pmod(F.col("user_id") + F.col("event_id"), F.lit(100)).cast("int")
+    uuid = F.format_string("%08x-0000-1000-8000-000000000000", F.col("event_id"))
+    return ev.select(
+        stream_id_expr("user_id", n_vnodes).alias("cdc$stream_id"),
+        F.timestamp_micros(
+            F.lit(1_600_000_000_000_000) + F.col("event_id") * F.lit(1000)
+        ).alias("cdc$time_ts"),
+        (F.lit(1_600_000_000_000_000) + F.col("event_id") * F.lit(1000)).alias(
+            "cdc$time_micros"
+        ),
+        F.lit(0).cast("int").alias("cdc$batch_seq_no"),
+        F.lit(1).cast("byte").alias("cdc$operation"),
+        F.lit(True).alias("cdc$end_of_batch"),
+        F.lit(None).cast("long").alias("cdc$ttl"),
+        F.pmod(F.col("user_id"), F.lit(n_groups)).alias("grp"),
+        F.col("user_id"),
+        F.create_map(uuid, e).alias("items"),
+        F.when(m == 2, F.lit(True)).alias("cdc$deleted_items"),
+        F.lit(None).cast("array<string>").alias("cdc$deleted_elements_items"),
+    )
+
+
 def events_as_cdc(
     spark: SparkSession, sf_dir: str, n_vnodes: int = 16, events: DataFrame | None = None
 ) -> DataFrame:
