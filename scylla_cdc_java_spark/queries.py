@@ -47,14 +47,18 @@ from .pipeline.text import (
     vocabulary,
 )
 from .sources.events_cdc import (
+    KV2_DESC,
     KV_LIST_DESC,
     KV_SET_DESC,
     KV_STATE_DESC,
+    KV_UDT_DESC,
     USER_STATE_DESC,
     events_as_cdc,
+    events_as_cdc_ck2ops,
     events_as_cdc_listops,
     events_as_cdc_ops,
     events_as_cdc_setops,
+    events_as_cdc_udtops,
     stream_id_expr,
 )
 from .sources.tables import load_table
@@ -1394,6 +1398,85 @@ FROM live GROUP BY 1, 2
 """
 
 
+def q_r3_udt_delta_ops(spark, sf_dir):
+    """R3/UDT on REAL field-delta encodings: written fields arrive in the
+    struct payload, removed fields as indices in
+    cdc$deleted_elements_prof; the kernel merges per-field last-writer-
+    wins and a row whose fields all null out disappears."""
+    cdc = events_as_cdc_udtops(spark, sf_dir, events=_events(spark, sf_dir))
+    state = apply_cdc_log(cdc, KV_UDT_DESC, mode="delta", n_kernel_buckets=64)
+    return state.select(
+        "grp",
+        "user_id",
+        F.col("prof.a").alias("a"),
+        F.col("prof.b").alias("b"),
+    )
+
+
+ORACLE_UDT_OPS = """
+WITH ev4 AS (
+  SELECT user_id % 40 AS grp, user_id, event_id, event_id % 4 AS m,
+         CAST(user_id % 7 AS INT) AS va,
+         CAST((user_id + event_id) % 7 AS INT) AS vb
+  FROM events
+),
+lasta AS (
+  SELECT grp, user_id, m, va FROM (
+    SELECT *, row_number() OVER (PARTITION BY grp, user_id ORDER BY event_id DESC) AS rn
+    FROM ev4 WHERE m IN (0, 2, 3)) s WHERE rn = 1
+),
+lastb AS (
+  SELECT grp, user_id, vb FROM (
+    SELECT *, row_number() OVER (PARTITION BY grp, user_id ORDER BY event_id DESC) AS rn
+    FROM ev4 WHERE m IN (1, 3)) s WHERE rn = 1
+)
+SELECT COALESCE(la.grp, lb.grp) AS grp,
+       COALESCE(la.user_id, lb.user_id) AS user_id,
+       CASE WHEN la.m IN (0, 3) THEN la.va END AS a,
+       lb.vb AS b
+FROM lasta la FULL JOIN lastb lb
+  ON la.grp = lb.grp AND la.user_id = lb.user_id
+WHERE (CASE WHEN la.m IN (0, 3) THEN la.va END) IS NOT NULL OR lb.vb IS NOT NULL
+"""
+
+
+def q_r6_range_prefix_bounds(spark, sf_dir):
+    """R6/J1 with multi-component clustering keys: bound rows set only the
+    ck prefix (second component NULL = unbounded tail), so the kernel's
+    clustering-bound comparison decides coverage on the prefix with
+    per-bound inclusivity — the general CQL range-delete shape."""
+    cdc = events_as_cdc_ck2ops(spark, sf_dir, events=_events(spark, sf_dir))
+    return apply_cdc_log(cdc, KV2_DESC, mode="delta", n_kernel_buckets=64)
+
+
+ORACLE_R6_PREFIX = """
+WITH ev5 AS (
+  SELECT user_id % 20 AS grp, user_id,
+         1600000000000000 + event_id * 1000 AS t,
+         event_id % 12 AS m,
+         CAST(event_id % 8 AS INT) AS ck2,
+         COALESCE(value, 0.0) AS v,
+         user_id - 20 * (event_id % 3 + 1) AS lo,
+         user_id + 20 * (event_id % 2 + 1) AS hi,
+         (event_id % 2 = 0) AS li,
+         (event_id % 3 = 0) AS ri
+  FROM events
+),
+writes AS (SELECT grp, user_id, ck2, t, v FROM ev5 WHERE m <> 0),
+lastw AS (
+  SELECT grp, user_id, ck2, t, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY grp, user_id, ck2 ORDER BY t DESC) AS rn
+    FROM writes) s WHERE rn = 1
+)
+SELECT w.grp, w.user_id, w.ck2, w.v AS value FROM lastw w
+WHERE NOT EXISTS (
+  SELECT 1 FROM ev5 d WHERE d.m = 0 AND d.grp = w.grp AND d.t > w.t
+    AND (w.user_id > d.lo OR (w.user_id = d.lo AND d.li))
+    AND (w.user_id < d.hi OR (w.user_id = d.hi AND d.ri))
+)
+"""
+
+
 _TTL_AS_OF = 1_600_000_000_000_000 + 2_000 * 1_000_000  # first write + 2000 s
 
 
@@ -1512,9 +1595,15 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "r3_set_delta": (q_r3_set_delta, ORACLE_R3, "R3 collection delta (analog)"),
     "r3_set_delta_ops": (q_r3_set_delta_ops, ORACLE_R3_OPS, "R3 real delta encodings"),
     "o3_list_ops": (q_o3_list_ops, ORACLE_O3_OPS, "O3 real timeuuid list encoding"),
+    "r3_udt_delta_ops": (q_r3_udt_delta_ops, ORACLE_UDT_OPS, "R3 real UDT field deltas"),
     "r4_row_delete_effect": (q_r4_row_delete_effect, ORACLE_R4, "R4 row tombstones"),
     "r5_partition_delete": (q_r5_partition_delete, ORACLE_R5, "R5 op-4 partition deletes"),
     "r6_range_delete": (q_r6_range_delete, ORACLE_R6, "R6 op-5..8 range deletes"),
+    "r6_range_prefix_bounds": (
+        q_r6_range_prefix_bounds,
+        ORACLE_R6_PREFIX,
+        "R6 multi-ck prefix bounds",
+    ),
     "r9_delta_full_mix": (q_r9_delta_full_mix, ORACLE_R9, "R9 image no-op + full op mix"),
     "r8_postimage_apply": (q_r8_postimage_apply, ORACLE_R8, "R8 op-9 post-image apply"),
     "j1_bound_pairing_ops": (q_j1_bound_pairing_ops, ORACLE_J1_OPS, "J1 real bound pairing"),

@@ -313,6 +313,176 @@ def events_as_cdc_listops(
     )
 
 
+KV_UDT_DESC = CdcTableDescriptor(
+    name="kv_udt",
+    base_schema=T.StructType(
+        [
+            T.StructField("grp", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField(
+                "prof",
+                T.StructType(
+                    [
+                        T.StructField("a", T.IntegerType()),
+                        T.StructField("b", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    ),
+    partition_keys=["grp"],
+    clustering_keys=["user_id"],
+    non_frozen_collections=["prof"],
+)
+
+
+def events_as_cdc_udtops(
+    spark: SparkSession,
+    sf_dir: str,
+    events: DataFrame | None = None,
+    n_groups: int = 40,
+    n_vnodes: int = 16,
+) -> DataFrame:
+    """The ``events`` table as a CDC log over a non-frozen UDT column with
+    the real field-delta encodings (RawChange.java:207-238: written fields
+    in the struct payload, removed fields as indices in
+    ``cdc$deleted_elements_prof``). Deterministic mapping (m = event_id %
+    4, va = user_id % 7, vb = (user_id + event_id) % 7): 0 -> set field a;
+    1 -> set field b; 2 -> remove field a (index 0); 3 -> set both.
+    Mirrored by ORACLE_UDT_OPS: per-field last-writer-wins, a row whose
+    fields are all null disappears.
+    """
+    ev = events if events is not None else load_table(spark, sf_dir, "events")
+    m = F.pmod(F.col("event_id"), F.lit(4))
+    va = F.pmod(F.col("user_id"), F.lit(7)).cast("int")
+    vb = F.pmod(F.col("user_id") + F.col("event_id"), F.lit(7)).cast("int")
+    null_i = F.lit(None).cast("int")
+    prof = (
+        F.when(m == 0, F.struct(va.alias("a"), null_i.alias("b")))
+        .when(m == 1, F.struct(null_i.alias("a"), vb.alias("b")))
+        .when(m == 3, F.struct(va.alias("a"), vb.alias("b")))
+    )
+    return ev.select(
+        stream_id_expr("user_id", n_vnodes).alias("cdc$stream_id"),
+        F.timestamp_micros(
+            F.lit(1_600_000_000_000_000) + F.col("event_id") * F.lit(1000)
+        ).alias("cdc$time_ts"),
+        (F.lit(1_600_000_000_000_000) + F.col("event_id") * F.lit(1000)).alias(
+            "cdc$time_micros"
+        ),
+        F.lit(0).cast("int").alias("cdc$batch_seq_no"),
+        F.lit(1).cast("byte").alias("cdc$operation"),
+        F.lit(True).alias("cdc$end_of_batch"),
+        F.lit(None).cast("long").alias("cdc$ttl"),
+        F.pmod(F.col("user_id"), F.lit(n_groups)).alias("grp"),
+        F.col("user_id"),
+        prof.alias("prof"),
+        F.lit(None).cast("boolean").alias("cdc$deleted_prof"),
+        F.when(m == 2, F.array(F.lit(0).cast("short"))).alias(
+            "cdc$deleted_elements_prof"
+        ),
+    )
+
+
+KV2_DESC = CdcTableDescriptor(
+    name="kv2_state",
+    base_schema=T.StructType(
+        [
+            T.StructField("grp", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ck2", T.IntegerType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    ),
+    partition_keys=["grp"],
+    clustering_keys=["user_id", "ck2"],
+)
+
+
+def events_as_cdc_ck2ops(
+    spark: SparkSession,
+    sf_dir: str,
+    events: DataFrame | None = None,
+    n_groups: int = 20,
+    n_vnodes: int = 16,
+) -> DataFrame:
+    """CDC log over a TWO-component clustering key exercising *prefix*
+    range-delete bounds: the bound rows set only the first clustering
+    component (second is NULL = unbounded tail), so coverage is decided on
+    the ck prefix exactly like the reference's clustering-bound comparison
+    (multi-ck pairing, Driver3SchemaFactory clustering order). Mapping:
+    event_id % 12 == 0 -> bound pair on ck1 = user_id +/- multiples of
+    ``n_groups`` with per-event inclusivity; every other event inserts row
+    (grp, user_id, event_id % 8)."""
+    ev = events if events is not None else load_table(spark, sf_dir, "events")
+    m = F.pmod(F.col("event_id"), F.lit(12))
+    base = ev.select(
+        m.alias("m"),
+        F.pmod(F.col("user_id"), F.lit(n_groups)).alias("grp"),
+        F.col("user_id"),
+        (F.lit(1_600_000_000_000_000) + F.col("event_id") * F.lit(1000)).alias("t"),
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("ck2"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("v"),
+        (
+            F.col("user_id")
+            - F.lit(n_groups) * (F.pmod(F.col("event_id"), F.lit(3)) + 1)
+        ).alias("lo"),
+        (
+            F.col("user_id")
+            + F.lit(n_groups) * (F.pmod(F.col("event_id"), F.lit(2)) + 1)
+        ).alias("hi"),
+        (F.pmod(F.col("event_id"), F.lit(2)) == 0).alias("li"),
+        (F.pmod(F.col("event_id"), F.lit(3)) == 0).alias("ri"),
+    )
+
+    def env2(df, op, seq, eob, ck1, ck2, val):
+        return df.select(
+            stream_id_expr("grp", n_vnodes).alias("cdc$stream_id"),
+            F.timestamp_micros(F.col("t")).alias("cdc$time_ts"),
+            F.col("t").alias("cdc$time_micros"),
+            F.lit(seq).cast("int").alias("cdc$batch_seq_no"),
+            op.cast("byte").alias("cdc$operation"),
+            F.lit(eob).alias("cdc$end_of_batch"),
+            F.lit(None).cast("long").alias("cdc$ttl"),
+            F.col("grp"),
+            ck1.cast("long").alias("user_id"),
+            ck2.cast("int").alias("ck2"),
+            val.cast("double").alias("value"),
+        )
+
+    null_i = F.lit(None).cast("int")
+    null_d = F.lit(None).cast("double")
+    writes = env2(
+        base.where(F.col("m") != 0),
+        F.lit(2),
+        seq=0,
+        eob=True,
+        ck1=F.col("user_id"),
+        ck2=F.col("ck2"),
+        val=F.col("v"),
+    )
+    rng = base.where(F.col("m") == 0)
+    left = env2(
+        rng,
+        F.when(F.col("li"), F.lit(5)).otherwise(F.lit(6)),
+        seq=0,
+        eob=False,
+        ck1=F.col("lo"),
+        ck2=null_i,
+        val=null_d,
+    )
+    right = env2(
+        rng,
+        F.when(F.col("ri"), F.lit(7)).otherwise(F.lit(8)),
+        seq=1,
+        eob=True,
+        ck1=F.col("hi"),
+        ck2=null_i,
+        val=null_d,
+    )
+    return writes.unionByName(left).unionByName(right)
+
+
 def events_as_cdc(
     spark: SparkSession, sf_dir: str, n_vnodes: int = 16, events: DataFrame | None = None
 ) -> DataFrame:
