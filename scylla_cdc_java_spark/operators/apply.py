@@ -32,7 +32,7 @@ native/codegen; P2 dedup rides inside the fold.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -210,6 +210,214 @@ def _apply_scalar_native(
     return out.select(*out_cols)
 
 
+def _apply_collection_native(
+    changes: DataFrame, d: dict, desc: CdcTableDescriptor, with_version: bool, out_cols: list[str]
+) -> DataFrame:
+    """Fully-native apply for tables WITH non-frozen collections (no range
+    deletes in the log): per-ELEMENT last-writer-wins.
+
+    The reference applies collection deltas element-wise with ``USING
+    TIMESTAMP`` idempotent writes (ExecutingPreparedStatementHandler.java:
+    64-90); that is exactly an aggregation over an element-action log:
+
+    * scalar columns + tombstones + markers: the same one-pass aggregation
+      as ``_apply_scalar_native``;
+    * each collection column: explode payload entries (adds) and
+      ``cdc$deleted_elements_*`` (removes) into (key, element) actions,
+      keep the latest action per element, drop elements whose latest
+      action predates the column's latest *reset* (whole-collection
+      overwrite / op-9 image) or the row's tombstone, then re-collect —
+      sets sorted, maps as maps, lists ordered by the timeuuid key (O3);
+    * non-frozen UDTs: per-field scalar-style LWW (field writes vs
+      ``remove_idx`` field clears vs overwrite resets) — fields are a
+      static domain, no explode needed.
+
+    Every aggregate is max/max_by, so at-least-once redelivery dedups for
+    free; the plan is one aggregation per stage plus same-key joins that
+    reuse the groupBy partitioning — no Python anywhere.
+    """
+    from ..functions.timeuuid import timeuuid_micros_col
+
+    pk, ck, regular, kinds = d["pk"], d["ck"], d["regular"], d["kinds"]
+    key = [*pk, *ck]
+    opI = F.col(_OP).cast("int")
+    ord_struct = F.struct(
+        F.col(TIME_MICROS).alias("t"), F.col(_SEQ).cast("int").alias("s")
+    )
+    neg = F.struct(
+        F.lit(-(2**63)).cast("long").alias("t"), F.lit(0).cast("int").alias("s")
+    )
+    is_write = opI.isin(1, 2, 9)
+    is_marker = opI.isin(2, 9)
+    is_rowdel = opI == 3 if ck else opI.isin(3, 4)
+
+    def dcol(c):
+        name = f"{DELETED_PREFIX}{c}"
+        return F.col(name) if name in changes.columns else F.lit(None).cast("boolean")
+
+    def ecol(c):
+        name = f"{DELETED_ELEMENTS_PREFIX}{c}"
+        return F.col(name) if name in changes.columns else F.lit(None)
+
+    # ---- base aggregation: tombstones, marker, scalars, UDT fields, resets
+    aggs = [
+        F.max(F.when(is_rowdel, ord_struct)).alias("__del"),
+        F.max(F.when(is_marker, ord_struct)).alias("__marker"),
+        F.max(F.when(is_write, F.col(TIME_MICROS))).alias("__ver"),
+    ]
+    for c in regular:
+        kind = kinds[c]
+        if kind == "scalar":
+            written = is_write & (
+                F.col(c).isNotNull() | F.coalesce(dcol(c), F.lit(False)) | (opI == 9)
+            )
+            aggs.append(F.max(F.when(written, ord_struct)).alias(f"__w_{c}"))
+            aggs.append(F.max_by(F.col(c), F.when(written, ord_struct)).alias(f"__v_{c}"))
+        elif kind == "udt":
+            # per-field LWW: a field action is a non-null field write, a
+            # remove_idx clear, or an overwrite/image reset without it
+            for i, fname in enumerate(d["udt_fields"][c]):
+                fval = F.col(c)[fname]
+                f_set = is_write & fval.isNotNull()
+                f_clr = is_write & (
+                    F.array_contains(
+                        F.coalesce(ecol(c), F.array().cast("array<short>")),
+                        F.lit(i).cast("short"),
+                    )
+                    | (
+                        ((opI == 9) | F.coalesce(dcol(c), F.lit(False)))
+                        & fval.isNull()
+                    )
+                )
+                # a clear in the same row as a payload write wins (the
+                # reference applies removed indices after field writes)
+                eff = F.when(f_clr, F.lit(None)).otherwise(fval)
+                aggs.append(
+                    F.max(F.when(f_set | f_clr, ord_struct)).alias(f"__w_{c}__{fname}")
+                )
+                aggs.append(
+                    F.max_by(eff, F.when(f_set | f_clr, ord_struct)).alias(
+                        f"__v_{c}__{fname}"
+                    )
+                )
+        else:  # set / map / list: reset watermark only; elements aggregate below
+            reset = is_write & ((opI == 9) | F.coalesce(dcol(c), F.lit(False)))
+            aggs.append(F.max(F.when(reset, ord_struct)).alias(f"__rst_{c}"))
+    base = changes.groupBy(*key).agg(*aggs)
+
+    if ck:
+        pdel = changes.where(opI == 4).groupBy(*pk).agg(F.max(ord_struct).alias("__pdel"))
+        base = base.join(pdel, pk, "left")
+        del_eff = F.coalesce(F.greatest(F.col("__del"), F.col("__pdel")), neg)
+    else:
+        del_eff = F.coalesce(F.col("__del"), neg)
+    base = base.withColumn("__D", del_eff)
+
+    # ---- per-collection element aggregation, joined back on the key
+    coll_cols = [c for c in regular if kinds[c] in ("set", "map", "list")]
+    writes_only = changes.where(is_write)
+    for c in coll_cols:
+        kind = kinds[c]
+        if kind == "set":
+            ev_null = F.lit(None).cast("string")  # sets carry no element value
+            adds = writes_only.where(F.col(c).isNotNull()).select(
+                *key, ord_struct.alias("__o"), F.explode(c).alias("ek"),
+                F.lit(True).alias("ia"), ev_null.alias("ev"),
+            )
+            rems = writes_only.where(ecol(c).isNotNull()).select(
+                *key, ord_struct.alias("__o"), F.explode(ecol(c)).alias("ek"),
+                F.lit(False).alias("ia"), ev_null.alias("ev"),
+            )
+        else:  # map / list: payload is map<k, v>; removes are key arrays
+            adds = writes_only.where(F.col(c).isNotNull()).select(
+                *key, ord_struct.alias("__o"),
+                F.explode(F.map_entries(F.col(c))).alias("kv"),
+                F.lit(True).alias("ia"),
+            ).select(
+                *key, "__o", F.col("kv.key").alias("ek"), "ia",
+                F.col("kv.value").alias("ev"),
+            )
+            rems = writes_only.where(ecol(c).isNotNull()).select(
+                *key, ord_struct.alias("__o"), F.explode(ecol(c)).alias("ek"),
+                F.lit(False).alias("ia"),
+                F.lit(None).cast(adds.schema["ev"].dataType).alias("ev"),
+            )
+        acts = adds.unionByName(rems)
+        # tie-break within one change row: the remove side of a single
+        # update applies after its add side (reference handler order)
+        act_ord = F.struct(F.col("__o"), (~F.col("ia")).cast("int").alias("rm"))
+        last = acts.groupBy(*key, "ek").agg(
+            F.max("__o").alias("__lo"),
+            F.max_by(F.struct(F.col("ia"), F.col("ev")), act_ord).alias("__la"),
+        )
+        cut = last.join(
+            base.select(*key, "__D", F.col(f"__rst_{c}").alias("__r")), key, "left"
+        ).where(
+            F.col("__la.ia")
+            & (F.col("__lo") > F.col("__D"))
+            & (F.col("__lo") >= F.coalesce(F.col("__r"), neg))
+        )
+        if kind == "set":
+            coll = cut.groupBy(*key).agg(
+                F.sort_array(F.collect_list("ek")).alias(f"__c_{c}")
+            )
+        elif kind == "map":
+            coll = cut.groupBy(*key).agg(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("ek"), F.col("__la.ev")))
+                    )
+                ).alias(f"__c_{c}")
+            )
+        else:  # list: order elements by the timeuuid key's time component
+            ent = F.struct(
+                timeuuid_micros_col(F.col("ek")).alias("tm"),
+                F.col("ek").alias("k"),
+                F.col("__la.ev").alias("v"),
+            )
+            coll = cut.groupBy(*key).agg(
+                F.transform(
+                    F.array_sort(F.collect_list(ent)), lambda x: x["v"]
+                ).alias(f"__c_{c}")
+            )
+        base = base.join(coll, key, "left")
+
+    # ---- assemble output
+    marker_alive = F.coalesce(F.col("__marker") > F.col("__D"), F.lit(False))
+    vals: dict[str, Column] = {}
+    for c in regular:
+        kind = kinds[c]
+        if kind == "scalar":
+            vals[c] = F.when(F.col(f"__w_{c}") > F.col("__D"), F.col(f"__v_{c}"))
+        elif kind == "udt":
+            fields = d["udt_fields"][c]
+            fvals = [
+                F.when(
+                    F.col(f"__w_{c}__{fn}") > F.col("__D"), F.col(f"__v_{c}__{fn}")
+                ).alias(fn)
+                for fn in fields
+            ]
+            struct_val = F.struct(*fvals)
+            any_field = F.lit(False)
+            for fn in fields:
+                any_field = any_field | (
+                    F.when(F.col(f"__w_{c}__{fn}") > F.col("__D"), F.col(f"__v_{c}__{fn}")).isNotNull()
+                )
+            vals[c] = F.when(any_field, struct_val)
+        else:
+            ccol = F.col(f"__c_{c}")
+            vals[c] = F.when(F.size(ccol) > 0, ccol)
+    any_cell = F.lit(False)
+    for c in regular:
+        any_cell = any_cell | vals[c].isNotNull()
+    sel = [*key]
+    if with_version:
+        sel.append(F.col("__ver").alias(TIME_MICROS))
+    sel += [vals[c].alias(c) for c in regular]
+    out = base.where(marker_alive | any_cell).select(*sel)
+    return out.select(*out_cols)
+
+
 def apply_cdc_log(
     changes: DataFrame,
     desc: CdcTableDescriptor,
@@ -257,12 +465,15 @@ def apply_cdc_log(
     executor comfortably; ``None`` groups by the raw key (one kernel call
     per CQL partition — only sensible for few, huge partitions).
 
-    ``native``: route scalar-only tables through the fully-native
-    cell-LWW aggregation (``_apply_scalar_native``) instead of the Python
-    fold. ``None`` (default) auto-enables it when the table also has no
-    clustering keys (range deletes impossible); ``True`` forces it for
-    ck-tables whose log is known to hold no range-delete bounds;
-    ``False`` always uses the fold kernel.
+    ``native``: route the apply through fully-native aggregation instead
+    of the Python fold — cell-LWW for scalar-only tables
+    (``_apply_scalar_native``), per-element LWW for tables with
+    non-frozen collections (``_apply_collection_native``). ``None``
+    (default) auto-enables it when the table has no clustering keys
+    (range deletes impossible); ``True`` forces it for ck-tables whose
+    log is known to hold no range-delete bounds; ``False`` always uses
+    the fold kernel. TTL visibility (``as_of_micros``) always uses the
+    fold kernel.
     """
     if mode not in ("delta", "postimage"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -341,15 +552,14 @@ def apply_cdc_log(
     # ``native=True`` for ck-tables too (partition deletes still handled).
     scalar_only = all(k == "scalar" for k in d["kinds"].values())
     if native is None:
-        native = scalar_only and not d["ck"] and as_of_micros is None
+        native = not d["ck"] and as_of_micros is None
     if native:
-        if not scalar_only:
-            raise ValueError("native apply requires a scalar-only (frozen) table")
         if as_of_micros is not None:
             raise ValueError("native apply does not evaluate TTL expiry")
-        return _apply_scalar_native(
-            changes, d, with_version_col, [f.name for f in out_schema.fields]
-        )
+        out_names = [f.name for f in out_schema.fields]
+        if scalar_only:
+            return _apply_scalar_native(changes, d, with_version_col, out_names)
+        return _apply_collection_native(changes, d, desc, with_version_col, out_names)
 
     kernel = _make_fold_kernel(
         d,

@@ -1477,6 +1477,52 @@ WHERE NOT EXISTS (
 """
 
 
+def q_r3_set_delta_ops_native(spark, sf_dir):
+    """The same real set-delta log through the NATIVE per-element LWW
+    apply (no Python fold) — element adds/removes/overwrites as one
+    explode + max_by aggregation; verified against the identical oracle
+    as the kernel row."""
+    cdc = events_as_cdc_setops(spark, sf_dir, events=_events(spark, sf_dir))
+    state = apply_cdc_log(cdc, KV_SET_DESC, mode="delta", native=True)
+    return state.select(
+        "grp",
+        "user_id",
+        F.size("tags").alias("n_elems"),
+        F.concat_ws(
+            ",", F.transform(F.col("tags"), lambda x: x.cast("string"))
+        ).alias("elems"),
+    )
+
+
+def q_o3_list_ops_native(spark, sf_dir):
+    """The real timeuuid-list log through the NATIVE apply: list order
+    reconstructed by sorting collected entries on the timeuuid time
+    component — all JVM expressions."""
+    cdc = events_as_cdc_listops(spark, sf_dir, events=_events(spark, sf_dir))
+    state = apply_cdc_log(cdc, KV_LIST_DESC, mode="delta", native=True)
+    return state.select(
+        "grp",
+        "user_id",
+        F.size("items").alias("n_items"),
+        F.concat_ws(
+            ",", F.transform(F.col("items"), lambda x: x.cast("string"))
+        ).alias("items"),
+    )
+
+
+def q_r3_udt_delta_ops_native(spark, sf_dir):
+    """The real UDT field-delta log through the NATIVE apply: per-field
+    LWW as static aggregation (fields are a fixed domain — no explode)."""
+    cdc = events_as_cdc_udtops(spark, sf_dir, events=_events(spark, sf_dir))
+    state = apply_cdc_log(cdc, KV_UDT_DESC, mode="delta", native=True)
+    return state.select(
+        "grp",
+        "user_id",
+        F.col("prof.a").alias("a"),
+        F.col("prof.b").alias("b"),
+    )
+
+
 _TTL_AS_OF = 1_600_000_000_000_000 + 2_000 * 1_000_000  # first write + 2000 s
 
 
@@ -1596,6 +1642,21 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "r3_set_delta_ops": (q_r3_set_delta_ops, ORACLE_R3_OPS, "R3 real delta encodings"),
     "o3_list_ops": (q_o3_list_ops, ORACLE_O3_OPS, "O3 real timeuuid list encoding"),
     "r3_udt_delta_ops": (q_r3_udt_delta_ops, ORACLE_UDT_OPS, "R3 real UDT field deltas"),
+    "r3_set_delta_ops_native": (
+        q_r3_set_delta_ops_native,
+        ORACLE_R3_OPS,
+        "R3 set deltas, native per-element LWW",
+    ),
+    "o3_list_ops_native": (
+        q_o3_list_ops_native,
+        ORACLE_O3_OPS,
+        "O3 list encoding, native apply",
+    ),
+    "r3_udt_delta_ops_native": (
+        q_r3_udt_delta_ops_native,
+        ORACLE_UDT_OPS,
+        "R3 UDT deltas, native apply",
+    ),
     "r4_row_delete_effect": (q_r4_row_delete_effect, ORACLE_R4, "R4 row tombstones"),
     "r5_partition_delete": (q_r5_partition_delete, ORACLE_R5, "R5 op-4 partition deletes"),
     "r6_range_delete": (q_r6_range_delete, ORACLE_R6, "R6 op-5..8 range deletes"),

@@ -365,12 +365,75 @@ def test_native_scalar_apply_with_ck_fuzz(spark, seed):
     assert canon(native.collect()) == canon(want)
 
 
-def test_native_rejects_collection_tables(spark):
-    desc = FIXTURE_TABLES["tbl_sets"]
-    gen = CdcLogGenerator(desc)
-    df = gen.spark_df(spark, [("insert", ("a",), (1,), {"v": {"overwrite": [1]}})])
-    with pytest.raises(ValueError, match="scalar-only"):
-        apply_cdc_log(df, desc, native=True)
+def _collection_dml(desc, rng, n=120):
+    """Random collection DML (no range deletes): inserts/updates mixing
+    overwrite/add/remove deltas, row + partition deletes."""
+    from pyspark.sql import types as T
+
+    pks = [("p%d" % i,) for i in range(4)]
+    n_ck = len(desc.clustering_keys)
+    dml = []
+
+    def cw(col):
+        dt = desc.base_field(col).dataType
+        if isinstance(dt, T.StructType):
+            r = rng.random()
+            if r < 0.5:
+                return {"fields": {"a": rng.randrange(10), "b": rng.randrange(10)}}
+            if r < 0.8:
+                return {"fields": {"a": rng.randrange(10)}, "remove_idx": [1]}
+            return {"overwrite_null": True, "fields": {"b": rng.randrange(10)}}
+        if isinstance(dt, T.MapType):
+            r = rng.random()
+            if r < 0.4:
+                return {"overwrite": {rng.randrange(5): rng.randrange(100) for _ in range(2)}}
+            if r < 0.8:
+                return {"add": {rng.randrange(5): rng.randrange(100) for _ in range(2)}}
+            return {"remove": [rng.randrange(5)]}
+        r = rng.random()
+        if r < 0.4:
+            return {"overwrite": [rng.randrange(10) for _ in range(3)]}
+        if r < 0.8:
+            return {"add": [rng.randrange(10) for _ in range(2)]}
+        return {"remove": [rng.randrange(10)]}
+
+    for _ in range(n):
+        roll = rng.random()
+        pk = rng.choice(pks)
+        ck = tuple(rng.randrange(0, 5) for _ in range(n_ck))
+        if roll < 0.5:
+            dml.append(("insert", pk, ck, {c: cw(c) for c in desc.regular_columns}))
+        elif roll < 0.8:
+            dml.append(("update", pk, ck, {c: cw(c) for c in desc.regular_columns}))
+        elif roll < 0.93:
+            dml.append(("row_delete", pk, ck))
+        else:
+            dml.append(("partition_delete", pk))
+    return dml
+
+
+@pytest.mark.parametrize("table", ["tbl_sets", "tbl_maps", "tbl_lists", "tbl_udts"])
+@pytest.mark.parametrize("seed", [21, 22])
+def test_native_collection_apply_fuzz(spark, table, seed):
+    """The native per-element LWW path (native=True) must match the fold
+    kernel AND the pure-Python replay oracle on collection tables under
+    shuffled, duplicated delivery (no range deletes in the log)."""
+    desc = FIXTURE_TABLES[table]
+    rng = random.Random(seed)
+    dml = _collection_dml(desc, rng)
+    df = CdcLogGenerator(desc, seed=seed).spark_df(
+        spark, dml, shuffle=True, duplicate_frac=0.25
+    )
+    native = apply_cdc_log(df, desc, native=True)
+    plan = native._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan and "BatchEvalPython" not in plan
+    kernel = apply_cdc_log(df, desc, native=False)
+    want = replay_dml(desc, dml)
+    names = [f.name for f in desc.base_schema.fields]
+    canon = lambda rows: sorted(_canon(tuple(r[n] for n in names)) for r in rows)  # noqa: E731
+    got_n, got_k, want_c = canon(native.collect()), canon(kernel.collect()), canon(want)
+    assert got_k == want_c  # kernel baseline still agrees with the oracle
+    assert got_n == want_c, f"{table} native diverged"
 
 
 def test_ttl_expiry_scalar_cells_and_marker(spark):
