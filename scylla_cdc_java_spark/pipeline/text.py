@@ -207,6 +207,39 @@ def stratified_sample(
     return df.where(keep)
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for training-example assembly: assign documents to
+    fixed token-budget bins by *contiguous cumulative-sum packing* — docs
+    in id order pack into a bin until the running token total crosses the
+    budget (a bin may overflow by its last doc, the standard streaming
+    packer trade). Deterministic and order-stable, so reruns and engines
+    agree; one window over the id order (at 100 TB: range-partition by id
+    first, then the cumsum is per-partition with offset — same plan shape
+    Spark uses for row_number).
+
+    Output: ``(doc_id, n_tokens, bin_id, bin_offset)`` where bin_offset is
+    the token offset of the doc inside its bin.
+    """
+    toks = F.size(tokens_col(text_col))
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    prev_cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.select(id_col, toks.alias("n_tokens"))
+        .withColumn("__prev", prev_cum)
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(F.col("__prev") / F.lit(budget)).cast("long").alias("bin_id"),
+            (F.col("__prev") % F.lit(budget)).cast("long").alias("bin_offset"),
+        )
+    )
+
+
 def assign_splits(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1106,6 +1106,32 @@ GROUP BY source
 """
 
 
+def q_text_pack_sequences(spark, sf_dir):
+    """Sequence packing: contiguous cumulative-sum assignment of docs to
+    fixed token-budget training bins (order-stable, engine-agnostic)."""
+    from .pipeline.text import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=2048)
+
+
+ORACLE_PACK = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(prev // 2048 AS BIGINT) AS bin_id,
+       CAST(prev % 2048 AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
 ORACLE_SPLIT = """
 SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc FROM (
   SELECT doc_id,
@@ -1700,6 +1726,7 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "text_repetition": (q_text_repetition, ORACLE_REPETITION, "repetition quality signals"),
     "text_contamination": (q_text_contamination, ORACLE_CONTAMINATION, "benchmark decontamination"),
     "text_stratified_sample": (q_text_stratified_sample, ORACLE_STRATIFIED, "stratified mix sampling"),
+    "text_pack_sequences": (q_text_pack_sequences, ORACLE_PACK, "token-budget sequence packing"),
     "agg_lineitem_pushdown": (q_agg_lineitem_pushdown, ORACLE_AGG_LINEITEM, "scan+agg anchor"),
     "join_broadcast_revenue": (q_join_broadcast_revenue, ORACLE_JOIN_REVENUE, "broadcast join anchor"),
 }
