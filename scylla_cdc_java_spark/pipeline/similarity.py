@@ -170,12 +170,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the partitioned scale path.
 
     Coarse quantizer: a deterministic subset of the corpus acts as the
-    centroid table (``id % centroid_mod == 0`` — at real scale this is a
-    k-means output; the plumbing is identical). Every corpus vector is
+    centroid table (``id % centroid_mod == 0``; pass ``centroids=`` a
+    ``kmeans_train`` output ``(cid, cv)`` frame to use trained centroids
+    instead — the plumbing is identical). Every corpus vector is
     assigned to its nearest centroid in ONE pass (blocked numpy GEMM against
     the broadcast centroid matrix, no shuffle); queries probe their
     ``nprobe`` nearest centroids; candidates are only the probed buckets'
@@ -186,12 +188,14 @@ def ivf_topk(
     """
     import numpy as np
 
-    cent_rows = sorted(
-        corpus.where(F.col(id_col) % centroid_mod == 0)
-        .select(F.col(id_col).alias("cid"), quantize_embedding(vec_col, scale).alias("cv"))
-        .collect(),
-        key=lambda r: r["cid"],
+    cent_src = (
+        centroids.select("cid", "cv")
+        if centroids is not None
+        else corpus.where(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("cid"), quantize_embedding(vec_col, scale).alias("cv")
+        )
     )
+    cent_rows = sorted(cent_src.collect(), key=lambda r: r["cid"])
     cent_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     cent_mat = np.array([r["cv"] for r in cent_rows], dtype=np.int64)
 
@@ -244,6 +248,69 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot_q")
+    )
+
+
+def kmeans_train(
+    emb: DataFrame,
+    centroid_mod: int = 40,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the quantized corpus — the real
+    trainer behind ``ivf_topk``'s coarse quantizer (whose docstring promises
+    exactly this). Fully deterministic, so the DuckDB oracle can replay it:
+
+    * init: seeds are the corpus vectors with ``id % centroid_mod == 0``
+      (k-means|| at real scale; the iteration plumbing is identical);
+    * assign: nearest centroid by **max quantized dot** (== min L2 on the
+      unit-norm fixture vectors), ties to the smaller centroid id — a
+      broadcast of the tiny centroid table against the corpus, aggregated
+      with ``max_by`` (partial-aggregatable, no window over the corpus);
+    * update: element-wise **floor-division integer mean** of member
+      vectors (``(s - pmod(s, n)) div n`` — exact integer arithmetic, no
+      float summation order anywhere), via posexplode → (cid, pos) partial
+      agg → array reassembly.
+
+    Per iteration: one broadcast-join map pass + one (cid, pos)-keyed
+    shuffle whose cardinality is k x dim, not the corpus. Returns
+    ``(cid, cv, n_members)`` with ``cv`` the final integer centroid;
+    feed it to ``ivf_topk(centroids=...)``.
+    """
+    q = emb.select(
+        F.col(id_col).alias("vid"), quantize_embedding(vec_col, scale).alias("qv")
+    )
+    cent = q.where(F.col("vid") % centroid_mod == 0).select(
+        F.col("vid").alias("cid"), F.col("qv").alias("cv")
+    )
+    assign = None
+    for _ in range(n_iter):
+        scored = q.crossJoin(F.broadcast(cent)).withColumn(
+            "dot", quantized_dot(F.col("qv"), F.col("cv"))
+        )
+        assign = scored.groupBy("vid").agg(
+            F.max_by(
+                "cid", F.struct(F.col("dot"), (-F.col("cid")).alias("neg"))
+            ).alias("cid"),
+            F.first("qv").alias("qv"),
+        )
+        comps = (
+            assign.select("cid", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("comp", F.expr("(s - pmod(s, n)) div n"))
+        )
+        cent = comps.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+                lambda x: x["comp"],
+            ).alias("cv")
+        )
+    members = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return cent.join(members, "cid", "left").withColumn(
+        "n_members", F.coalesce("n_members", F.lit(0))
     )
 
 

@@ -240,6 +240,213 @@ def pack_sequences(
     )
 
 
+def stratified_take(
+    df: DataFrame,
+    targets: dict[str, int],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    denom: int = 10_000,
+    safety: int = 4,
+    exact: bool = False,
+) -> DataFrame:
+    """Exact per-stratum target-COUNT sampling (the companion to the
+    rate-based ``stratified_sample``): keep exactly ``targets[stratum]``
+    documents per stratum, chosen deterministically by the portable id
+    hash so reruns and engines agree row-for-row.
+
+    The rank key is ``(b, id)`` with ``b = h31(id) % denom``. Two paths:
+
+    * ``exact=True`` — one ``row_number`` window per full stratum. Correct
+      anywhere, but the per-stratum sort funnels each stratum through one
+      reducer: fine to ~1e8 rows/stratum, a skew wall at 100 TB.
+    * default (scale path) — a tiny per-stratum count aggregate derives a
+      hash cutoff ``ceil(denom * safety * target / n)``; the corpus is
+      pre-filtered map-only to ``b < cutoff`` (~``safety x target`` rows
+      per stratum survive) and only the survivors are ranked. The window
+      input is O(targets), not O(corpus). Because the rank key's primary
+      component IS ``b``, the pre-filter is rank-aligned: it can only
+      undershoot if the stratum's kept-hash density is ``safety`` x below
+      uniform (vanishing for ``safety >= 4`` and targets >= ~20); the
+      algorithm (including any undershoot) is deterministic either way.
+    """
+    from .dedup import h31
+
+    tgt = F.lit(0)
+    for k, v in targets.items():
+        tgt = F.when(F.col(stratum_col) == k, F.lit(int(v))).otherwise(tgt)
+    b = (h31(F.col(id_col).cast("string")) % F.lit(denom)).alias("__b")
+    d = df.withColumn("__b", b).withColumn("__tgt", tgt).where(F.col("__tgt") > 0)
+    if not exact:
+        counts = d.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+        d = d.join(F.broadcast(counts), stratum_col)
+        cutoff = F.least(
+            F.lit(denom).cast("long"),
+            ((F.lit(denom * safety) * F.col("__tgt") + F.col("__n") - 1) / F.col("__n"))
+            .cast("long"),
+        )
+        d = d.where(F.col("__b") < cutoff).drop("__n")
+    w = Window.partitionBy(stratum_col).orderBy("__b", id_col)
+    return (
+        d.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.col("__tgt"))
+        .drop("__b", "__tgt", "__rk")
+    )
+
+
+# Filter-chain rule order is part of the contract: the FIRST failing rule
+# names the reject reason (C4/Gopher-style pipelines report per-rule drops).
+QUALITY_FILTER_RULES = (
+    "too_short",
+    "too_long",
+    "low_stopword",
+    "repetitive_token",
+    "repetitive_bigram",
+)
+
+
+def apply_quality_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 15,
+    max_tokens: int = 90,
+    min_stop_ratio: float = 0.01,
+    max_top_token_frac: float = 0.18,
+    max_dup_bigram_frac: float = 0.15,
+) -> DataFrame:
+    """C4/Gopher-style quality filter chain (Raffel et al. 2020 §2.2,
+    Rae et al. 2021 §A1.1): length bounds, stopword floor, repetition
+    ceilings. Adds ``keep`` (boolean) and ``reject_reason`` (first failing
+    rule, null when kept) so drop-rate dashboards get per-rule attribution.
+
+    All signals are the deterministic ``round(..., 6)`` columns from
+    ``add_quality``/``add_repetition_stats`` — comparisons are bit-stable
+    across engines. Map-only pass; at 100 TB this fuses into the scan.
+    """
+    d = add_repetition_stats(add_quality(df, text_col), text_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("stop_ratio") < min_stop_ratio, F.lit("low_stopword"))
+        .when(F.col("top_token_frac") > max_top_token_frac, F.lit("repetitive_token"))
+        .when(F.col("dup_bigram_frac") > max_dup_bigram_frac, F.lit("repetitive_bigram"))
+    )
+    return d.withColumn("reject_reason", reason).withColumn(
+        "keep", F.col("reject_reason").isNull()
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    target_shares: dict[str, float],
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture reweighting: per-source token mass vs a target share
+    gives the sampling weight ``target_share / actual_share`` a mixing
+    pipeline feeds into ``stratified_sample`` rates (sources absent from
+    ``target_shares`` get weight 0 — dropped from the mix).
+
+    One partial-aggregatable groupBy over the corpus; the share/weight
+    arithmetic runs on the |sources|-row aggregate, so the window below is
+    driver-cheap at any scale.
+    """
+    tgt = F.lit(0.0)
+    for k, v in target_shares.items():
+        tgt = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(tgt)
+    agg = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col(text_col))).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    share = F.col("n_tokens").cast("double") / total.cast("double")
+    return (
+        agg.withColumn("actual_share", F.round(share, 6))
+        .withColumn("target_share", tgt)
+        .withColumn(
+            "weight",
+            F.when(F.col("actual_share") > 0, F.round(tgt / F.col("actual_share"), 6))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    k: int = 20,
+    stride: int = 5,
+    min_common: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring near-dup pairs (the detection half of Lee et al.
+    2021's ExactSubstr dedup): two documents are flagged when they share at
+    least ``min_common`` distinct ``k``-character grams sampled every
+    ``stride`` chars. Character-level, so it catches copy-paste overlap
+    that word-shingle Jaccard dilutes.
+
+    Same inverted-index shape (and scale posture) as ``ngram_jaccard_pairs``:
+    explode grams, self-join on the gram key, count per pair. ``max_df``
+    drops grams appearing in more than that many documents — boilerplate
+    grams are d^2 candidate explosions at 100 TB, so cap them in any
+    at-scale run (the cap drops only pairs whose every shared gram is
+    boilerplate, the standard trade).
+    """
+    t = F.col(text_col)
+    pos = F.when(
+        F.length(t) >= F.lit(k),
+        F.sequence(F.lit(1), F.length(t) - F.lit(k - 1), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(pos, lambda i: t.substr(i, F.lit(k)))
+    g = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .dropDuplicates([id_col, "gram"])
+    )
+    if max_df is not None:
+        freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        g = g.join(freq.where(F.col("__df") <= max_df).select("gram"), "gram")
+    a = g.select(F.col(id_col).alias("doc_a"), "gram")
+    bd = g.select(F.col(id_col).alias("doc_b"), "gram")
+    return (
+        a.join(bd, "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+
+
+# (label, pattern, replacement) triples. Patterns are deliberately within
+# the common subset of Java regex (Spark) and RE2 (DuckDB/ripgrep) — no
+# backrefs, no lookaround — so oracles and engines agree byte-for-byte.
+DEFAULT_REDACTIONS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("number", "[0-9]+", "<NUM>"),
+)
+
+
+def redact_patterns(
+    df: DataFrame,
+    patterns: tuple[tuple[str, str, str], ...] = DEFAULT_REDACTIONS,
+    text_col: str = "text",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """PII / pattern scrubbing: apply each ``(label, regex, token)`` rule in
+    order with a global ``regexp_replace``, and record ``n_<label>`` match
+    counts (pre-replacement) for scrub-rate reporting. Earlier rules mask
+    later ones exactly as in a sequential scrubber (an email's digits are
+    already ``<EMAIL>`` when the number rule runs).
+
+    Pure native expressions — map-only, whole-stage codegen, no shuffle.
+    """
+    out = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for label, pat, repl in patterns:
+        counts[f"n_{label}"] = F.size(F.regexp_extract_all(out, F.lit(pat), F.lit(0)))
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumns({**counts, out_col: out})
+
+
 def assign_splits(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1145,6 +1145,274 @@ SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc FROM (
 """
 
 
+def q_text_stratified_take(spark, sf_dir):
+    """Exact per-stratum target-count sampling, scale path: hash-cutoff
+    pre-filter (rank-aligned) + row_number over the ~4x-target survivors."""
+    from .pipeline.text import stratified_take
+
+    taken = stratified_take(
+        _docs(spark, sf_dir), targets={"src0": 30, "src1": 50, "src2": 20}
+    )
+    return taken.select("source", "doc_id")
+
+
+ORACLE_STRAT_TAKE = """
+WITH d AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2147483647 % 10000 AS b,
+         CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 50
+                     WHEN 'src2' THEN 20 ELSE 0 END AS tgt
+  FROM documents
+),
+d2 AS (SELECT * FROM d WHERE tgt > 0),
+c AS (SELECT source, count(*) AS n FROM d2 GROUP BY source),
+f AS (
+  SELECT d2.*, least(10000, (40000 * tgt + n - 1) // n) AS cutoff
+  FROM d2 JOIN c USING (source)
+),
+r AS (
+  SELECT source, doc_id, tgt,
+         row_number() OVER (PARTITION BY source ORDER BY b, doc_id) AS rk
+  FROM f WHERE b < cutoff
+)
+SELECT source, doc_id FROM r WHERE rk <= tgt
+"""
+
+
+def q_text_quality_filter(spark, sf_dir):
+    """C4/Gopher-style filter chain: per-rule drop attribution (first
+    failing rule names the reject reason; null = kept)."""
+    from .pipeline.text import apply_quality_filters
+
+    d = apply_quality_filters(_docs(spark, sf_dir))
+    return d.groupBy("reject_reason").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+
+
+ORACLE_QUALITY_FILTER = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sig AS (
+  SELECT doc_id, len(toks) AS n,
+         round(len(list_filter(toks, x -> x IN ('the','a','of','and','is')))
+               / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+         round(list_max(list_transform(list_distinct(toks),
+                   d -> len(list_filter(toks, x -> x = d))))
+               / CAST(len(toks) AS DOUBLE), 6) AS top_frac,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bi
+  FROM t
+),
+sig2 AS (
+  SELECT doc_id, n, stop_ratio, top_frac,
+         CASE WHEN len(bi) > 0
+              THEN round(1.0 - len(list_distinct(bi)) / CAST(len(bi) AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_bi
+  FROM sig
+),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN n < 15 THEN 'too_short'
+              WHEN n > 90 THEN 'too_long'
+              WHEN stop_ratio < 0.01 THEN 'low_stopword'
+              WHEN top_frac > 0.18 THEN 'repetitive_token'
+              WHEN dup_bi > 0.15 THEN 'repetitive_bigram'
+              ELSE NULL END AS reject_reason
+  FROM sig2
+)
+SELECT reject_reason, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM lab GROUP BY reject_reason
+"""
+
+
+def q_text_mixture_weights(spark, sf_dir):
+    """Domain-mixture reweighting: per-source token mass vs target share
+    -> sampling weight for the mixing pipeline."""
+    from .pipeline.text import mixture_weights
+
+    return mixture_weights(
+        _docs(spark, sf_dir), {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+
+
+ORACLE_MIXTURE = """
+WITH agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+sh AS (
+  SELECT source, n_docs, n_tokens,
+         round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS actual_share,
+         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                     WHEN 'src2' THEN 0.2 ELSE 0.0 END AS target_share
+  FROM agg
+)
+SELECT source, n_docs, n_tokens, actual_share, target_share,
+       CASE WHEN actual_share > 0 THEN round(target_share / actual_share, 6)
+            ELSE 0.0 END AS weight
+FROM sh
+"""
+
+
+def q_dedup_exact_substring(spark, sf_dir):
+    """Exact-substring near-dup pairs (Lee et al. 2021 ExactSubstr shape):
+    docs sharing >= 2 distinct 20-char grams sampled every 5 chars."""
+    from .pipeline.text import exact_substring_pairs
+
+    return exact_substring_pairs(_docs(spark, sf_dir), k=20, stride=5, min_common=2)
+
+
+ORACLE_EXACT_SUBSTR = """
+WITH t AS (SELECT doc_id, text FROM documents),
+g0 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(length(text) - 19, 0), 5),
+             i -> substr(text, i, 20))) AS gram
+  FROM t
+),
+g AS (SELECT DISTINCT doc_id, gram FROM g0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_text_redact(spark, sf_dir):
+    """PII / pattern scrubbing over events.props (digit-bearing JSON):
+    sequential regexp rules with pre-replacement match counts."""
+    from .pipeline.text import redact_patterns
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("props").alias("text")
+    )
+    return redact_patterns(ev).select(
+        "event_id", "redacted", "n_email", "n_number"
+    )
+
+
+ORACLE_REDACT = """
+SELECT event_id,
+       regexp_replace(
+           regexp_replace(props,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]+', '<NUM>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(props,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(
+           regexp_replace(props,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]+')) AS INT) AS n_number
+FROM events
+"""
+
+
+def q_ann_kmeans_train(spark, sf_dir):
+    """Distributed Lloyd k-means (2 iterations, deterministic seeds and
+    integer arithmetic) — the real IVF coarse-quantizer trainer."""
+    from .pipeline.similarity import kmeans_train
+
+    cent = kmeans_train(_emb(spark, sf_dir), centroid_mod=40, n_iter=2)
+    return cent.select(
+        "cid",
+        "n_members",
+        F.aggregate("cv", F.lit(0).cast("long"), lambda a, x: a + x).alias("cent_sum"),
+    )
+
+
+ORACLE_KMEANS = """
+WITH q AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (SELECT vid AS cid, qv AS cv FROM q WHERE vid % 40 = 0),
+a1 AS (
+  SELECT vid, qv, cid FROM (
+    SELECT q.vid, q.qv, c0.cid,
+           row_number() OVER (PARTITION BY q.vid
+             ORDER BY CAST(list_dot_product(q.qv, c0.cv) AS BIGINT) DESC, c0.cid) AS rn
+    FROM q CROSS JOIN c0) WHERE rn = 1
+),
+u1 AS (
+  SELECT cid, i AS pos, CAST(sum(qv[i]) AS BIGINT) AS s, count(*) AS n
+  FROM a1, unnest(generate_series(1, len(qv))) AS t(i) GROUP BY 1, 2
+),
+c1 AS (
+  SELECT cid, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY pos) AS cv
+  FROM u1 GROUP BY cid
+),
+a2 AS (
+  SELECT vid, qv, cid FROM (
+    SELECT q.vid, q.qv, c1.cid,
+           row_number() OVER (PARTITION BY q.vid
+             ORDER BY CAST(list_dot_product(q.qv, c1.cv) AS BIGINT) DESC, c1.cid) AS rn
+    FROM q CROSS JOIN c1) WHERE rn = 1
+),
+u2 AS (
+  SELECT cid, i AS pos, CAST(sum(qv[i]) AS BIGINT) AS s, count(*) AS n
+  FROM a2, unnest(generate_series(1, len(qv))) AS t(i) GROUP BY 1, 2
+),
+c2 AS (
+  SELECT cid, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY pos) AS cv
+  FROM u2 GROUP BY cid
+),
+m AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM a2 GROUP BY cid)
+SELECT c2.cid, m.n_members, CAST(list_sum(c2.cv) AS BIGINT) AS cent_sum
+FROM c2 JOIN m USING (cid)
+"""
+
+# The two-iteration Lloyd CTE chain (q .. c2) shared by the trainer oracle
+# above and the trained-IVF oracle below.
+_KMEANS_CTES = ORACLE_KMEANS.split("m AS")[0].rstrip().rstrip(",")
+
+
+def q_ann_ivf_trained_topk(spark, sf_dir):
+    """End-to-end IVF: kmeans_train centroids feeding ivf_topk — the full
+    trained scale path (trainer -> coarse quantizer -> probed search)
+    under one gate row."""
+    from .pipeline.similarity import ivf_topk, kmeans_train
+
+    emb = _emb(spark, sf_dir)
+    cent = kmeans_train(emb, centroid_mod=40, n_iter=2)
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=3, nprobe=2, centroids=cent)
+
+
+ORACLE_ANN_IVF_TRAINED = (
+    _KMEANS_CTES
+    + """,
+assign AS (
+  SELECT q.vid, c2.cid,
+         row_number() OVER (PARTITION BY q.vid
+           ORDER BY CAST(list_dot_product(q.qv, c2.cv) AS BIGINT) DESC, c2.cid) AS rn
+  FROM q CROSS JOIN c2
+),
+corpus_assign AS (SELECT vid, cid FROM assign WHERE rn = 1),
+probes AS (SELECT vid AS query_id, cid FROM assign WHERE rn <= 2 AND vid < 5),
+cand AS (
+  SELECT p.query_id, ca.vid AS neighbor_id
+  FROM probes p JOIN corpus_assign ca ON ca.cid = p.cid
+  WHERE ca.vid <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(list_dot_product(qq.qv, nn.qv) AS BIGINT) AS dot_q
+  FROM cand c
+  JOIN q qq ON qq.vid = c.query_id
+  JOIN q nn ON nn.vid = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM ranked WHERE rank <= 3
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Relational anchors (scan/agg/join efficiency at bench scale)
 # --------------------------------------------------------------------------
@@ -1727,6 +1995,17 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "text_contamination": (q_text_contamination, ORACLE_CONTAMINATION, "benchmark decontamination"),
     "text_stratified_sample": (q_text_stratified_sample, ORACLE_STRATIFIED, "stratified mix sampling"),
     "text_pack_sequences": (q_text_pack_sequences, ORACLE_PACK, "token-budget sequence packing"),
+    "text_stratified_take": (q_text_stratified_take, ORACLE_STRAT_TAKE, "per-stratum target counts"),
+    "text_quality_filter": (q_text_quality_filter, ORACLE_QUALITY_FILTER, "C4/Gopher filter chain"),
+    "text_mixture_weights": (q_text_mixture_weights, ORACLE_MIXTURE, "domain-mixture reweighting"),
+    "text_redact": (q_text_redact, ORACLE_REDACT, "PII/pattern scrubbing"),
+    "dedup_exact_substring": (q_dedup_exact_substring, ORACLE_EXACT_SUBSTR, "exact-substring pairs"),
+    "ann_kmeans_train": (q_ann_kmeans_train, ORACLE_KMEANS, "IVF k-means trainer"),
+    "ann_ivf_trained_topk": (
+        q_ann_ivf_trained_topk,
+        ORACLE_ANN_IVF_TRAINED,
+        "trained-centroid IVF end-to-end",
+    ),
     "agg_lineitem_pushdown": (q_agg_lineitem_pushdown, ORACLE_AGG_LINEITEM, "scan+agg anchor"),
     "join_broadcast_revenue": (q_join_broadcast_revenue, ORACLE_JOIN_REVENUE, "broadcast join anchor"),
 }

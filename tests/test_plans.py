@@ -71,7 +71,8 @@ def test_ivf_broadcasts_probes(spark):
 @pytest.mark.parametrize(
     "name",
     ["text_fingerprint", "text_quality", "text_langid", "text_repetition",
-     "text_stratified_sample", "text_contamination"],
+     "text_stratified_sample", "text_contamination", "text_quality_filter",
+     "text_redact", "text_mixture_weights", "text_stratified_take"],
 )
 def test_text_ops_stay_native(spark, name):
     plan = _plan(spark, name)
