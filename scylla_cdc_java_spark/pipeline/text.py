@@ -496,3 +496,62 @@ def shingles(
     ).otherwise(F.array().cast("array<string>"))
     exploded = df.withColumn(out, F.explode(sh)).drop(text_col)
     return exploded.dropDuplicates(["doc_id", out]) if distinct else exploded
+
+
+def train_order(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every document a
+    ``(bucket, rk)`` position from the portable id hash. Training readers
+    consume buckets 0..n-1 in order, rows within a bucket by ``rk`` — a
+    reproducible pseudo-random permutation with no RNG state, identical
+    across engines, partitionings, and reruns.
+
+    Scale posture: bucketing is map-only; the ``row_number`` window sorts
+    WITHIN each bucket only (corpus/n_buckets rows per reducer — pick
+    n_buckets so a bucket fits one task), never a global single-reducer
+    sort. A global ordinal, if needed, is ``rk``-within-bucket plus the
+    (tiny, broadcastable) per-bucket count prefix sum.
+    """
+    from .dedup import h31
+
+    h = h31(F.col(id_col).cast("string"))
+    d = df.withColumn("__h", h).withColumn(
+        "bucket", (F.col("__h") % F.lit(n_buckets)).cast("int")
+    )
+    w = Window.partitionBy("bucket").orderBy("__h", id_col)
+    return d.withColumn("rk", F.row_number().over(w)).drop("__h")
+
+
+def length_quantiles(
+    df: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum token-length distribution: exact interpolated quantiles
+    (Spark ``percentile`` == ANSI ``percentile_cont`` == DuckDB
+    ``quantile_cont``: linear interpolation at index ``p*(n-1)``), plus doc
+    count and mean — the corpus-profiling step that drives sequence-length
+    budgeting and truncation policy.
+
+    One shuffle (groupBy stratum); exact percentile keeps per-group values
+    in the reducer — fine to ~1e8 docs/stratum. At 100 TB swap in
+    ``percentile_approx`` (t-digest sketch, map-side combinable) — kept
+    exact here because the oracle must match bit-for-bit.
+    """
+    n = F.size(tokens_col(text_col)).cast("double")
+    d = df.select(F.col(stratum_col), n.alias("__n"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("__n"), 6).alias("mean_tokens"),
+    ]
+    for p in probs:
+        aggs.append(
+            F.round(F.expr(f"percentile(__n, {p!r})"), 6).alias(
+                f"p{str(p).replace('0.', '').ljust(2, '0')}"
+            )
+        )
+    return d.groupBy(stratum_col).agg(*aggs)

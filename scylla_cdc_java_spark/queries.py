@@ -1413,6 +1413,80 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM ranked WHERE
 )
 
 
+def q_dedup_exact_substring_capped(spark, sf_dir):
+    """Capped exact-substring pairs — the at-scale default: grams appearing
+    in > max_df documents are dropped before the self-join (boilerplate
+    grams are d^2 candidate explosions at 100 TB)."""
+    from .pipeline.text import exact_substring_pairs
+
+    return exact_substring_pairs(
+        _docs(spark, sf_dir), k=20, stride=5, min_common=2, max_df=2
+    )
+
+
+ORACLE_EXACT_SUBSTR_CAPPED = """
+WITH t AS (SELECT doc_id, text FROM documents),
+g0 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, greatest(length(text) - 19, 0), 5),
+             i -> substr(text, i, 20))) AS gram
+  FROM t
+),
+g AS (SELECT DISTINCT doc_id, gram FROM g0),
+f AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+gc AS (SELECT g.doc_id, g.gram FROM g JOIN f USING (gram) WHERE df <= 2)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+FROM gc a JOIN gc b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_text_train_order(spark, sf_dir):
+    """Deterministic training-order shuffle: portable-hash (bucket, rank)
+    permutation, per-bucket sorts only (no global single-reducer sort)."""
+    from .pipeline.text import train_order
+
+    return train_order(_docs(spark, sf_dir), n_buckets=64).select(
+        "doc_id", "bucket", "rk"
+    )
+
+
+ORACLE_TRAIN_ORDER = """
+WITH d AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2147483647 AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 64 AS INT) AS bucket,
+       CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS INT) AS rk
+FROM d
+"""
+
+
+def q_text_length_quantiles(spark, sf_dir):
+    """Corpus length profiling: per-source exact interpolated token-count
+    quantiles (percentile_cont semantics) + mean, for sequence-length
+    budgeting."""
+    from .pipeline.text import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir))
+
+
+ORACLE_LENGTH_QUANTILES = """
+WITH t AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(n), 6) AS mean_tokens,
+       round(quantile_cont(n, 0.5), 6) AS p50,
+       round(quantile_cont(n, 0.9), 6) AS p90,
+       round(quantile_cont(n, 0.99), 6) AS p99
+FROM t GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Relational anchors (scan/agg/join efficiency at bench scale)
 # --------------------------------------------------------------------------
@@ -1469,6 +1543,115 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY o_orderpriority
+"""
+
+
+def q_join_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped anchor: selective dim filter broadcast into a
+    fact-fact shuffle join, aggregate, deterministic top-10. Exercises
+    join ordering (customer filter first), broadcast pruning of orders,
+    and AQE-coalesced shuffle on the lineitem side."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust), orders.o_custkey == cust.c_custkey
+                ).select("o_orderkey", "o_orderpriority")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3_SHIPPING = """
+SELECT l_orderkey, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_join_region_volume(spark, sf_dir):
+    """TPC-H Q5-shaped anchor: snowflake join (region->nation->customer ->
+    orders->lineitem->supplier with the local-supplier equi-constraint).
+    The dim chain broadcasts; only orders x lineitem shuffles."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region), nation.n_regionkey == region.r_regionkey
+                ).select("n_nationkey", "n_name")
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey", "n_nationkey", "n_name")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q5_REGION = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
 """
 
 
@@ -2000,6 +2183,17 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "text_mixture_weights": (q_text_mixture_weights, ORACLE_MIXTURE, "domain-mixture reweighting"),
     "text_redact": (q_text_redact, ORACLE_REDACT, "PII/pattern scrubbing"),
     "dedup_exact_substring": (q_dedup_exact_substring, ORACLE_EXACT_SUBSTR, "exact-substring pairs"),
+    "dedup_exact_substring_capped": (
+        q_dedup_exact_substring_capped,
+        ORACLE_EXACT_SUBSTR_CAPPED,
+        "capped exact-substring pairs",
+    ),
+    "text_train_order": (q_text_train_order, ORACLE_TRAIN_ORDER, "training-order shuffle"),
+    "text_length_quantiles": (
+        q_text_length_quantiles,
+        ORACLE_LENGTH_QUANTILES,
+        "length quantile profiling",
+    ),
     "ann_kmeans_train": (q_ann_kmeans_train, ORACLE_KMEANS, "IVF k-means trainer"),
     "ann_ivf_trained_topk": (
         q_ann_ivf_trained_topk,
@@ -2008,4 +2202,6 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     ),
     "agg_lineitem_pushdown": (q_agg_lineitem_pushdown, ORACLE_AGG_LINEITEM, "scan+agg anchor"),
     "join_broadcast_revenue": (q_join_broadcast_revenue, ORACLE_JOIN_REVENUE, "broadcast join anchor"),
+    "join_shipping_priority": (q_join_shipping_priority, ORACLE_Q3_SHIPPING, "Q3-shape top-N anchor"),
+    "join_region_volume": (q_join_region_volume, ORACLE_Q5_REGION, "Q5-shape snowflake anchor"),
 }

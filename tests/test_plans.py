@@ -79,3 +79,38 @@ def test_text_ops_stay_native(spark, name):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
         "text ops must remain JVM-side expressions"
     )
+
+
+def test_q3_anchor_broadcasts_dims(spark):
+    """Q3 shape: the filtered customer->orders chain broadcasts into the
+    lineitem probe; lineitem itself must never shuffle for the join."""
+    plan = _plan(spark, "join_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "GreaterThan(l_shipdate," in plan, "lineitem date filter must push down"
+
+
+def test_q5_anchor_snowflake_broadcasts(spark):
+    """Q5 shape: every dim edge (region, nation, customer, supplier,
+    filtered orders) broadcasts; the fact table never shuffles pre-agg."""
+    plan = _plan(spark, "join_region_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual(o_orderdate," in plan
+
+
+def test_train_order_no_global_sort(spark):
+    """train_order must sort within hash buckets only — a global ordinal
+    sort (single-reducer Sort/Exchange rangepartitioning) is the 100 TB
+    failure mode."""
+    plan = _plan(spark, "text_train_order")
+    assert "rangepartitioning" not in plan.lower(), "global sort crept in"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_substring_capped_prefilters(spark):
+    """The capped gram path must aggregate document frequency BEFORE the
+    pair self-join (two agg phases ahead of the join)."""
+    plan = _plan(spark, "dedup_exact_substring_capped")
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
