@@ -48,6 +48,8 @@ HEADLINE = [
     "text_fingerprint",
     "agg_lineitem_pushdown",
     "join_broadcast_revenue",
+    "join_shipping_priority",
+    "join_region_volume",
 ]
 
 

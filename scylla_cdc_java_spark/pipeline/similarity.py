@@ -266,16 +266,19 @@ def kmeans_train(
     * init: seeds are the corpus vectors with ``id % centroid_mod == 0``
       (k-means|| at real scale; the iteration plumbing is identical);
     * assign: nearest centroid by **max quantized dot** (== min L2 on the
-      unit-norm fixture vectors), ties to the smaller centroid id — a
-      broadcast of the tiny centroid table against the corpus, aggregated
-      with ``max_by`` (partial-aggregatable, no window over the corpus);
+      unit-norm fixture vectors), ties to the smaller centroid id. The k
+      centroids collapse to ONE broadcast row holding an array of
+      ``(cid, cv)`` structs, and the argmax is a per-row ``array_max``
+      over that array — a pure map pass: the corpus is never shuffled
+      (nor row-multiplied k-fold) for assignment;
     * update: element-wise **floor-division integer mean** of member
       vectors (``(s - pmod(s, n)) div n`` — exact integer arithmetic, no
       float summation order anywhere), via posexplode → (cid, pos) partial
       agg → array reassembly.
 
-    Per iteration: one broadcast-join map pass + one (cid, pos)-keyed
-    shuffle whose cardinality is k x dim, not the corpus. Returns
+    Per iteration: one broadcast-argmax map pass + one (cid, pos)-keyed
+    shuffle that map-side partial-aggregation collapses to k x dim rows
+    per task, not the corpus. Returns
     ``(cid, cv, n_members)`` with ``cv`` the final integer centroid;
     feed it to ``ivf_topk(centroids=...)``.
     """
@@ -287,14 +290,21 @@ def kmeans_train(
     )
     assign = None
     for _ in range(n_iter):
-        scored = q.crossJoin(F.broadcast(cent)).withColumn(
-            "dot", quantized_dot(F.col("qv"), F.col("cv"))
+        cents = cent.agg(
+            F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("cents")
         )
-        assign = scored.groupBy("vid").agg(
-            F.max_by(
-                "cid", F.struct(F.col("dot"), (-F.col("cid")).alias("neg"))
-            ).alias("cid"),
-            F.first("qv").alias("qv"),
+        best = F.array_max(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    quantized_dot(F.col("qv"), c["cv"]).alias("dot"),
+                    (-c["cid"]).alias("neg"),
+                ),
+            )
+        )
+        assign = (
+            q.join(F.broadcast(cents), how="cross")
+            .select("vid", "qv", (-best["neg"]).alias("cid"))
         )
         comps = (
             assign.select("cid", F.posexplode("qv").alias("pos", "val"))
@@ -302,11 +312,19 @@ def kmeans_train(
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .withColumn("comp", F.expr("(s - pmod(s, n)) div n"))
         )
-        cent = comps.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "comp"))),
-                lambda x: x["comp"],
-            ).alias("cv")
+        # Materialize the k-row centroid table each round: Lloyd's is
+        # inherently iterative, and without this the assign subtree nests
+        # the whole previous iteration TWICE (update + membership), i.e.
+        # 2^n_iter corpus scans in one lazy plan.
+        cent = (
+            comps.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+                    lambda x: x["comp"],
+                ).alias("cv")
+            )
+            .localCheckpoint()
         )
     members = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return cent.join(members, "cid", "left").withColumn(

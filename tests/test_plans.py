@@ -108,6 +108,15 @@ def test_train_order_no_global_sort(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_kmeans_assignment_never_shuffles_corpus(spark):
+    """kmeans_train assignment is a broadcast-argmax map pass: the corpus
+    must never be hash-partitioned by vid (the k-fold row blowup + shuffle
+    is the 100 TB failure mode for Lloyd iterations)."""
+    plan = _plan(spark, "ann_kmeans_train")
+    assert "hashpartitioning(vid" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_exact_substring_capped_prefilters(spark):
     """The capped gram path must aggregate document frequency BEFORE the
     pair self-join (two agg phases ahead of the join)."""
