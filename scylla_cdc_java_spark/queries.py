@@ -1413,6 +1413,90 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM ranked WHERE
 )
 
 
+def q_pipeline_end_to_end(spark, sf_dir):
+    """Flagship training-data pipeline, composed end-to-end from the
+    library operators: quality-filter (C4/Gopher chain) -> exact dedup
+    (keep canonical) -> deterministic stratified down-sampling -> token
+    -budget sequence packing. One oracle-checked row proves the stages
+    compose (column contracts, determinism) rather than only working in
+    isolation. Every stage is native/JVM; the whole pipeline is scan ->
+    map -> one dedup shuffle -> map -> one pack window."""
+    from .pipeline.text import (
+        apply_quality_filters,
+        pack_sequences,
+        stratified_sample,
+    )
+
+    d = _docs(spark, sf_dir)
+    q = apply_quality_filters(d).where(F.col("keep")).select("doc_id", "source", "text")
+    canon = q.groupBy(F.md5(F.col("text")).alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = q.join(canon, "doc_id", "left_semi")
+    s = stratified_sample(kept, rates={"src0": 0.25, "src1": 0.5}, stratum_col="source")
+    return pack_sequences(s, budget=2048)
+
+
+ORACLE_PIPELINE_E2E = """
+WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+sig AS (
+  SELECT doc_id, len(toks) AS n,
+         round(len(list_filter(toks, x -> x IN ('the','a','of','and','is')))
+               / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+         round(list_max(list_transform(list_distinct(toks),
+                   d -> len(list_filter(toks, x -> x = d))))
+               / CAST(len(toks) AS DOUBLE), 6) AS top_frac,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bi
+  FROM t
+),
+sig2 AS (
+  SELECT doc_id, n, stop_ratio, top_frac,
+         CASE WHEN len(bi) > 0
+              THEN round(1.0 - len(list_distinct(bi)) / CAST(len(bi) AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_bi
+  FROM sig
+),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN n < 15 THEN 'too_short'
+              WHEN n > 90 THEN 'too_long'
+              WHEN stop_ratio < 0.01 THEN 'low_stopword'
+              WHEN top_frac > 0.18 THEN 'repetitive_token'
+              WHEN dup_bi > 0.15 THEN 'repetitive_bigram'
+              ELSE NULL END AS reject_reason
+  FROM sig2
+),
+keep AS (
+  SELECT t.doc_id, t.source, t.text FROM t JOIN lab USING (doc_id)
+  WHERE lab.reject_reason IS NULL
+),
+canon AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM keep GROUP BY 1),
+kept AS (SELECT k.* FROM keep k JOIN canon c ON c.doc_id = k.doc_id),
+samp AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2147483647 % 10000 AS b,
+           CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5 ELSE 1.0 END AS rate
+    FROM kept
+  ) WHERE b < rate * 10000
+),
+tt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM samp),
+c2 AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM tt
+)
+SELECT doc_id, n_tokens,
+       CAST(prev // 2048 AS BIGINT) AS bin_id,
+       CAST(prev % 2048 AS BIGINT) AS bin_offset
+FROM c2
+"""
+
+
 def q_dedup_exact_substring_capped(spark, sf_dir):
     """Capped exact-substring pairs — the at-scale default: grams appearing
     in > max_df documents are dropped before the self-join (boilerplate
@@ -2189,6 +2273,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         "capped exact-substring pairs",
     ),
     "text_train_order": (q_text_train_order, ORACLE_TRAIN_ORDER, "training-order shuffle"),
+    "pipeline_end_to_end": (
+        q_pipeline_end_to_end,
+        ORACLE_PIPELINE_E2E,
+        "composed quality->dedup->sample->pack pipeline",
+    ),
     "text_length_quantiles": (
         q_text_length_quantiles,
         ORACLE_LENGTH_QUANTILES,
