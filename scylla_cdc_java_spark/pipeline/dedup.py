@@ -337,3 +337,48 @@ def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFrame:
         F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)
     )
     return wide.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def line_dedup(
+    df: DataFrame,
+    block: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level exact dedup (the line/three-sentence-span dedup of C4,
+    Raffel et al. 2020 §2.2): split every document into consecutive
+    ``block``-token spans, keep each distinct span only at its first
+    corpus occurrence (min ``(doc_id, pos)``), and rebuild documents
+    without the duplicated spans — boilerplate removal, not whole-doc
+    drop.
+
+    Scale posture: posexplode -> one ``row_number`` window shuffled on
+    the span text (same key distribution as exact dedup; hot boilerplate
+    spans are exactly what it removes) -> per-doc re-aggregation. Two
+    shuffles total, both partial-aggregation-friendly.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(text_col)
+    nblk = F.ceil(F.size(toks) / F.lit(block)).cast("int")
+    # Guard: sequence(0, nblk-1) steps DOWNWARD for empty docs (nblk = 0).
+    spans = F.when(
+        nblk > 0,
+        F.transform(
+            F.sequence(F.lit(0), nblk - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * block + F.lit(1), block)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col), F.posexplode(spans).alias("pos", "blk"))
+    w = Window.partitionBy("blk").orderBy(id_col, "pos")
+    r = ex.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("__rn") == 1, F.struct(F.col("pos"), F.col("blk")))
+    return r.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda x: x["blk"]
+            ),
+        ).alias("clean_text"),
+        F.sum((F.col("__rn") > 1).cast("int")).cast("int").alias("n_spans_removed"),
+    )

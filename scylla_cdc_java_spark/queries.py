@@ -1526,6 +1526,67 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def q_dedup_line_spans(spark, sf_dir):
+    """C4-style span-level dedup: every distinct 3-token span survives only
+    at its first corpus occurrence; documents are rebuilt without the
+    duplicated spans (boilerplate removal, not whole-doc drop)."""
+    from .pipeline.dedup import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir), block=3)
+
+
+ORACLE_LINE_DEDUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS blk
+  FROM t, unnest(generate_series(0, CAST(ceil(len(toks) / 3.0) AS INT) - 1)) AS u(i)
+  WHERE len(toks) > 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id, pos) AS rn FROM b
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list(blk ORDER BY pos) FILTER (WHERE rn = 1), ' '), '') AS clean_text,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_spans_removed
+FROM r GROUP BY doc_id
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the event stream (batch analog of a
+    streaming session window): per-user sessions split at >30000 s gaps,
+    rolled up to count/bounds/duration."""
+    from .pipeline.sessions import session_stats, sessionize
+
+    # Micros resolution on both sides: DuckDB reads TIMESTAMP(NANOS)
+    # parquet truncated to micros, so the portable tick is ts__ns div 1000.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts__ns div 1000").alias("ts_us")
+    )
+    s = sessionize(ev, gap_s=30000, ts_col="ts_us", ticks_per_s=1_000_000)
+    return session_stats(s, ts_col="ts_us", ticks_per_s=1_000_000)
+
+
+ORACLE_SESSIONIZE = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+s AS (
+  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w > 30000000000 THEN 1 ELSE 0 END AS nw
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s2 AS (
+  SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(tus) AS start_ticks, max(tus) AS end_ticks,
+       CAST((max(tus) - min(tus)) // 1000000 AS BIGINT) AS duration_s
+FROM s2 GROUP BY 1, 2
+"""
+
+
 def q_text_train_order(spark, sf_dir):
     """Deterministic training-order shuffle: portable-hash (bucket, rank)
     permutation, per-bucket sorts only (no global single-reducer sort)."""
@@ -2272,6 +2333,8 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_EXACT_SUBSTR_CAPPED,
         "capped exact-substring pairs",
     ),
+    "dedup_line_spans": (q_dedup_line_spans, ORACLE_LINE_DEDUP, "C4 span-level dedup"),
+    "events_sessionize": (q_events_sessionize, ORACLE_SESSIONIZE, "gap sessionization"),
     "text_train_order": (q_text_train_order, ORACLE_TRAIN_ORDER, "training-order shuffle"),
     "pipeline_end_to_end": (
         q_pipeline_end_to_end,

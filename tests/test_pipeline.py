@@ -232,3 +232,57 @@ def test_stream_exact_dedup(spark, tmp_path):
     q.awaitTermination()
     texts = sorted(r["text"] for r in spark.sql("select text from docs_dedup").collect())
     assert texts == ["alpha beta", "delta", "gamma"]
+
+
+def test_line_dedup_removes_repeated_spans_and_keeps_first(spark):
+    from scylla_cdc_java_spark.pipeline.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # spans: "a b c", "d e f"
+            (2, "a b c x y z"),          # "a b c" duplicates doc 1
+            (3, "a b c d e f"),          # both spans duplicated
+            (4, ""),                      # empty doc: no spans, no crash
+            (5, "q r"),                   # short doc: one partial span
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, block=3).collect()}
+    assert out[1]["clean_text"] == "a b c d e f"
+    assert out[1]["n_spans_removed"] == 0
+    assert out[2]["clean_text"] == "x y z"
+    assert out[2]["n_spans_removed"] == 1
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_spans_removed"] == 2
+    # empty doc: split('') == [''] in Spark AND DuckDB, so it carries one
+    # empty span (kept at first occurrence) — consistent across engines
+    assert out[4]["clean_text"] == "" and out[4]["n_spans_removed"] == 0
+    assert out[5]["clean_text"] == "q r"
+
+
+def test_sessionize_gap_boundaries(spark):
+    from scylla_cdc_java_spark.pipeline.sessions import session_stats, sessionize
+
+    s = F  # noqa: F841
+    rows = [
+        # user 1: gap exactly == threshold stays in-session; gap+1 splits
+        (1, 1, 0),
+        (2, 1, 1800 * 10**9),            # gap == 1800 s -> same session
+        (3, 1, 2 * 1800 * 10**9 + 1),    # gap 1800 s + 1 ns -> new session
+        # user 2: single event -> one singleton session
+        (4, 2, 5),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts__ns long")
+    sess = sessionize(df, gap_s=1800)
+    got = {
+        (r["user_id"], r["event_id"]): r["session_idx"] for r in sess.collect()
+    }
+    assert got[(1, 1)] == 1 and got[(1, 2)] == 1 and got[(1, 3)] == 2
+    assert got[(2, 4)] == 1
+    stats = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_stats(sess).collect()
+    }
+    assert stats[(1, 1)]["n_events"] == 2
+    assert stats[(1, 1)]["duration_s"] == 1800
+    assert stats[(2, 1)]["duration_s"] == 0
