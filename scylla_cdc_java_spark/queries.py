@@ -1553,6 +1553,42 @@ FROM r GROUP BY doc_id
 """
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join: every purchase picks up the latest prior (inclusive)
+    signup of the same user — union + running-window, one shuffle, no
+    range-join row blowup. Oracle is DuckDB's native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts__ns div 1000").alias("tus"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+    )
+    left = ev.where(F.col("event_type") == "purchase").drop("event_type")
+    right = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", "tus", F.col("value").alias("signup_value"))
+    )
+    return asof_join(left, right, on=["user_id"], ts_col="tus")
+
+
+ORACLE_ASOF = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus, COALESCE(value, 0.0) AS value
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, epoch_us(ts) AS tus, COALESCE(value, 0.0) AS signup_value
+  FROM events WHERE event_type = 'signup'
+)
+SELECT l.event_id, l.user_id, l.tus, l.value,
+       r.tus AS tus_r, r.signup_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
+"""
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization over the event stream (batch analog of a
     streaming session window): per-user sessions split at >30000 s gaps,
@@ -2335,6 +2371,7 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     ),
     "dedup_line_spans": (q_dedup_line_spans, ORACLE_LINE_DEDUP, "C4 span-level dedup"),
     "events_sessionize": (q_events_sessionize, ORACLE_SESSIONIZE, "gap sessionization"),
+    "events_asof_join": (q_events_asof_join, ORACLE_ASOF, "as-of point-in-time join"),
     "text_train_order": (q_text_train_order, ORACLE_TRAIN_ORDER, "training-order shuffle"),
     "pipeline_end_to_end": (
         q_pipeline_end_to_end,

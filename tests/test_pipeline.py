@@ -286,3 +286,44 @@ def test_sessionize_gap_boundaries(spark):
     assert stats[(1, 1)]["n_events"] == 2
     assert stats[(1, 1)]["duration_s"] == 1800
     assert stats[(2, 1)]["duration_s"] == 0
+
+
+def test_asof_join_directions_tolerance_and_null_payload(spark):
+    from scylla_cdc_java_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 205), (3, "k", 50), (4, "x", 10)],
+        "id long, key string, t long",
+    )
+    # right has a legitimately-NULL payload at t=200: the fill must carry
+    # the WHOLE row (v=None), not mix v from an older row
+    right = spark.createDataFrame(
+        [("k", 100, 1.0), ("k", 200, None), ("k", 300, 3.0)],
+        "key string, t long, v double",
+    )
+    back = {
+        r["id"]: (r["t_r"], r["v"])
+        for r in asof_join(left, right, on=["key"], ts_col="t").collect()
+    }
+    assert back[1] == (100, 1.0)        # inclusive: equal ts matches
+    assert back[2] == (200, None)       # latest row wins, null payload intact
+    assert back[3] == (None, None)      # nothing at or before t=50
+    assert back[4] == (None, None)      # no right rows for key x
+    fwd = {
+        r["id"]: (r["t_r"], r["v"])
+        for r in asof_join(
+            left, right, on=["key"], ts_col="t", direction="forward"
+        ).collect()
+    }
+    assert fwd[1] == (100, 1.0)
+    assert fwd[2] == (300, 3.0)
+    assert fwd[3] == (100, 1.0)
+    tol = {
+        r["id"]: (r["t_r"], r["v"])
+        for r in asof_join(
+            left, right, on=["key"], ts_col="t", tolerance=10
+        ).collect()
+    }
+    assert tol[1] == (100, 1.0)
+    assert tol[2] == (200, None)        # 205-200=5 <= 10
+    assert tol[3] == (None, None)
