@@ -62,3 +62,37 @@ def session_stats(
         .cast("long")
         .alias("duration_s"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts__ns",
+) -> DataFrame:
+    """Ordered-step funnel: for each user, the earliest strictly-increasing
+    completion time of each step — step i counts only after the user's
+    step i-1 time (the standard product-analytics funnel, not a bag of
+    independent mins).
+
+    One conditional aggregation per step over the SAME keyed pass: step
+    1's time is min(ts | type = s1); step i's is min(ts | type = s_i and
+    ts > t_{i-1}), computed by re-aggregating the (tiny) per-user frame.
+    len(steps) small aggregations, each one shuffle on the user key with
+    map-side partials; no window over the raw stream, no self-join of the
+    event log.
+    """
+    cur = df.where(F.col(type_col) == steps[0]).groupBy(user_col).agg(
+        F.min(ts_col).alias("t_1")
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            df.where(F.col(type_col) == s)
+            .join(cur, user_col)
+            .where(F.col(ts_col) > F.col(f"t_{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    return cur

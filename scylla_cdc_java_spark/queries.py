@@ -1623,6 +1623,34 @@ FROM s2 GROUP BY 1, 2
 """
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered-step funnel (signup -> view -> purchase): earliest
+    strictly-increasing per-user completion times; later steps null when
+    never reached after the prior step."""
+    from .pipeline.sessions import funnel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts__ns div 1000").alias("ts_us")
+    )
+    return funnel(ev, ["signup", "view", "purchase"], ts_col="ts_us")
+
+
+ORACLE_FUNNEL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+s1 AS (SELECT user_id, min(tus) AS t_1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(tus) AS t_2 FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'view' AND tus > t_1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(tus) AS t_3 FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND tus > t_2 GROUP BY 1
+)
+SELECT s1.user_id, t_1, t_2, t_3
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_text_train_order(spark, sf_dir):
     """Deterministic training-order shuffle: portable-hash (bucket, rank)
     permutation, per-bucket sorts only (no global single-reducer sort)."""
@@ -2372,6 +2400,7 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "dedup_line_spans": (q_dedup_line_spans, ORACLE_LINE_DEDUP, "C4 span-level dedup"),
     "events_sessionize": (q_events_sessionize, ORACLE_SESSIONIZE, "gap sessionization"),
     "events_asof_join": (q_events_asof_join, ORACLE_ASOF, "as-of point-in-time join"),
+    "events_funnel": (q_events_funnel, ORACLE_FUNNEL, "ordered-step funnel"),
     "text_train_order": (q_text_train_order, ORACLE_TRAIN_ORDER, "training-order shuffle"),
     "pipeline_end_to_end": (
         q_pipeline_end_to_end,

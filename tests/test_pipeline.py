@@ -327,3 +327,24 @@ def test_asof_join_directions_tolerance_and_null_payload(spark):
     assert tol[1] == (100, 1.0)
     assert tol[2] == (200, None)        # 205-200=5 <= 10
     assert tol[3] == (None, None)
+
+
+def test_funnel_requires_strict_step_order(spark):
+    from scylla_cdc_java_spark.pipeline.sessions import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "signup", 10), (1, "view", 20), (1, "purchase", 30),
+        # user 2: purchase BEFORE view -> step 3 never completes
+        (2, "signup", 10), (2, "purchase", 15), (2, "view", 20),
+        # user 3: view before signup doesn't count; later view does
+        (3, "view", 5), (3, "signup", 10), (3, "view", 40),
+        # user 4: never signed up -> absent entirely
+        (4, "view", 1), (4, "purchase", 2),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts__ns long")
+    got = {
+        r["user_id"]: (r["t_1"], r["t_2"], r["t_3"])
+        for r in funnel(df, ["signup", "view", "purchase"]).collect()
+    }
+    assert got == {1: (10, 20, 30), 2: (10, 20, None), 3: (10, 40, None)}
