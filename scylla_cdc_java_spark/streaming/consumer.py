@@ -90,6 +90,27 @@ def tumbling_window_counts(
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_changes"))
 
 
+def session_window_counts(
+    df: DataFrame, gap_ms: int = 30_000, keys: list[str] | None = None
+) -> DataFrame:
+    """Gap-based session windows on the change stream (the streaming
+    counterpart of ``pipeline.sessions.sessionize``): windows extend while
+    changes keep arriving within ``gap_ms`` of the previous one and close
+    at the watermark — burst detection / per-key activity episodes over
+    CDC traffic. State is bounded by the stream's watermark (set one
+    upstream via ``with_confidence_window``).
+
+    Sessions are keyed (Spark rejects a globally-keyed streaming session
+    window); default key is the CDC stream id — activity episodes per
+    vnode stream."""
+    df = normalize_changes(df)
+    grp = [
+        F.session_window(F.col(TIME_TS), f"{gap_ms / 1000.0} seconds").alias("win")
+    ]
+    grp += [F.col(k) for k in (keys if keys is not None else ["cdc$stream_id"])]
+    return df.groupBy(*grp).agg(F.count(F.lit(1)).alias("n_changes"))
+
+
 @dataclass
 class CDCStreamConsumer:
     """Facade mirroring the reference's ``CDCConsumer.builder()`` surface

@@ -718,3 +718,63 @@ def test_replicator_bucket_removed_when_emptied(spark, tmp_path):
     manifest = sink._latest_manifest()
     assert manifest["buckets"] == {}  # pointer dropped, not stale
     assert sink.current_state(spark) is None or sink.current_state(spark).count() == 0
+
+
+def test_streaming_session_window_counts(spark, tmp_path):
+    """Gap-based session windows over the change stream: bursts separated
+    by more than the gap land in separate (wider-than-gap-spaced) session
+    windows, and closed-session counts cover every change exactly once."""
+    from scylla_cdc_java_spark.streaming import CDCStreamConsumer
+    from scylla_cdc_java_spark.streaming.consumer import session_window_counts
+
+    from datetime import timedelta
+
+    from scylla_cdc_java_spark.functions.timeuuid import make_timeuuid, timeuuid_micros
+
+    desc = FIXTURE_TABLES["tbl_simple"]
+    # two bursts of inserts, 10 minutes apart, against a 30 s gap
+    dml = [("insert", ("p",), (i,), {"v1": i, "v2": "x"}) for i in range(20)]
+    rows = CdcLogGenerator(desc).encode(dml)
+    order: list[str] = []
+    for r in rows:
+        if r["cdc$time"] not in order:
+            order.append(r["cdc$time"])
+    shift_us = {u: (0 if i < 12 else 600_000_000) for i, u in enumerate(order)}
+    remap = {
+        u: str(make_timeuuid(timeuuid_micros(u) + s, clock_seq_and_node=i))
+        for i, (u, s) in enumerate(shift_us.items())
+    }
+    for r in rows:
+        s = shift_us[r["cdc$time"]]
+        r["cdc$time_ts"] = r["cdc$time_ts"] + timedelta(microseconds=s)
+        r["cdc$time"] = remap[r["cdc$time"]]
+    src = str(tmp_path / "src")
+    schema = build_cdc_log_schema(desc)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    consumer = (
+        CDCStreamConsumer(spark)
+        .with_source(src, schema)
+        .with_confidence_window_ms(1000)
+        .with_checkpoint(str(tmp_path / "ckpt"))
+        .trigger_available_now()
+    )
+    counts = session_window_counts(consumer.changes(), gap_ms=30_000)
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "select win.start as s, win.end as e, n_changes from sess_counts order by s"
+    ).collect()
+    # append mode emits only watermark-closed sessions: the first burst's
+    # session must be present and complete; the trailing one may be open
+    assert len(got) >= 1
+    assert got[0]["n_changes"] == 12
+    total = sum(r["n_changes"] for r in got)
+    assert total <= len(rows)
