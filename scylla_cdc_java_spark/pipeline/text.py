@@ -555,3 +555,43 @@ def length_quantiles(
             )
         )
     return d.groupBy(stratum_col).agg(*aggs)
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram corpus-frequency scoring (the integer-exact core of an
+    n-gram LM quality signal): each document's bigrams are scored by
+    their corpus-wide counts; low mean frequency marks novel-or-noisy
+    text, high marks templated text. Counts stay integers end-to-end
+    (one rounded division at the very end), so the result is
+    bit-portable — no float log-prob summation-order hazards.
+
+    Shape: one bigram count aggregation over the corpus (map-side
+    combinable), one join of doc bigrams to counts (hot boilerplate
+    bigrams are the skew; cap or salt at scale), one per-doc sum.
+    """
+    toks = tokens_col(text_col)
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(2)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col), F.explode(bi).alias("bigram"))
+    counts = ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        ex.join(counts, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("sum_freq"),
+        )
+    )
+    return per_doc.withColumn(
+        "mean_freq",
+        F.round(F.col("sum_freq").cast("double") / F.col("n_bigrams"), 6),
+    )

@@ -1589,6 +1589,60 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus
 """
 
 
+def q_join_salted_revenue(spark, sf_dir):
+    """The broadcast-revenue join routed through the explicit salt
+    operator instead: probe side salted, build side replicated 8x, joined
+    on (key, salt) — row-identical to the plain join (same oracle), but
+    every hot l_orderkey spreads across 8 reducers. The plan-level skew
+    fix for when the build side outgrows broadcast."""
+    from .operators.salted import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        salted_join(li, orders, on=["l_orderkey"], n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_text_lm_score(spark, sf_dir):
+    """Bigram corpus-frequency LM scoring: integer-exact mean bigram
+    frequency per document (novelty/template signal)."""
+    from .pipeline.text import ngram_lm_score
+
+    return ngram_lm_score(_docs(spark, sf_dir))
+
+
+ORACLE_LM_SCORE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+c AS (SELECT bigram, count(*) AS c FROM b GROUP BY 1),
+p AS (
+  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(c.c) AS BIGINT) AS sum_freq
+  FROM b JOIN c USING (bigram) GROUP BY 1
+)
+SELECT doc_id, n_bigrams, sum_freq,
+       round(sum_freq / CAST(n_bigrams AS DOUBLE), 6) AS mean_freq
+FROM p
+"""
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization over the event stream (batch analog of a
     streaming session window): per-user sessions split at >30000 s gaps,
@@ -2401,6 +2455,8 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "events_sessionize": (q_events_sessionize, ORACLE_SESSIONIZE, "gap sessionization"),
     "events_asof_join": (q_events_asof_join, ORACLE_ASOF, "as-of point-in-time join"),
     "events_funnel": (q_events_funnel, ORACLE_FUNNEL, "ordered-step funnel"),
+    "join_salted_revenue": (q_join_salted_revenue, ORACLE_JOIN_REVENUE, "salted skew join"),
+    "text_lm_score": (q_text_lm_score, ORACLE_LM_SCORE, "bigram LM frequency score"),
     "text_train_order": (q_text_train_order, ORACLE_TRAIN_ORDER, "training-order shuffle"),
     "pipeline_end_to_end": (
         q_pipeline_end_to_end,

@@ -348,3 +348,31 @@ def test_funnel_requires_strict_step_order(spark):
         for r in funnel(df, ["signup", "view", "purchase"]).collect()
     }
     assert got == {1: (10, 20, 30), 2: (10, 20, None), 3: (10, 40, None)}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from scylla_cdc_java_spark.operators.salted import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", f"k{i % 5}")],
+        "key string, payload long",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("k0", 2.0), ("k1", 3.0), ("zz", 9.0)],
+        "key string, dim double",
+    )
+    plain_inner = sorted(map(tuple, left.join(right, ["key"]).collect()))
+    for n_salts in (1, 4):
+        got = sorted(
+            map(tuple, salted_join(left, right, ["key"], n_salts=n_salts).collect())
+        )
+        assert got == plain_inner, f"n_salts={n_salts}"
+    plain_left = sorted(
+        map(tuple, left.join(right, ["key"], "left").collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    got_left = sorted(
+        map(tuple, salted_join(left, right, ["key"], n_salts=4, how="left").collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    assert got_left == plain_left
