@@ -1809,6 +1809,49 @@ GROUP BY o_orderpriority
 """
 
 
+def q_join_bucketed_revenue(spark, sf_dir):
+    """The revenue join on PRE-BUCKETED tables: both sides bucketed by the
+    join key at write time, so the sort-merge join runs with ZERO
+    exchanges — the co-location strategy for repeated fact-fact joins at
+    100 TB (pay one bucketed write, join forever shuffle-free). Same
+    logical query and oracle as `join_broadcast_revenue`: one oracle,
+    three physical strategies (broadcast / salted shuffle / bucketed)."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    nb, base = 8, f"/tmp/spark_graft_buckets_{tag}"
+    names = {}
+    for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        names[t] = f"b_{t}_{tag}"
+        if not spark.catalog.tableExists(names[t]):
+            (
+                load_table(spark, sf_dir, t)
+                .write.bucketBy(nb, key)
+                .sortBy(key)
+                .option("path", f"{base}/{t}")
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(names[t])
+            )
+    li = spark.table(names["lineitem"])
+    orders = spark.table(names["orders"]).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_join_shipping_priority(spark, sf_dir):
     """TPC-H Q3-shaped anchor: selective dim filter broadcast into a
     fact-fact shuffle join, aggregate, deterministic top-10. Exercises
@@ -2456,6 +2499,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "events_asof_join": (q_events_asof_join, ORACLE_ASOF, "as-of point-in-time join"),
     "events_funnel": (q_events_funnel, ORACLE_FUNNEL, "ordered-step funnel"),
     "join_salted_revenue": (q_join_salted_revenue, ORACLE_JOIN_REVENUE, "salted skew join"),
+    "join_bucketed_revenue": (
+        q_join_bucketed_revenue,
+        ORACLE_JOIN_REVENUE,
+        "zero-exchange co-located join",
+    ),
     "text_lm_score": (q_text_lm_score, ORACLE_LM_SCORE, "bigram LM frequency score"),
     "text_train_order": (q_text_train_order, ORACLE_TRAIN_ORDER, "training-order shuffle"),
     "pipeline_end_to_end": (

@@ -108,6 +108,17 @@ def test_train_order_no_global_sort(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bucketed_join_zero_exchange(spark):
+    """Pre-bucketed fact-fact join: the SMJ must consume the bucketed
+    scans directly — no hashpartitioning on either join key; the only
+    exchange in the plan belongs to the final groupBy."""
+    plan = _plan(spark, "join_bucketed_revenue")
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+
+
 def test_kmeans_assignment_never_shuffles_corpus(spark):
     """kmeans_train assignment is a broadcast-argmax map pass: the corpus
     must never be hash-partitioned by vid (the k-fold row blowup + shuffle
