@@ -1179,6 +1179,64 @@ SELECT source, doc_id FROM r WHERE rk <= tgt
 """
 
 
+def q_text_stratified_take_exact(spark, sf_dir):
+    """stratified_take's exact path: full per-stratum row_number (no hash
+    cutoff pre-filter) — must agree with the scale path whenever the
+    pre-filter doesn't undershoot, and with this oracle always."""
+    from .pipeline.text import stratified_take
+
+    taken = stratified_take(
+        _docs(spark, sf_dir),
+        targets={"src0": 30, "src1": 50, "src2": 20},
+        exact=True,
+    )
+    return taken.select("source", "doc_id")
+
+
+ORACLE_STRAT_TAKE_EXACT = """
+WITH d AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2147483647 % 10000 AS b,
+         CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 50
+                     WHEN 'src2' THEN 20 ELSE 0 END AS tgt
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, tgt,
+         row_number() OVER (PARTITION BY source ORDER BY b, doc_id) AS rk
+  FROM d WHERE tgt > 0
+)
+SELECT source, doc_id FROM r WHERE rk <= tgt
+"""
+
+
+def q_text_length_quantiles_approx(spark, sf_dir):
+    """The documented 100 TB path for length profiling: percentile_approx
+    (t-digest sketch, map-side combinable — no per-group value buffering).
+    Sketch results are engine-specific, so this row has NO SQL oracle and
+    gets the driver's weaker rows/schema check; the exact variant
+    (`text_length_quantiles`) is the value-checked one."""
+    from .pipeline.text import tokens_col
+
+    n = F.size(tokens_col("text")).cast("double")
+    return (
+        _docs(spark, sf_dir)
+        .select("source", n.alias("__n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile_approx("__n", [0.5, 0.9, 0.99], 10_000).alias("pq"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("pq")[0].alias("p50"),
+            F.col("pq")[1].alias("p90"),
+            F.col("pq")[2].alias("p99"),
+        )
+    )
+
+
 def q_text_quality_filter(spark, sf_dir):
     """C4/Gopher-style filter chain: per-rule drop attribution (first
     failing rule names the reject reason; null = kept)."""
@@ -2515,6 +2573,16 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         q_text_length_quantiles,
         ORACLE_LENGTH_QUANTILES,
         "length quantile profiling",
+    ),
+    "text_stratified_take_exact": (
+        q_text_stratified_take_exact,
+        ORACLE_STRAT_TAKE_EXACT,
+        "exact-path per-stratum take",
+    ),
+    "text_length_quantiles_approx": (
+        q_text_length_quantiles_approx,
+        None,
+        "t-digest quantile scale path (rows-only check)",
     ),
     "ann_kmeans_train": (q_ann_kmeans_train, ORACLE_KMEANS, "IVF k-means trainer"),
     "ann_ivf_trained_topk": (
