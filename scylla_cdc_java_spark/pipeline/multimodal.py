@@ -115,3 +115,86 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ms", "payload")
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("n_bytes_in", T.IntegerType(), True),
+        T.StructField("n_bytes_out", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    decode: str = "deterministic_fake",
+) -> DataFrame:
+    """Resize plan for image rows via the same Arrow ``mapInPandas`` shape
+    a real PIL/opencv kernel would use: batch in, per-row decode ->
+    resample -> re-encode, batch out. The deterministic fake materializes
+    a real ``target_w x target_h x 3`` RGB buffer derived from the payload
+    bytes (so buffer sizing, batch memory and Arrow transfer are
+    exercised) and reports byte counts; ``decode="strict"`` raises at the
+    plug-in point. Output is metadata-only — at scale you'd write the
+    resized payload column straight to the sink rather than return it
+    through the driver.
+    """
+    if decode not in ("deterministic_fake", "strict"):
+        raise ValueError(decode)
+    strict = decode == "strict"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real media decoding requires PIL/opencv; plug a decoder in here"
+                )
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((media_id, target_w, target_h, None, None))
+                    continue
+                b = bytes(payload)
+                # fake "resample": tile the source bytes into the target buffer
+                need = target_w * target_h * 3
+                buf = (b * (need // max(len(b), 1) + 1))[:need] if b else b"\x00" * need
+                rows.append((media_id, target_w, target_h, len(b), len(buf)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "out_width", "out_height", "n_bytes_in", "n_bytes_out",
+                ],
+            )
+
+    return df.where(F.col("kind") == "image").mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+def chunk_audio(df: DataFrame, chunk_ms: int = 500) -> DataFrame:
+    """Fixed-size chunking plan for audio rows: one row per chunk with
+    clamped end bounds (the shape a transcription/feature pipeline feeds
+    its per-chunk decoder). Native sequence + explode — no Python."""
+    n_chunks = F.ceil(F.col("duration_ms") / F.lit(chunk_ms)).cast("long")
+    # Guard: sequence(0, n-1) steps downward when duration yields 0 chunks.
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - F.lit(1))
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.where(F.col("kind") == "audio")
+        .withColumn("chunk_idx", F.explode(idx))
+        .select(
+            "media_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * chunk_ms).alias("chunk_start_ms"),
+            F.least(
+                (F.col("chunk_idx") + 1) * F.lit(chunk_ms).cast("long"),
+                F.col("duration_ms"),
+            ).alias("chunk_end_ms"),
+        )
+    )

@@ -831,6 +831,51 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM ranked WHERE
 """
 
 
+def q_mm_resize_images(spark, sf_dir):
+    """Multimodal: image-resize plan through the Arrow mapInPandas kernel
+    (fake decode materializes the real target RGB buffer; gate checks the
+    byte accounting)."""
+    from .pipeline.multimodal import resize_images
+
+    media = documents_as_media(_docs(spark, sf_dir))
+    return resize_images(media, target_w=32, target_h=24)
+
+
+ORACLE_MM_RESIZE = """
+SELECT doc_id AS media_id,
+       CAST(32 AS INT) AS out_width, CAST(24 AS INT) AS out_height,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes_in,
+       CAST(32 * 24 * 3 AS INT) AS n_bytes_out
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def q_mm_audio_chunks(spark, sf_dir):
+    """Multimodal: fixed-size audio chunk plan (native sequence+explode,
+    clamped end bounds)."""
+    from .pipeline.multimodal import chunk_audio
+
+    media = documents_as_media(_docs(spark, sf_dir))
+    return chunk_audio(media, chunk_ms=400)
+
+
+ORACLE_MM_CHUNKS = """
+WITH a AS (
+  SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 1
+),
+c AS (
+  SELECT media_id, duration_ms,
+         unnest(generate_series(0, CAST(ceil(duration_ms / 400.0) AS BIGINT) - 1)) AS chunk_idx
+  FROM a WHERE duration_ms > 0
+)
+SELECT media_id, chunk_idx,
+       chunk_idx * 400 AS chunk_start_ms,
+       least((chunk_idx + 1) * 400, duration_ms) AS chunk_end_ms
+FROM c
+"""
+
+
 def q_mm_feature_extract(spark, sf_dir):
     """Multimodal: binary payload → typed features via Arrow mapInPandas
     (decode stubbed deterministically; see pipeline.multimodal)."""
@@ -2527,6 +2572,8 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH, "ANN LSH-bucketed scale path"),
     "mm_feature_extract": (q_mm_feature_extract, ORACLE_MM_FEATURES, "multimodal features"),
     "mm_frame_sample": (q_mm_frame_sample, ORACLE_MM_FRAMES, "video frame sampling"),
+    "mm_resize_images": (q_mm_resize_images, ORACLE_MM_RESIZE, "image resize plumbing"),
+    "mm_audio_chunks": (q_mm_audio_chunks, ORACLE_MM_CHUNKS, "audio chunk plan"),
     "k3_stream_replicate": (q_k3_stream_replicate, ORACLE_R1, "K3 streaming replicator"),
     "p5_ttl_trim": (q_p5_ttl_trim, ORACLE_P5, "P5/P6 TTL pruning"),
     "j3_preimage_verify": (q_j3_preimage_verify, ORACLE_J3, "J3 pre-image verify"),

@@ -376,3 +376,34 @@ def test_salted_join_matches_plain_join(spark):
         key=lambda t: tuple(map(str, t)),
     )
     assert got_left == plain_left
+
+
+def test_resize_and_chunk_multimodal(spark):
+    from scylla_cdc_java_spark.pipeline.multimodal import (
+        chunk_audio,
+        documents_as_media,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (3, "abcdef", "en", "s", 6),   # 3 % 3 == 0 -> image
+            (4, "xy", "en", "s", 2),       # 4 % 3 == 1 -> audio, 20 ms
+            (7, "", "en", "s", 0),         # audio with zero duration -> no chunks
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    media = documents_as_media(docs)
+    rs = {r["media_id"]: r for r in resize_images(media, 4, 5).collect()}
+    assert set(rs) == {3}
+    assert rs[3]["n_bytes_in"] == 6 and rs[3]["n_bytes_out"] == 4 * 5 * 3
+    ch = sorted(
+        (r["media_id"], r["chunk_idx"], r["chunk_start_ms"], r["chunk_end_ms"])
+        for r in chunk_audio(media, chunk_ms=15).collect()
+    )
+    assert ch == [(4, 0, 0, 15), (4, 1, 15, 20)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        resize_images(media, decode="strict").collect()
