@@ -50,6 +50,11 @@ HEADLINE = [
     "join_broadcast_revenue",
     "join_shipping_priority",
     "join_region_volume",
+    "dedup_line_spans",
+    "events_sessionize",
+    "events_asof_join",
+    "text_lm_score",
+    "pipeline_end_to_end",
 ]
 
 

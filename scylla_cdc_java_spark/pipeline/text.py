@@ -123,21 +123,56 @@ def add_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = tokens_col(text_col)
     n = F.size(toks)
-    # most-frequent-token count: max over distinct tokens of occurrence count
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    # most-frequent-token count = longest equal run of the SORTED token
+    # array (sort + one linear aggregate scan, O(n log n) per doc). The
+    # naive distinct x filter form is O(distinct x n) with an array
+    # allocation per distinct token — measured 16x slower at sf0.1, and
+    # Catalyst's projection collapse duplicates whichever expression the
+    # downstream filter chain references, multiplying the cost again.
+    sorted_toks = F.array_sort(toks)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
-    bigrams = F.when(
+
+    def _step(acc, x):
+        nrun = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            nrun.alias("run"),
+            F.greatest(acc["best"], nrun).alias("best"),
+        )
+
+    top_cnt = F.aggregate(sorted_toks, acc0, _step, lambda acc: acc["best"])
+    # bigram pairs via ONE arrays_zip of two slices — building "a b"
+    # strings inside a transform lambda re-evaluates the token split per
+    # element (O(n^2) splits/doc; measured 3-4x slower at sf0.1). Pair
+    # distinctness == string-bigram distinctness because tokens cannot
+    # contain the separator. Distinct count = runs of the sorted pairs,
+    # again in one aggregate pass.
+    bi = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - F.lit(2)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), 2)),
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("a"), F.slice(toks, 2, n - 1).alias("b")
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    n_bi = F.size(bigrams)
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    n_bi = F.size(bi)
+    bacc0 = F.struct(
+        F.lit(None).cast("string").alias("pa"),
+        F.lit(None).cast("string").alias("pb"),
+        F.lit(0).alias("cnt"),
+    )
+
+    def _bstep(acc, x):
+        same = (x["a"] == acc["pa"]) & (x["b"] == acc["pb"])
+        return F.struct(
+            x["a"].alias("pa"),
+            x["b"].alias("pb"),
+            (acc["cnt"] + F.when(same, 0).otherwise(1)).alias("cnt"),
+        )
+
+    n_distinct_bi = F.aggregate(
+        F.array_sort(bi), bacc0, _bstep, lambda acc: acc["cnt"]
+    )
     return df.withColumns(
         {
             "n_tokens": n,
@@ -146,8 +181,7 @@ def add_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 n_bi > 0,
                 F.round(
                     F.lit(1.0)
-                    - F.size(F.array_distinct(bigrams)).cast("double")
-                    / n_bi.cast("double"),
+                    - n_distinct_bi.cast("double") / n_bi.cast("double"),
                     6,
                 ),
             ).otherwise(F.lit(0.0)),
