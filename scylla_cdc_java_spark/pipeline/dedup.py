@@ -359,7 +359,7 @@ def line_dedup(
     """
     from pyspark.sql import Window
 
-    toks = tokens_col(text_col)
+    toks = F.col("__toks")  # projected once — see text.shingles() for why
     nblk = F.ceil(F.size(toks) / F.lit(block)).cast("int")
     # Guard: sequence(0, nblk-1) steps DOWNWARD for empty docs (nblk = 0).
     spans = F.when(
@@ -369,7 +369,9 @@ def line_dedup(
             lambda i: F.concat_ws(" ", F.slice(toks, i * block + F.lit(1), block)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(F.col(id_col), F.posexplode(spans).alias("pos", "blk"))
+    ex = df.withColumn("__toks", tokens_col(text_col)).select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "blk")
+    )
     w = Window.partitionBy("blk").orderBy(id_col, "pos")
     r = ex.withColumn("__rn", F.row_number().over(w))
     kept_struct = F.when(F.col("__rn") == 1, F.struct(F.col("pos"), F.col("blk")))

@@ -49,19 +49,21 @@ def _count_in(toks: Column, words: list[str]) -> Column:
 
 def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality score: stopword ratio + length saturation (deterministic)."""
-    toks = tokens_col(text_col)
+    # token array projected once (see add_repetition_stats for why)
+    d = df.withColumn("__toks", tokens_col(text_col))
+    toks = F.col("__toks")
     n = F.size(toks)
     n_stop = _count_in(toks, EN_STOPWORDS)
     ratio = n_stop.cast("double") / n.cast("double")
     length_sat = F.least(n, F.lit(100)).cast("double") / F.lit(200.0)
-    return df.withColumns(
+    return d.withColumns(
         {
             "n_tokens": n,
             "n_stopwords": n_stop,
             "stop_ratio": F.round(ratio, 6),
             "quality": F.round(ratio * F.lit(0.5) + length_sat, 6),
         }
-    )
+    ).drop("__toks")
 
 
 def add_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -121,7 +123,12 @@ def add_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     Pure array expressions per document — no explode, no shuffle, stays in
     whole-stage codegen; at 100 TB this is a map-only pass.
     """
-    toks = tokens_col(text_col)
+    # Project the token array once: Catalyst does not common-subexpression
+    # eliminate an inline split through higher-order-function lambdas, so
+    # every reference (and every downstream filter that collapses onto
+    # these columns) would re-split the text.
+    d = df.withColumn("__toks", tokens_col(text_col))
+    toks = F.col("__toks")
     n = F.size(toks)
     # most-frequent-token count = longest equal run of the SORTED token
     # array (sort + one linear aggregate scan, O(n log n) per doc). The
@@ -173,7 +180,7 @@ def add_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_distinct_bi = F.aggregate(
         F.array_sort(bi), bacc0, _bstep, lambda acc: acc["cnt"]
     )
-    return df.withColumns(
+    return d.withColumns(
         {
             "n_tokens": n,
             "top_token_frac": F.round(top_cnt.cast("double") / n.cast("double"), 6),
@@ -186,7 +193,7 @@ def add_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 ),
             ).otherwise(F.lit(0.0)),
         }
-    )
+    ).drop("__toks")
 
 
 def contamination_pairs(
@@ -517,7 +524,11 @@ def shingles(
     consumers (min-aggregation in MinHash) should pass ``distinct=False``
     and skip it.
     """
-    toks = tokens_col(text_col)
+    # Project the token array as a REAL column before the per-element
+    # lambda: an inline split expression is re-evaluated for every
+    # sequence element (Catalyst does not CSE through higher-order
+    # functions) — O(n^2) splits per doc, measured 4x slower at sf0.1.
+    toks = F.col("__toks")
     # Guard short documents: sequence(0, size-n) steps DOWNWARD when
     # size < n (negative slice indices abort the job); a doc with fewer
     # than n tokens has no n-shingles, so emit none and explode drops it.
@@ -528,7 +539,11 @@ def shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.withColumn(out, F.explode(sh)).drop(text_col)
+    exploded = (
+        df.withColumn("__toks", tokens_col(text_col))
+        .withColumn(out, F.explode(sh))
+        .drop(text_col, "__toks")
+    )
     return exploded.dropDuplicates(["doc_id", out]) if distinct else exploded
 
 
@@ -607,7 +622,7 @@ def ngram_lm_score(
     combinable), one join of doc bigrams to counts (hot boilerplate
     bigrams are the skew; cap or salt at scale), one per-doc sum.
     """
-    toks = tokens_col(text_col)
+    toks = F.col("__toks")  # projected once — see shingles() for why
     bi = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -615,7 +630,9 @@ def ngram_lm_score(
             lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(F.col(id_col), F.explode(bi).alias("bigram"))
+    ex = df.withColumn("__toks", tokens_col(text_col)).select(
+        F.col(id_col), F.explode(bi).alias("bigram")
+    )
     counts = ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
     per_doc = (
         ex.join(counts, "bigram")
