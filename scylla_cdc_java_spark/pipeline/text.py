@@ -68,13 +68,19 @@ def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def add_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language id with deterministic tie order en>es>fr>de."""
-    toks = tokens_col(text_col)
+    # token array projected once: each score is referenced ~3x (greatest +
+    # when-chain) and Catalyst won't CSE the split through filter lambdas
+    toks = F.col("__toks")
     scores = {lang: _count_in(toks, words) for lang, words in LANG_STOPWORDS.items()}
     best = F.greatest(*scores.values())
     pred = F.when(best == 0, F.lit("und"))
     for lang in ["en", "es", "fr", "de"]:
         pred = pred.when(scores[lang] == best, F.lit(lang))
-    return df.withColumn("lang_pred", pred)
+    return (
+        df.withColumn("__toks", tokens_col(text_col))
+        .withColumn("lang_pred", pred)
+        .drop("__toks")
+    )
 
 
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
