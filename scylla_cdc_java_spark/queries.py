@@ -1912,6 +1912,94 @@ GROUP BY o_orderpriority
 """
 
 
+def q_agg_rollup_revenue(spark, sf_dir):
+    """Hierarchical rollup: revenue at (returnflag, linestatus), per
+    returnflag subtotal, and grand total in one pass (partial-agg
+    friendly; the standard OLAP drill-down aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_events_pivot_types(spark, sf_dir):
+    """Pivot: per-user event counts spread across event-type columns (the
+    feature-matrix shape). Spark's pivot with an explicit value list =
+    conditional aggregates, one shuffle."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}")
+                for c in ("click", "view", "purchase", "signup", "error")
+            ],
+        )
+    )
+
+
+ORACLE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'view')     AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'error')    AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_text_vocab_by_source(spark, sf_dir):
+    """Grouped top-k: the 10 most frequent tokens per source (rank window
+    inside each group — per-group reducers, no global sort)."""
+    from .pipeline.text import tokens_col
+
+    ex = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(tokens_col("text")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    counts = ex.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+    )
+
+
+ORACLE_VOCAB_BY_SOURCE = """
+WITH c AS (
+  SELECT source, token, count(*) AS n FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> '' GROUP BY 1, 2
+)
+SELECT source, token, n,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS INT) AS rank
+FROM c QUALIFY rank <= 10
+"""
+
+
 def q_join_bucketed_revenue(spark, sf_dir):
     """The revenue join on PRE-BUCKETED tables: both sides bucketed by the
     join key at write time, so the sort-merge join runs with ZERO
@@ -2608,6 +2696,13 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         q_join_bucketed_revenue,
         ORACLE_JOIN_REVENUE,
         "zero-exchange co-located join",
+    ),
+    "agg_rollup_revenue": (q_agg_rollup_revenue, ORACLE_ROLLUP, "hierarchical rollup"),
+    "events_pivot_types": (q_events_pivot_types, ORACLE_PIVOT, "pivot feature matrix"),
+    "text_vocab_by_source": (
+        q_text_vocab_by_source,
+        ORACLE_VOCAB_BY_SOURCE,
+        "grouped top-k vocabulary",
     ),
     "text_lm_score": (q_text_lm_score, ORACLE_LM_SCORE, "bigram LM frequency score"),
     "text_train_order": (q_text_train_order, ORACLE_TRAIN_ORDER, "training-order shuffle"),
