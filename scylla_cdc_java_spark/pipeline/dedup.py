@@ -384,3 +384,47 @@ def line_dedup(
         ).alias("clean_text"),
         F.sum((F.col("__rn") > 1).cast("int")).cast("int").alias("n_spans_removed"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    algorithm): hash every ``k``-char gram, slide a ``w``-hash window and
+    keep each window's minimum — a guaranteed-density fingerprint set
+    robust to local edits (any match of length >= k+w-1 shares a
+    fingerprint). The local-similarity complement to whole-doc md5
+    (edit-fragile) and MinHash (global, not positional).
+
+    One output row per distinct (doc, fingerprint). Documents shorter
+    than ``k+w-1`` chars emit nothing. Map-only + explode — the shuffle
+    belongs to whatever joins fingerprints downstream. Every intermediate
+    array is projected as a REAL column before the lambda that consumes
+    it (no CSE through higher-order functions — an inline array would be
+    recomputed per element, turning O(n·w) into O(n²·w)).
+    """
+    t = F.col(text_col)
+    n_grams = F.length(t) - F.lit(k - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams), lambda i: t.substr(i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
+    d = df.select(F.col(id_col), grams.alias("__grams"))
+    d = d.select(
+        id_col, F.transform(F.col("__grams"), h31).alias("__hs")
+    )
+    m = F.size(F.col("__hs"))
+    mins = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(0), m - F.lit(w)),
+            lambda j: F.array_min(F.slice(F.col("__hs"), j + F.lit(1), w)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return d.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    )

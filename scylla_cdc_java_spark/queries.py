@@ -1808,6 +1808,33 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
 
 
+def q_dedup_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS): per-doc minima of sliding hash
+    windows over char 8-grams — edit-robust local fingerprints with
+    guaranteed match density."""
+    from .pipeline.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+
+
+ORACLE_WINNOW = """
+WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text) - 7),
+             i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT % 2147483647) AS hs
+  FROM t
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(hs) - 3),
+             j -> list_min(hs[j:j+3]))) AS fps
+  FROM g WHERE len(hs) >= 4
+)
+SELECT doc_id, unnest(fps) AS fp FROM w
+"""
+
+
 def q_text_train_order(spark, sf_dir):
     """Deterministic training-order shuffle: portable-hash (bucket, rank)
     permutation, per-bucket sorts only (no global single-reducer sort)."""
@@ -2688,6 +2715,7 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         "capped exact-substring pairs",
     ),
     "dedup_line_spans": (q_dedup_line_spans, ORACLE_LINE_DEDUP, "C4 span-level dedup"),
+    "dedup_winnow": (q_dedup_winnow, ORACLE_WINNOW, "winnowing fingerprints"),
     "events_sessionize": (q_events_sessionize, ORACLE_SESSIONIZE, "gap sessionization"),
     "events_asof_join": (q_events_asof_join, ORACLE_ASOF, "as-of point-in-time join"),
     "events_funnel": (q_events_funnel, ORACLE_FUNNEL, "ordered-step funnel"),

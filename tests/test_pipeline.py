@@ -407,3 +407,31 @@ def test_resize_and_chunk_multimodal(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|media decoding"):
         resize_images(media, decode="strict").collect()
+
+
+def test_winnow_guarantee_and_short_docs(spark):
+    """Winnowing guarantee: two docs sharing a substring of length
+    >= k + w - 1 must share at least one fingerprint; docs shorter than
+    k + w - 1 emit none (and must not crash the sequence guard)."""
+    from scylla_cdc_java_spark.pipeline.dedup import winnow_fingerprints
+
+    shared = "zqxjkvbwpy mfgthl"          # 17 chars: k+w-1 = 11 guaranteed
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa " + shared + " bbbb"),
+            (2, "cccc " + shared + " dddd"),
+            (3, "unrelated text entirely"),
+            (4, "tiny"),                   # < k chars: no grams at all
+            (5, "tencharsxx"),             # 10 < k+w-1: grams exist, m < w
+            (6, "elevenchars"),            # exactly k+w-1: one window
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=8, w=4).collect()
+    by = {}
+    for r in fps:
+        by.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by[1] & by[2], "shared substring must yield a shared fingerprint"
+    assert 4 not in by and 5 not in by
+    assert len(by[6]) == 1
+    assert by.get(3)
