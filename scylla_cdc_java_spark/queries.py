@@ -1835,6 +1835,76 @@ SELECT doc_id, unnest(fps) AS fp FROM w
 """
 
 
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """Local-similarity near-dup pairs: docs sharing >= 3 winnowing
+    fingerprints (the MOSS match step) — catches copied PASSAGES that
+    whole-doc hashing misses and positional overlap MinHash dilutes."""
+    from .pipeline.dedup import winnow_fingerprints
+
+    fp = winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+
+
+ORACLE_WINNOW_PAIRS = """
+WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text) - 7),
+             i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT % 2147483647) AS hs
+  FROM t
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(hs) - 3),
+             j -> list_min(hs[j:j+3]))) AS fps
+  FROM g WHERE len(hs) >= 4
+),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
+def q_events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity week, counted by
+    distinct active week offset — the standard retention triangle. All
+    integer week arithmetic (portable)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts__ns div 1000000000 div 604800").alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
+        .distinct()
+        .groupBy("cohort_wk", "offset_wk")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000000 // 604800 AS wk FROM events
+),
+f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+a AS (
+  SELECT DISTINCT e.user_id, f.cohort_wk, e.wk - f.cohort_wk AS offset_wk
+  FROM e JOIN f USING (user_id)
+)
+SELECT cohort_wk, offset_wk, count(*) AS n_users
+FROM a GROUP BY 1, 2
+"""
+
+
 def q_text_train_order(spark, sf_dir):
     """Deterministic training-order shuffle: portable-hash (bucket, rank)
     permutation, per-bucket sorts only (no global single-reducer sort)."""
@@ -2716,6 +2786,12 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     ),
     "dedup_line_spans": (q_dedup_line_spans, ORACLE_LINE_DEDUP, "C4 span-level dedup"),
     "dedup_winnow": (q_dedup_winnow, ORACLE_WINNOW, "winnowing fingerprints"),
+    "dedup_winnow_pairs": (q_dedup_winnow_pairs, ORACLE_WINNOW_PAIRS, "MOSS passage pairs"),
+    "events_retention_cohorts": (
+        q_events_retention_cohorts,
+        ORACLE_RETENTION,
+        "cohort retention triangle",
+    ),
     "events_sessionize": (q_events_sessionize, ORACLE_SESSIONIZE, "gap sessionization"),
     "events_asof_join": (q_events_asof_join, ORACLE_ASOF, "as-of point-in-time join"),
     "events_funnel": (q_events_funnel, ORACLE_FUNNEL, "ordered-step funnel"),
