@@ -28,7 +28,13 @@ def normalize_changes(df: DataFrame, with_vnode: bool = False) -> DataFrame:
     cols = set(df.columns)
     if TIME_MICROS not in cols:
         if TIME_TS in cols:
-            df = df.withColumn(TIME_MICROS, F.unix_micros(F.col(TIME_TS)))
+            # cast is a no-op for TimestampType; for TIMESTAMP_NTZ inputs
+            # (parquet without UTC annotation under Spark 4 inference) it
+            # reinterprets the wall clock in the session tz, which every
+            # entry point pins to UTC — identical semantics either way.
+            df = df.withColumn(
+                TIME_MICROS, F.unix_micros(F.col(TIME_TS).cast("timestamp"))
+            )
         else:
             df = df.withColumn(TIME_MICROS, timeuuid_micros_col("cdc$time"))
     if TIME_TS not in cols:

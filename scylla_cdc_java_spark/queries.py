@@ -1662,11 +1662,14 @@ def q_events_asof_join(spark, sf_dir):
     range-join row blowup. Oracle is DuckDB's native ASOF JOIN."""
     from .operators.asof import asof_join
 
-    ev = load_table(spark, sf_dir, "events").select(
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
         "event_id",
         "user_id",
         "event_type",
-        F.expr("ts__ns div 1000").alias("tus"),
+        epoch_micros(ev, "ts").alias("tus"),
         F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
     )
     left = ev.where(F.col("event_type") == "purchase").drop("event_type")
@@ -1752,11 +1755,11 @@ def q_events_sessionize(spark, sf_dir):
     rolled up to count/bounds/duration."""
     from .pipeline.sessions import session_stats, sessionize
 
-    # Micros resolution on both sides: DuckDB reads TIMESTAMP(NANOS)
-    # parquet truncated to micros, so the portable tick is ts__ns div 1000.
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.expr("ts__ns div 1000").alias("ts_us")
-    )
+    from .sources.tables import epoch_micros
+
+    # Micros resolution on both sides (DuckDB epoch_us on the same file).
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id", epoch_micros(ev, "ts").alias("ts_us"))
     s = sessionize(ev, gap_s=30000, ts_col="ts_us", ticks_per_s=1_000_000)
     return session_stats(s, ts_col="ts_us", ticks_per_s=1_000_000)
 
@@ -1786,9 +1789,10 @@ def q_events_funnel(spark, sf_dir):
     never reached after the prior step."""
     from .pipeline.sessions import funnel
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.expr("ts__ns div 1000").alias("ts_us")
-    )
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", "event_type", epoch_micros(ev, "ts").alias("ts_us"))
     return funnel(ev, ["signup", "view", "purchase"], ts_col="ts_us")
 
 
@@ -1878,8 +1882,11 @@ def q_events_retention_cohorts(spark, sf_dir):
     """Cohort retention: users grouped by first-activity week, counted by
     distinct active week offset — the standard retention triangle. All
     integer week arithmetic (portable)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts__ns div 1000000000 div 604800").alias("wk")
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", epoch_micros(ev, "ts").alias("tus")).select(
+        "user_id", F.expr("tus div 1000000 div 604800").alias("wk")
     )
     first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     return (

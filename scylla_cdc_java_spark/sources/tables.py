@@ -60,7 +60,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(f"{c}__ns", F.col(c)).withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000").cast("long"))
         )
+    # Parquet timestamp[us] without UTC adjustment reads as TIMESTAMP_NTZ
+    # under Spark 4's inferTimestampNTZ default. All operators key on
+    # instant-typed timestamps (unix_micros etc.), so normalize to
+    # TimestampType here; the session timezone is pinned to UTC by every
+    # entry point, making the cast wall-clock preserving (and matching the
+    # DuckDB oracle's naive-as-UTC reading). The raw NTZ column is kept as
+    # <c>__ntz so range predicates can still reach the parquet scan — a
+    # filter through the cast would not push down. See time_range().
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(f"{c}__ntz", F.col(c)).withColumn(
+                c, F.col(c).cast("timestamp")
+            )
     return df
+
+
+def epoch_micros(df: DataFrame, col: str):
+    """Epoch-µs Column for a `load_table` timestamp column, robust to how
+    the parquet stored it: raw nanos long (`<col>__ns`, exact integer
+    path) when present, else `unix_micros` over the instant-typed column
+    (the NTZ→LTZ cast in load_table already ran under the UTC session tz,
+    so this equals DuckDB's `epoch_us` on the same file)."""
+    raw = f"{col}__ns"
+    if raw in df.columns:
+        return F.expr(f"`{raw}` div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def time_range(df: DataFrame, col: str, lo: str | None = None, hi: str | None = None) -> DataFrame:
@@ -84,6 +109,14 @@ def time_range(df: DataFrame, col: str, lo: str | None = None, hi: str | None = 
             df = df.where(F.col(raw) >= F.lit(ns(lo)))
         if hi is not None:
             df = df.where(F.col(raw) < F.lit(ns(hi)))
+        return df
+    raw_ntz = f"{col}__ntz"
+    if raw_ntz in df.columns:
+        # compare in the NTZ domain so the predicate pushes to the scan
+        if lo is not None:
+            df = df.where(F.col(raw_ntz) >= F.lit(lo).cast("timestamp_ntz"))
+        if hi is not None:
+            df = df.where(F.col(raw_ntz) < F.lit(hi).cast("timestamp_ntz"))
         return df
     if lo is not None:
         df = df.where(F.col(col) >= F.lit(lo).cast("timestamp"))
