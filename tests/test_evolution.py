@@ -1,0 +1,174 @@
+"""Mid-stream schema evolution (ALTER TABLE while replication is live).
+
+Streaming analog of the reference's AlterTableBase integration family
+(scylla-cdc-lib/src/test/.../AlterTableBase.java:28): columns are added
+and dropped *between parquet files of the same source directory*, and the
+engine — not the user — detects the new column signature, evolves the
+descriptor (Driver3SchemaFactory.java:73-153 analog), and reconciles both
+the incoming log frames and the already-materialized state.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+from scylla_cdc_java_spark.model.schema import (
+    CdcTableDescriptor,
+    build_cdc_log_schema,
+)
+from scylla_cdc_java_spark.streaming.evolution import (
+    conform_changes,
+    descriptor_from_log_schema,
+    latest_log_schema,
+    replicate_with_schema_evolution,
+)
+from scylla_cdc_java_spark.testing import CdcLogGenerator
+
+S, I = T.StringType(), T.IntegerType()
+
+
+def _desc_of(*fields, nonfrozen=(), lists=()):
+    return CdcTableDescriptor(
+        name="tbl_midstream_evo",
+        base_schema=T.StructType([T.StructField(n, t) for n, t in fields]),
+        partition_keys=["pk"],
+        clustering_keys=["ck"],
+        non_frozen_collections=list(nonfrozen),
+        list_columns=list(lists),
+    )
+
+
+V1 = _desc_of(("pk", S), ("ck", I), ("v1", I))
+V2 = _desc_of(("pk", S), ("ck", I), ("v1", I), ("v2", S))  # ALTER ADD v2
+V3 = _desc_of(("pk", S), ("ck", I), ("v2", S))  # ALTER DROP v1
+
+
+def test_conform_changes_null_fills_added_and_drops_removed(spark):
+    g = CdcLogGenerator(V1)
+    old_frame = g.spark_df(
+        spark, [("insert", ("a",), (1,), {"v1": 10})], shuffle=False
+    )
+    up = conform_changes(old_frame, V2)
+    assert "v2" in up.columns and "cdc$deleted_v2" in up.columns
+    row = up.collect()[0]
+    assert row["v1"] == 10 and row["v2"] is None and row["cdc$deleted_v2"] is None
+
+    g2 = CdcLogGenerator(V2)
+    new_frame = g2.spark_df(
+        spark, [("insert", ("a",), (1,), {"v1": 1, "v2": "x"})], shuffle=False
+    )
+    down = conform_changes(new_frame, V3)
+    assert "v1" not in down.columns and "cdc$deleted_v1" not in down.columns
+    assert down.collect()[0]["v2"] == "x"
+
+
+def test_conform_changes_requires_identity_columns(spark):
+    df = spark.createDataFrame([(1,)], "v1 int")
+    with pytest.raises(ValueError, match="identity"):
+        conform_changes(df, V1)
+
+
+def test_descriptor_round_trips_through_log_schema():
+    desc = _desc_of(
+        ("pk", S),
+        ("ck", I),
+        ("tags", T.ArrayType(I)),
+        ("hist", T.ArrayType(I)),
+        ("note", S),
+        nonfrozen=["tags", "hist"],
+        lists=["hist"],
+    )
+    log = build_cdc_log_schema(desc)
+    back = descriptor_from_log_schema(log, desc)
+    assert back.base_schema == desc.base_schema
+    assert back.non_frozen_collections == desc.non_frozen_collections
+    assert back.list_columns == desc.list_columns
+
+
+def test_descriptor_from_log_schema_detects_add_and_drop():
+    evolved = descriptor_from_log_schema(build_cdc_log_schema(V2), V1)
+    assert evolved.regular_columns == ["v1", "v2"]
+    assert evolved.base_field("v2").dataType == S
+    shrunk = descriptor_from_log_schema(build_cdc_log_schema(V3), evolved)
+    assert shrunk.regular_columns == ["v2"]
+
+
+def test_descriptor_from_log_schema_rejects_missing_pk():
+    with pytest.raises(ValueError, match="primary-key"):
+        descriptor_from_log_schema(
+            T.StructType([T.StructField("pk", S), T.StructField("v1", I)]), V1
+        )
+
+
+def _append(spark, gen, dml, src):
+    gen.spark_df(spark, dml, shuffle=False).coalesce(1).write.mode("append").parquet(
+        src
+    )
+    time.sleep(0.05)  # distinct mtimes: signature detection orders by mtime
+
+
+def test_replicate_evolves_across_alter_add_and_drop(spark, tmp_path):
+    """Three schema epochs land in one source dir; the user always passes
+    the ORIGINAL descriptor and the engine evolves it per epoch."""
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    g1 = CdcLogGenerator(V1)
+    _append(
+        spark,
+        g1,
+        [("insert", ("a",), (1,), {"v1": 10}), ("insert", ("b",), (1,), {"v1": 20})],
+        src,
+    )
+    state, desc = replicate_with_schema_evolution(spark, src, V1, work, n_buckets=4)
+    assert desc.regular_columns == ["v1"]
+    assert {(r["pk"], r["ck"], r["v1"]) for r in state.collect()} == {
+        ("a", 1, 10),
+        ("b", 1, 20),
+    }
+
+    # ALTER ADD v2 mid-stream: new files carry the wider signature
+    g2 = CdcLogGenerator(V2)
+    g2._t = g1._t
+    _append(
+        spark,
+        g2,
+        [
+            ("insert", ("a",), (2,), {"v1": 11, "v2": "x"}),
+            ("update", ("b",), (1,), {"v2": "y"}),
+        ],
+        src,
+    )
+    state, desc = replicate_with_schema_evolution(spark, src, V1, work, n_buckets=4)
+    assert desc.regular_columns == ["v1", "v2"]
+    got = {(r["pk"], r["ck"]): (r["v1"], r["v2"]) for r in state.collect()}
+    assert got == {("a", 1): (10, None), ("a", 2): (11, "x"), ("b", 1): (20, "y")}
+
+    # ALTER DROP v1: the materialized state sheds the column everywhere
+    g3 = CdcLogGenerator(V3)
+    g3._t = g2._t
+    _append(spark, g3, [("insert", ("c",), (1,), {"v2": "z"})], src)
+    state, desc = replicate_with_schema_evolution(spark, src, V1, work, n_buckets=4)
+    assert desc.regular_columns == ["v2"]
+    assert "v1" not in state.columns
+    got3 = {(r["pk"], r["ck"]): r["v2"] for r in state.collect()}
+    assert got3 == {("a", 1): None, ("a", 2): "x", ("b", 1): "y", ("c", 1): "z"}
+
+
+def test_replicate_single_pass_over_heterogeneous_files(spark, tmp_path):
+    """Both epochs already present at first call: one pass reads pre-ALTER
+    files under the evolved schema (parquet null-fills the new column)."""
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    g1 = CdcLogGenerator(V1)
+    _append(spark, g1, [("insert", ("a",), (1,), {"v1": 10})], src)
+    g2 = CdcLogGenerator(V2)
+    g2._t = g1._t
+    _append(spark, g2, [("insert", ("b",), (1,), {"v1": 20, "v2": "w"})], src)
+
+    assert "v2" in [f.name for f in latest_log_schema(spark, src).fields]
+    state, desc = replicate_with_schema_evolution(spark, src, V1, work, n_buckets=4)
+    assert desc.regular_columns == ["v1", "v2"]
+    got = {(r["pk"], r["ck"]): (r["v1"], r["v2"]) for r in state.collect()}
+    assert got == {("a", 1): (10, None), ("b", 1): (20, "w")}
