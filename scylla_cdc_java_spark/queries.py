@@ -17,6 +17,9 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .model.schema import CdcTableDescriptor
 
 from .functions.streamid import vnode_col
 from .functions.timeuuid import GREGORIAN_OFFSET_100NS, timeuuid_micros_col
@@ -928,6 +931,74 @@ def q_k3_stream_replicate(spark, sf_dir):
         confidence_ms=0,
         n_buckets=8,
     )
+
+
+def q_t9_schema_evolution(spark, sf_dir):
+    """Mid-stream schema evolution (ALTER TABLE ADD while replicating —
+    Driver3WorkerCQL.java:133-159 / Driver3SchemaFactory.java:73-153
+    analog): epoch-1 log files are written under a pre-ALTER schema with
+    no ``props`` column; epoch-2 files carry the full schema. The engine
+    is handed the OUTDATED descriptor, detects the widened column
+    signature from the newest file's footer, evolves the descriptor, and
+    replicates both epochs in one pass — pre-ALTER rows null-fill the new
+    column, so ``props`` only reflects post-ALTER writes while ``value``
+    is cell-LWW over the whole log (null+no-marker = unset, R2)."""
+    import os
+    import tempfile
+    import time as _time
+
+    from .streaming.evolution import replicate_with_schema_evolution
+
+    cdc = events_as_cdc(spark, sf_dir, events=_events(spark, sf_dir)).where(
+        F.col("cdc$operation") != 3
+    )
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    tmp = tempfile.mkdtemp(prefix="cdc_evo_gate_")
+    src = os.path.join(tmp, "src")
+    # epoch 1 (pre-ALTER) first; signature detection orders files by mtime
+    cdc.where(F.col("cdc$time_ts") < cutoff).drop("props").write.parquet(src)
+    _time.sleep(0.05)
+    cdc.where(F.col("cdc$time_ts") >= cutoff).write.mode("append").parquet(src)
+
+    v1_desc = CdcTableDescriptor(
+        name="user_state_v1",
+        base_schema=T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+        partition_keys=["user_id"],
+        clustering_keys=[],
+    )
+    state, desc = replicate_with_schema_evolution(
+        spark, src, v1_desc, os.path.join(tmp, "work"), n_buckets=8
+    )
+    assert desc.regular_columns == ["value", "props"], desc.regular_columns
+    return state.select("user_id", "value", "props")
+
+
+ORACLE_T9 = """
+WITH w AS (
+  SELECT user_id, value, props, ts, event_id FROM events
+  WHERE event_type <> 'error'
+),
+v AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM w
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT user_id, props FROM (
+    SELECT user_id, props,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM w WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+  ) WHERE rn = 1
+)
+SELECT v.user_id, v.value, p.props FROM v LEFT JOIN p USING (user_id)
+"""
 
 
 def q_p5_ttl_trim(spark, sf_dir):
@@ -2767,6 +2838,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "mm_resize_images": (q_mm_resize_images, ORACLE_MM_RESIZE, "image resize plumbing"),
     "mm_audio_chunks": (q_mm_audio_chunks, ORACLE_MM_CHUNKS, "audio chunk plan"),
     "k3_stream_replicate": (q_k3_stream_replicate, ORACLE_R1, "K3 streaming replicator"),
+    "t9_schema_evolution": (
+        q_t9_schema_evolution,
+        ORACLE_T9,
+        "mid-stream ALTER ADD: signature-tracked descriptor rollover",
+    ),
     "p5_ttl_trim": (q_p5_ttl_trim, ORACLE_P5, "P5/P6 TTL pruning"),
     "j3_preimage_verify": (q_j3_preimage_verify, ORACLE_J3, "J3 pre-image verify"),
     "f4_f5_renders": (q_f4_f5_renders, ORACLE_F4F5, "F4/F5 renders"),
