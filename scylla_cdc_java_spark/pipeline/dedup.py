@@ -127,7 +127,11 @@ def minhash_signatures(
     change the signature). At 100 TB this is ONE shuffle of the partially
     aggregated per-doc rows.
     """
-    sh = shingles(df.select(id_col, "text"), n=n, distinct=False).withColumn(
+    # distinct is per-doc map-side (array_distinct in shingles()) — free of
+    # shuffle, and it prunes duplicate shingles BEFORE the md5-based h31,
+    # which dominates signature cost. min() is duplicate-insensitive, so
+    # semantics are unchanged either way.
+    sh = shingles(df.select(id_col, "text"), n=n, distinct=True).withColumn(
         "h", h31(F.col("shingle"))
     )
     aggs = [
@@ -164,22 +168,21 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, k=k, n=n, id_col=id_col).cache()
     sig.count()
     n_bands = k // band_rows
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ",", *[F.col(f"mh_{i}").cast("string") for i in range(b * band_rows, (b + 1) * band_rows)]
-            ).alias("band_key"),
+    # bucket key = xxhash64(band, its row minhashes): an 8-byte join key
+    # instead of a comma-joined string. A 64-bit collision can only ADD a
+    # candidate pair; its estimate is still computed from the true
+    # signatures, so the threshold filter bounds the damage at ~n²/2⁶⁴.
+    band_keys = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh_{i}") for i in range(b * band_rows, (b + 1) * band_rows)]
         )
         for b in range(n_bands)
     ]
-    bands = sig.select(
-        id_col, F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    ba = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
-    bb = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    bands = sig.select(id_col, F.explode(F.array(*band_keys)).alias("band_key"))
+    ba = bands.select(F.col(id_col).alias("doc_a"), "band_key")
+    bb = bands.select(F.col(id_col).alias("doc_b"), "band_key")
     cand = (
-        ba.join(bb, ["band", "band_key"])
+        ba.join(bb, ["band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -330,11 +333,10 @@ def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFrame:
     Wide single-pass form: all ``bits`` sign-sums aggregate in one groupBy
     over the (doc, distinct token) rows — no bits-fold row explosion.
     """
-    toks = (
-        df.select(id_col, F.explode(tokens_col("text")).alias("tok"))
-        .dropDuplicates([id_col, "tok"])
-        .withColumn("h", h31(F.col("tok")))
-    )
+    # per-doc set semantics via map-side array_distinct — no dedup shuffle
+    toks = df.select(
+        id_col, F.explode(F.array_distinct(tokens_col("text"))).alias("tok")
+    ).withColumn("h", h31(F.col("tok")))
     aggs = [
         F.sum(
             F.lit(2) * ((F.col("h") / F.lit(1 << j)).cast("long") % F.lit(2)) - F.lit(1)

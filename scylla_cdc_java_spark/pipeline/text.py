@@ -445,10 +445,8 @@ def exact_substring_pairs(
         F.sequence(F.lit(1), F.length(t) - F.lit(k - 1), F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(pos, lambda i: t.substr(i, F.lit(k)))
-    g = (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
-        .dropDuplicates([id_col, "gram"])
-    )
+    # per-doc set semantics map-side (array_distinct) — no dedup shuffle
+    g = df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram"))
     if max_df is not None:
         freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
         g = g.join(freq.where(F.col("__df") <= max_df).select("gram"), "gram")
@@ -526,9 +524,12 @@ def shingles(
 
     Native: split + sequence + transform + explode — no UDF.
     ``distinct=True`` dedups per (doc, shingle) — REQUIRED for set-semantic
-    consumers (Jaccard) but it costs a full shuffle; duplicate-insensitive
-    consumers (min-aggregation in MinHash) should pass ``distinct=False``
-    and skip it.
+    consumers (Jaccard). The dedup is *per document*, so it runs map-side
+    as ``array_distinct`` on the shingle array BEFORE the explode — zero
+    shuffle, unlike a post-explode dropDuplicates which exchanges the
+    whole (doc, shingle) stream. Duplicate-insensitive consumers
+    (min-aggregation in MinHash) pass ``distinct=False`` and skip even
+    the in-array pass.
     """
     # Project the token array as a REAL column before the per-element
     # lambda: an inline split expression is re-evaluated for every
@@ -545,12 +546,11 @@ def shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = (
+    return (
         df.withColumn("__toks", tokens_col(text_col))
-        .withColumn(out, F.explode(sh))
+        .withColumn(out, F.explode(F.array_distinct(sh) if distinct else sh))
         .drop(text_col, "__toks")
     )
-    return exploded.dropDuplicates(["doc_id", out]) if distinct else exploded
 
 
 def train_order(

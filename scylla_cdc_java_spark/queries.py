@@ -578,9 +578,12 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.25
 
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: connected components (large-star/small-star
-    contraction, O(log n) rounds) over the n-gram Jaccard pair list."""
+    contraction, O(log n) rounds) over the n-gram Jaccard pair list —
+    pairs from the skew-capped production form (``max_df=5``; a hot
+    shingle in d docs is a d² candidate blowup at scale), with the oracle
+    applying the identical document-frequency cap."""
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=5)
     return dedup_clusters(docs, pairs)
 
 
@@ -593,10 +596,12 @@ sh0 AS (
   FROM toks
 ),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 5),
+shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 pairs AS (
