@@ -553,6 +553,108 @@ def shingles(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """One round of BPE merge-candidate counting: adjacent character-pair
+    frequencies across the corpus, weighted by word frequency.
+
+    The classic tokenizer-training shape: the corpus first collapses to a
+    (word, count) table — pair counting then touches |vocab| rows instead
+    of |corpus| tokens (at 100 TB the vocabulary is millions of rows while
+    the token stream is trillions). Both steps are native: groupBy word,
+    explode char bigrams via sequence+transform, sum counts. Returns the
+    ``top_k`` merge candidates by count (pair ascending on ties) — the
+    iterative merge loop applies this operator once per merge with the
+    winning pair folded into the symbol table (driver-side loop, one tiny
+    job per round; the per-round cost is this query's plan).
+    """
+    w = F.col("w")
+    wc = (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # substr is 1-based; pair i = (char i, char i+1)
+    bigrams = F.when(
+        F.length(w) >= F.lit(2),
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - F.lit(1)),
+            lambda i: F.struct(
+                w.substr(i, F.lit(1)).alias("a"), w.substr(i + F.lit(1), F.lit(1)).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        wc.select("cnt", F.explode(bigrams).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(top_k)
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranking of documents against a fixed query-term list — fully
+    native: per-doc term frequencies via ``size(filter(tokens))``, corpus
+    stats (N, avgdl, per-term document frequency) in one tiny aggregate
+    broadcast back, Robertson/Sparck-Jones idf ``ln(1 + (N-df+.5)/(df+.5))``.
+
+    One corpus scan computes every tf in-row (no explode, no per-term
+    shuffle); the stats frame is a single row — the join is a broadcast
+    nested loop of width 1. Scale: O(|corpus|) map work + one 1-row agg.
+    """
+    toks = F.col("__toks")
+    tf_cols = {
+        f"__tf_{i}": F.size(F.filter(toks, lambda x: x == F.lit(t)))
+        for i, t in enumerate(query_terms)
+    }
+    base = (
+        df.select(id_col, tokens_col(text_col).alias("__toks"))
+        .withColumn("__dl", F.size(toks))
+        .withColumns(tf_cols)
+        .drop("__toks")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        dfreq = F.col(f"__df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        term = idf * (
+            tf
+            * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")))
+        )
+        score = term if score is None else score + term
+    return (
+        scored.select(id_col, F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(top_k)
+    )
+
+
 def train_order(
     df: DataFrame,
     n_buckets: int = 1024,

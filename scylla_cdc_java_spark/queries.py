@@ -1799,6 +1799,72 @@ def q_join_salted_revenue(spark, sf_dir):
     )
 
 
+def q_text_bpe_pairs(spark, sf_dir):
+    """Tokenizer training, one BPE round: adjacent char-pair counts over
+    the (word, count) vocabulary table — |vocab| rows of pair work, not
+    |corpus| tokens."""
+    from .pipeline.text import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_k=50)
+
+
+ORACLE_BPE_PAIRS = """
+WITH wc AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY 1
+),
+pairs AS (
+  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, cnt
+  FROM wc, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+)
+SELECT a, b, CAST(sum(cnt) AS BIGINT) AS n
+FROM pairs GROUP BY 1, 2
+ORDER BY n DESC, a, b LIMIT 50
+"""
+
+
+def q_text_bm25(spark, sf_dir):
+    """BM25 top-20 for a fixed query — native in-row tf via size(filter),
+    corpus stats as a broadcast 1-row aggregate."""
+    from .pipeline.text import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), ["join", "hash", "scan"], top_k=20)
+
+
+ORACLE_BM25 = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, len(t) AS dl,
+         len(list_filter(t, x -> x = 'join')) AS tf0,
+         len(list_filter(t, x -> x = 'hash')) AS tf1,
+         len(list_filter(t, x -> x = 'scan')) AS tf2
+  FROM base
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM tf
+)
+SELECT doc_id,
+       round(
+         ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) *
+           (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+       + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) *
+           (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+       + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) *
+           (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+       , 6) AS bm25
+FROM tf, stats
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
 def q_text_lm_score(spark, sf_dir):
     """Bigram corpus-frequency LM scoring: integer-exact mean bigram
     frequency per document (novelty/template signal)."""
@@ -2897,6 +2963,8 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         "grouped top-k vocabulary",
     ),
     "text_lm_score": (q_text_lm_score, ORACLE_LM_SCORE, "bigram LM frequency score"),
+    "text_bpe_pairs": (q_text_bpe_pairs, ORACLE_BPE_PAIRS, "BPE merge-pair counting round"),
+    "text_bm25": (q_text_bm25, ORACLE_BM25, "BM25 ranking, broadcast corpus stats"),
     "text_train_order": (q_text_train_order, ORACLE_TRAIN_ORDER, "training-order shuffle"),
     "pipeline_end_to_end": (
         q_pipeline_end_to_end,
