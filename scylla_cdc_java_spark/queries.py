@@ -665,6 +665,41 @@ WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 450000
 """
 
 
+def q_dedup_embedding_clusters(spark, sf_dir):
+    """Embedding near-dup CLUSTERS: the sharded-GEMM pair list fed through
+    large-star/small-star connected components — keep-one-per-cluster
+    decisions for semantic dedup, all distributed (no driver collect)."""
+    emb = _emb(spark, sf_dir)
+    pairs = quantized_pairs_gemm(emb, threshold=450_000)
+    return dedup_clusters(
+        emb.select("vec_id"), pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"
+    ).withColumnRenamed("vec_id", "doc_id")
+
+
+ORACLE_EMB_CLUSTERS = """
+WITH RECURSIVE q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM q a JOIN q b ON a.vec_id < b.vec_id
+  WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 450000
+),
+edges AS (
+  SELECT vec_a AS s, vec_b AS d FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force exact top-k similarity search (quantized metric)."""
     emb = _emb(spark, sf_dir)
@@ -2901,6 +2936,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "dedup_simhash": (q_dedup_simhash, ORACLE_SIMHASH, "simhash"),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS, "near-dup components"),
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_EMB_PAIRS, "embedding near-dups"),
+    "dedup_embedding_clusters": (
+        q_dedup_embedding_clusters,
+        ORACLE_EMB_CLUSTERS,
+        "embedding near-dup clusters (GEMM pairs + star contraction)",
+    ),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN, "ANN brute-force top-k"),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF, "ANN IVF scale path"),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH, "ANN LSH-bucketed scale path"),
