@@ -134,3 +134,45 @@ def test_exact_substring_capped_prefilters(spark):
     plan = _plan(spark, "dedup_exact_substring_capped")
     assert "HashAggregate" in plan or "SortAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shingle_distinct_is_map_side(spark):
+    """Per-doc shingle set semantics run as array_distinct BEFORE the
+    explode — no dedup Exchange. A post-explode dropDuplicates would
+    shuffle the whole (doc, shingle) stream."""
+    from scylla_cdc_java_spark.pipeline.text import shingles
+    from scylla_cdc_java_spark.sources.tables import load_table
+
+    df = shingles(
+        load_table(spark, SF, "documents").select("doc_id", "text"), n=3
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "Exchange" not in plan, "shingle dedup must not shuffle"
+    assert "array_distinct" in plan
+
+
+def test_jaccard_joins_on_hashed_key(spark):
+    """The inverted-index self-join must key on xxhash64(shingle), not the
+    n-word string (half the shuffle width at scale)."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "xxhash64" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_collapses_to_vocabulary_first(spark):
+    """BPE pair counting: two aggregation phases (word counts, then pair
+    sums) and zero Python — the pair explode runs over the vocabulary
+    table, not the raw token stream."""
+    plan = _plan(spark, "text_bpe_pairs")
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 4  # 2 aggs x partial/final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_single_stats_broadcast_no_explode(spark):
+    """BM25: tf is computed in-row (size(filter(...)) — no Generate/explode
+    of the token stream) and the corpus stats join is a broadcast."""
+    plan = _plan(spark, "text_bm25")
+    assert "Generate" not in plan, "per-term explode crept into BM25"
+    assert "Broadcast" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
