@@ -54,6 +54,8 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_join",
     "text_lm_score",
+    "text_bpe_pairs",
+    "text_bm25",
     "pipeline_end_to_end",
 ]
 
