@@ -68,11 +68,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB oracle's naive-as-UTC reading). The raw NTZ column is kept as
     # <c>__ntz so range predicates can still reach the parquet scan — a
     # filter through the cast would not push down. See time_range().
-    for c, t in df.dtypes:
-        if t == "timestamp_ntz":
-            df = df.withColumn(f"{c}__ntz", F.col(c)).withColumn(
-                c, F.col(c).cast("timestamp")
-            )
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        # the cast below reads the session tz at EXECUTION time; pin it here
+        # so callers that skip the queries-module entry hook still get the
+        # UTC wall-clock-preserving conversion the oracles assume
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for c in ntz_cols:
+        df = df.withColumn(f"{c}__ntz", F.col(c)).withColumn(
+            c, F.col(c).cast("timestamp")
+        )
     return df
 
 
