@@ -21,3 +21,9 @@ from .pairing import (  # noqa: F401
     pair_range_deletes_tws,
 )
 from .replicator import ReplicatorSink, replicate_available_now  # noqa: F401
+from .evolution import (  # noqa: F401
+    conform_changes,
+    descriptor_from_log_schema,
+    replicate_with_schema_evolution,
+)
+from .multi import MultiTableConsumer  # noqa: F401

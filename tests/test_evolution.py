@@ -172,3 +172,46 @@ def test_replicate_single_pass_over_heterogeneous_files(spark, tmp_path):
     assert desc.regular_columns == ["v1", "v2"]
     got = {(r["pk"], r["ck"]): (r["v1"], r["v2"]) for r in state.collect()}
     assert got == {("a", 1): (10, None), ("b", 1): (20, "w")}
+
+
+def test_multi_table_consumer_group(spark, tmp_path):
+    """CDCConsumer.Builder.addTables analog: two tables under one
+    lifecycle, concurrent AvailableNow catch-up, independent states."""
+    from scylla_cdc_java_spark.streaming.multi import MultiTableConsumer
+
+    d1 = _desc_of(("pk", S), ("ck", I), ("v1", I))
+    d2 = CdcTableDescriptor(
+        name="tbl_b",
+        base_schema=T.StructType(
+            [T.StructField("pk", S), T.StructField("note", S)]
+        ),
+        partition_keys=["pk"],
+        clustering_keys=[],
+    )
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    g1, g2 = CdcLogGenerator(d1), CdcLogGenerator(d2)
+    _append(
+        spark,
+        g1,
+        [("insert", ("a",), (1,), {"v1": 1}), ("row_delete", ("a",), (1,)),
+         ("insert", ("b",), (2,), {"v1": 7})],
+        src1,
+    )
+    _append(
+        spark,
+        g2,
+        [("insert", ("x",), (), {"note": "n1"}), ("update", ("x",), (), {"note": "n2"})],
+        src2,
+    )
+    group = (
+        MultiTableConsumer(spark, str(tmp_path / "work"), n_buckets=4)
+        .add_tables([("t1", src1, d1), ("t2", src2, d2)])
+    )
+    states = group.replicate_available_now()
+    assert {(r["pk"], r["ck"], r["v1"]) for r in states["t1"].collect()} == {("b", 2, 7)}
+    assert {(r["pk"], r["note"]) for r in states["t2"].collect()} == {("x", "n2")}
+
+    # incremental second pass over the same work root picks up new changes
+    _append(spark, g1, [("update", ("b",), (2,), {"v1": 8})], src1)
+    states = group.replicate_available_now()
+    assert {(r["pk"], r["ck"], r["v1"]) for r in states["t1"].collect()} == {("b", 2, 8)}
