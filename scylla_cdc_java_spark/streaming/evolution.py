@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import json
+
 from ..model.schema import (
     CDC_PREFIX,
     DELETED_ELEMENTS_PREFIX,
@@ -48,6 +50,39 @@ from ..model.schema import (
     build_cdc_log_schema,
     descriptor_diff,
 )
+
+
+def save_descriptor(desc: CdcTableDescriptor, path: str) -> None:
+    """Persist a descriptor as JSON (schema-cache analog of the reference's
+    Driver3SchemaFactory: the current ChangeSchema survives restarts even
+    after old log files are archived away)."""
+    doc = {
+        "name": desc.name,
+        "base_schema": desc.base_schema.json(),
+        "partition_keys": desc.partition_keys,
+        "clustering_keys": desc.clustering_keys,
+        "non_frozen_collections": desc.non_frozen_collections,
+        "list_columns": desc.list_columns,
+    }
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, path)
+
+
+def load_descriptor(path: str) -> CdcTableDescriptor | None:
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        doc = json.load(fh)
+    return CdcTableDescriptor(
+        name=doc["name"],
+        base_schema=T.StructType.fromJson(json.loads(doc["base_schema"])),
+        partition_keys=doc["partition_keys"],
+        clustering_keys=doc["clustering_keys"],
+        non_frozen_collections=doc["non_frozen_collections"],
+        list_columns=doc["list_columns"],
+    )
 
 # Envelope columns that carry change identity/order — conform_changes will
 # never fabricate these; their absence is a malformed stream.
@@ -184,7 +219,13 @@ def replicate_with_schema_evolution(
     """
     from .replicator import replicate_available_now
 
-    desc = base_desc
+    # resume from the persisted schema cache when present: the state table
+    # stays interpretable even if pre-evolution log files were archived
+    os.makedirs(work_dir, exist_ok=True)
+    desc_path = os.path.join(work_dir, "descriptor.json")
+    desc = load_descriptor(desc_path) or base_desc
+    if desc is not base_desc:
+        descriptor_diff(base_desc, desc)  # stored schema must share the pk
     state: DataFrame | None = None
     for _ in range(max_rounds):
         observed = latest_log_schema(spark, source_dir)
@@ -193,6 +234,7 @@ def replicate_with_schema_evolution(
             # descriptor_diff validates the pk is untouched
             descriptor_diff(desc, evolved)
             desc = evolved
+        save_descriptor(desc, desc_path)
         schema = build_cdc_log_schema(desc)
         state = replicate_available_now(
             spark,

@@ -215,3 +215,35 @@ def test_multi_table_consumer_group(spark, tmp_path):
     _append(spark, g1, [("update", ("b",), (2,), {"v1": 8})], src1)
     states = group.replicate_available_now()
     assert {(r["pk"], r["ck"], r["v1"]) for r in states["t1"].collect()} == {("b", 2, 8)}
+
+
+def test_descriptor_persisted_and_resumed(spark, tmp_path):
+    """The evolved descriptor is cached in the work dir (schema-cache
+    analog of Driver3SchemaFactory): a later run resumes from it even if
+    the source dir no longer holds the old-signature files."""
+    import shutil
+
+    from scylla_cdc_java_spark.streaming.evolution import load_descriptor
+
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    g1 = CdcLogGenerator(V1)
+    _append(spark, g1, [("insert", ("a",), (1,), {"v1": 10})], src)
+    g2 = CdcLogGenerator(V2)
+    g2._t = g1._t
+    _append(spark, g2, [("insert", ("b",), (1,), {"v1": 20, "v2": "w"})], src)
+    state, desc = replicate_with_schema_evolution(spark, src, V1, work, n_buckets=4)
+    assert desc.regular_columns == ["v1", "v2"]
+
+    stored = load_descriptor(f"{work}/descriptor.json")
+    assert stored is not None and stored.regular_columns == ["v1", "v2"]
+
+    # archive the source entirely; a fresh call with the ORIGINAL base
+    # descriptor resumes under the stored evolved schema
+    shutil.rmtree(src)
+    import os as _os
+
+    _os.makedirs(src)
+    state2, desc2 = replicate_with_schema_evolution(spark, src, V1, work, n_buckets=4)
+    assert desc2.regular_columns == ["v1", "v2"]
+    got = {(r["pk"], r["ck"]): (r["v1"], r["v2"]) for r in state2.collect()}
+    assert got == {("a", 1): (10, None), ("b", 1): (20, "w")}
