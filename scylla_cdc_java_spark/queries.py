@@ -2055,6 +2055,53 @@ GROUP BY 1, 2 HAVING count(*) >= 3
 """
 
 
+def q_events_sliding_topk(spark, sf_dir):
+    """Sliding-window trending top-k: 2-day windows sliding by 1 day, the
+    3 most frequent event types per window. Each event native-explodes
+    into exactly the two windows containing it (the `window(slide)`
+    shape), then one partial-aggregatable count and a per-window rank —
+    partitioned windows only, no global sort."""
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("event_type", epoch_micros(ev, "ts").alias("tus")).select(
+        "event_type", F.expr("tus div 86400000000").alias("d")
+    )
+    win = ev.select(
+        "event_type", F.explode(F.array(F.col("d"), F.col("d") - 1)).alias("win_start")
+    )
+    counts = win.groupBy("win_start", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("win_start").orderBy(F.col("n_events").desc(), "event_type")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("win_start", "rank", "event_type", "n_events")
+    )
+
+
+ORACLE_SLIDING_TOPK = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d FROM events
+),
+w AS (
+  SELECT event_type, d AS win_start FROM e
+  UNION ALL
+  SELECT event_type, d - 1 AS win_start FROM e
+),
+c AS (
+  SELECT win_start, event_type, count(*) AS n_events FROM w GROUP BY 1, 2
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY win_start ORDER BY n_events DESC, event_type) AS INT) AS rank
+  FROM c
+)
+SELECT win_start, rank, event_type, n_events FROM r WHERE rank <= 3
+"""
+
+
 def q_events_retention_cohorts(spark, sf_dir):
     """Cohort retention: users grouped by first-activity week, counted by
     distinct active week offset — the standard retention triangle. All
@@ -2987,6 +3034,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         "cohort retention triangle",
     ),
     "events_sessionize": (q_events_sessionize, ORACLE_SESSIONIZE, "gap sessionization"),
+    "events_sliding_topk": (
+        q_events_sliding_topk,
+        ORACLE_SLIDING_TOPK,
+        "sliding-window trending top-k",
+    ),
     "events_asof_join": (q_events_asof_join, ORACLE_ASOF, "as-of point-in-time join"),
     "events_funnel": (q_events_funnel, ORACLE_FUNNEL, "ordered-step funnel"),
     "join_salted_revenue": (q_join_salted_revenue, ORACLE_JOIN_REVENUE, "salted skew join"),
