@@ -2102,6 +2102,47 @@ SELECT win_start, rank, event_type, n_events FROM r WHERE rank <= 3
 """
 
 
+def q_events_anomaly_zscore(spark, sf_dir):
+    """Daily-volume anomaly detection: days whose event count deviates
+    more than 2 sample-stddevs from that event type's mean. One count
+    aggregation + a per-type stats aggregate broadcast back — no windows,
+    no global sort; scale = O(types x days) after the first combine."""
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", epoch_micros(ev, "ts").alias("tus"))
+        .select("event_type", F.expr("tus div 86400000000").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > 2.0)
+        .select("event_type", F.col("d").alias("day"), "n", "z")
+    )
+
+
+ORACLE_ANOMALY = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd FROM daily GROUP BY 1
+)
+SELECT daily.event_type, d AS day, CAST(n AS BIGINT) AS n,
+       round((n - mu) / sd, 6) AS z
+FROM daily JOIN stats USING (event_type)
+WHERE abs(round((n - mu) / sd, 6)) > 2.0
+"""
+
+
 def q_events_retention_cohorts(spark, sf_dir):
     """Cohort retention: users grouped by first-activity week, counted by
     distinct active week offset — the standard retention triangle. All
@@ -3038,6 +3079,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         q_events_sliding_topk,
         ORACLE_SLIDING_TOPK,
         "sliding-window trending top-k",
+    ),
+    "events_anomaly_zscore": (
+        q_events_anomaly_zscore,
+        ORACLE_ANOMALY,
+        "daily-volume z-score anomalies",
     ),
     "events_asof_join": (q_events_asof_join, ORACLE_ASOF, "as-of point-in-time join"),
     "events_funnel": (q_events_funnel, ORACLE_FUNNEL, "ordered-step funnel"),
