@@ -623,6 +623,78 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """The keep-one-per-cluster decision: near-dup clusters (capped
+    Jaccard pairs -> star contraction) reduced to one canonical doc each —
+    the highest quality score, doc_id as the tiebreak — via a single
+    max_by aggregate over the cluster labels (partial-aggregatable; no
+    window/sort over the corpus)."""
+    from .pipeline.text import add_quality
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=5)
+    clusters = dedup_clusters(docs, pairs)
+    q = add_quality(docs).select("doc_id", "quality")
+    labeled = clusters.join(q, "doc_id")
+    return labeled.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.round("quality", 6).alias("q"), F.col("doc_id"))
+        ).alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+ORACLE_KEEP_BEST = """
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 5),
+shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+),
+clusters AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+quality AS (
+  SELECT doc_id,
+         round(len(list_filter(t, x -> x IN ('the','a','of','and','is')))
+               / CAST(len(t) AS DOUBLE) * 0.5
+               + least(len(t), 100) / 200.0, 6) AS q
+  FROM toks
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, c.doc_id DESC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM clusters c JOIN quality USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_doc_id, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
@@ -3024,6 +3096,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "dedup_simhash": (q_dedup_simhash, ORACLE_SIMHASH, "simhash"),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS, "near-dup components"),
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_EMB_PAIRS, "embedding near-dups"),
+    "dedup_keep_best": (
+        q_dedup_keep_best,
+        ORACLE_KEEP_BEST,
+        "keep-one-per-cluster canonical selection",
+    ),
     "dedup_embedding_clusters": (
         q_dedup_embedding_clusters,
         ORACLE_EMB_CLUSTERS,
