@@ -3212,3 +3212,72 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "join_shipping_priority": (q_join_shipping_priority, ORACLE_Q3_SHIPPING, "Q3-shape top-N anchor"),
     "join_region_volume": (q_join_region_volume, ORACLE_Q5_REGION, "Q5-shape snowflake anchor"),
 }
+
+# --- Driver-gate window rotation -------------------------------------------
+#
+# The external correctness driver compares only the FIRST 50 entries of this
+# dict against the DuckDB oracle each round (dict order == gate order).
+# Rounds 1-3 always presented the same front, so 37 queries added later never
+# received a driver row, and round-3 insertions evicted 12 previously-green
+# rows (VERDICT r03, "What's missing" #1).  Rotate the gate window: queries
+# with NO driver correctness row ever, plus rows evicted from the r03 window,
+# come first; the 50 r03-verified rows (whose evidence is already recorded in
+# CORRECTNESS_r03.json) move to the back.  New queries added in round 4+ are
+# appended to _GATE_FRONT so they are verified in the round that adds them.
+_GATE_FRONT: list[str] = [
+    # 37 queries with no driver correctness row in rounds 1-3:
+    "t9_schema_evolution",
+    "text_repetition",
+    "text_contamination",
+    "text_stratified_sample",
+    "text_pack_sequences",
+    "text_stratified_take",
+    "text_quality_filter",
+    "text_mixture_weights",
+    "text_redact",
+    "dedup_exact_substring",
+    "dedup_exact_substring_capped",
+    "dedup_line_spans",
+    "dedup_winnow",
+    "dedup_winnow_pairs",
+    "events_retention_cohorts",
+    "events_sessionize",
+    "events_sliding_topk",
+    "events_anomaly_zscore",
+    "events_asof_join",
+    "events_funnel",
+    "join_salted_revenue",
+    "join_bucketed_revenue",
+    "agg_rollup_revenue",
+    "events_pivot_types",
+    "text_vocab_by_source",
+    "text_lm_score",
+    "text_bpe_pairs",
+    "text_bm25",
+    "text_train_order",
+    "pipeline_end_to_end",
+    "text_length_quantiles",
+    "text_stratified_take_exact",
+    "text_length_quantiles_approx",
+    "ann_kmeans_train",
+    "ann_ivf_trained_topk",
+    "join_shipping_priority",
+    "join_region_volume",
+    # 12 rows green in r01/r02 but evicted from the r03 window:
+    "p5_ttl_trim",
+    "j3_preimage_verify",
+    "f4_f5_renders",
+    "o3_list_reconstruct",
+    "text_token_count",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_vocab",
+    "text_split_assign",
+    "agg_lineitem_pushdown",
+    "join_broadcast_revenue",
+]
+
+QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
+    k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)
+}
