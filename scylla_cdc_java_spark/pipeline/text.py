@@ -259,25 +259,81 @@ def pack_sequences(
     budget: int = 2048,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Sequence packing for training-example assembly: assign documents to
     fixed token-budget bins by *contiguous cumulative-sum packing* — docs
     in id order pack into a bin until the running token total crosses the
     budget (a bin may overflow by its last doc, the standard streaming
     packer trade). Deterministic and order-stable, so reruns and engines
-    agree; one window over the id order (at 100 TB: range-partition by id
-    first, then the cumsum is per-partition with offset — same plan shape
-    Spark uses for row_number).
+    agree.
+
+    The global running sum is a **two-pass distributed prefix sum**, not a
+    partition-less window (which funnels the whole corpus through one
+    WindowExec task):
+
+    1. bucket docs by deterministic id-range boundaries (approxQuantile of
+       the id — fixed literals, so retries/recomputes agree), then one
+       map-side-combinable aggregate yields per-bucket token totals;
+    2. the tiny totals (``n_buckets`` rows) are prefix-summed on the
+       driver and rejoined as a literal map, while the per-bucket cumsum
+       runs as a ``Window.partitionBy(bucket)`` — every bucket is an
+       independent task, so the plan scales with the cluster.
+
+    Non-numeric id columns (no quantile support) fall back to the single
+    global window — correct, but single-task; all shipped callers use
+    bigint ids.
 
     Output: ``(doc_id, n_tokens, bin_id, bin_offset)`` where bin_offset is
     the token offset of the doc inside its bin.
     """
+    spark = df.sparkSession
     toks = F.size(tokens_col(text_col))
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
-    prev_cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    base = df.select(id_col, toks.alias("n_tokens"))
+
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
+    bounds: list[float] = []
+    if n_buckets > 1:
+        try:
+            qs = [i / n_buckets for i in range(1, n_buckets)]
+            bounds = sorted(set(df.stat.approxQuantile(id_col, qs, 0.001)))
+        except Exception:  # non-numeric id: keep the (correct) global window
+            bounds = []
+
+    if not bounds:
+        w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+        prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        bucketed = base
+    else:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        idd = F.col(id_col).cast("double")
+        # cast→double is monotone in the id, so bucket order == id order;
+        # ties at a boundary land in one bucket and sort by id inside it.
+        bkt = F.size(F.filter(barr, lambda b: b <= idd)).alias("__bkt")
+        bucketed = base.withColumn("__bkt", bkt)
+
+        # pass 1: per-bucket totals (partial-agg shuffle of n_buckets rows)
+        totals = bucketed.groupBy("__bkt").agg(F.sum("n_tokens").alias("__tot")).collect()
+        offs: dict[int, int] = {}
+        acc = 0
+        for r in sorted(totals, key=lambda r: r["__bkt"]):
+            offs[int(r["__bkt"])] = acc
+            acc += int(r["__tot"] or 0)
+
+        # pass 2: per-bucket cumsum + driver-computed bucket offset
+        wloc = (
+            Window.partitionBy("__bkt")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = F.coalesce(F.sum("n_tokens").over(wloc), F.lit(0))
+        if offs:
+            om = F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
+            prev = prev + F.coalesce(om[F.col("__bkt")], F.lit(0))
+
     return (
-        df.select(id_col, toks.alias("n_tokens"))
-        .withColumn("__prev", prev_cum)
+        bucketed.withColumn("__prev", prev)
         .select(
             id_col,
             "n_tokens",

@@ -176,3 +176,22 @@ def test_bm25_single_stats_broadcast_no_explode(spark):
     assert "Generate" not in plan, "per-term explode crept into BM25"
     assert "Broadcast" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    """Sequence packing runs its global cumsum as a two-pass distributed
+    prefix sum: a per-bucket Window (partitioned on the quantile bucket)
+    plus a driver-side offset map. A partition-less Window.orderBy would
+    show up as an `Exchange SinglePartition` feeding WindowExec — the
+    whole-corpus-through-one-task plan this guard forbids."""
+    plan = _plan(spark, "text_pack_sequences")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, "global window crept back into pack_sequences"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline_end_to_end_no_single_partition(spark):
+    """The composed pipeline inherits pack_sequences' distributed prefix
+    sum — no stage may funnel the corpus through one partition."""
+    plan = _plan(spark, "pipeline_end_to_end")
+    assert "SinglePartition" not in plan, "single-partition stage in the e2e pipeline"
