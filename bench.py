@@ -34,7 +34,7 @@ HEADLINE = [
     "r3_set_delta",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
+    "dedup_ngram_jaccard_exact",
     "ann_lsh_topk",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -96,9 +96,14 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    # NO broadcast hint on the size tables: they are corpus-cardinality
+    # (one row per document), so a forced broadcast OOMs the driver at
+    # billions of docs and overrides AQE's size check. Left unhinted, AQE
+    # still broadcasts them when they fit and falls back to a shuffle
+    # join (|pairs| + |docs| rows) when they don't.
     j = (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(

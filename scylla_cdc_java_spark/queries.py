@@ -472,7 +472,11 @@ FROM documents GROUP BY 1
 """
 
 
-def q_dedup_ngram_jaccard(spark, sf_dir):
+def q_dedup_ngram_jaccard_exact(spark, sf_dir):
+    """Exact (uncapped) n-gram Jaccard: every shingle participates in the
+    inverted-index self-join. Kept as an explicit opt-in variant — a
+    shingle appearing in d documents produces d^2 candidate rows, so the
+    df-capped form (``q_dedup_ngram_jaccard``) is the at-scale default."""
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
 
 
@@ -3086,11 +3090,17 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "ttl_apply_visibility": (q_ttl_apply_visibility, ORACLE_TTL_VIS, "cdc$ttl as-of expiry"),
     "j3_preimage_report": (q_j3_preimage_report, ORACLE_J3_REPORT, "J3 op-0 preimage_report"),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT, "exact dedup"),
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD, "n-gram jaccard (exact)"),
-    "dedup_ngram_jaccard_capped": (
+    # the df-capped skew guard is the primary (at-scale default) row; the
+    # uncapped exact form is an explicit opt-in variant (d^2 blowup risk)
+    "dedup_ngram_jaccard": (
         q_dedup_ngram_jaccard_capped,
         ORACLE_NGRAM_JACCARD_CAPPED,
-        "n-gram jaccard, df-capped skew guard",
+        "n-gram jaccard, df-capped skew guard (primary)",
+    ),
+    "dedup_ngram_jaccard_exact": (
+        q_dedup_ngram_jaccard_exact,
+        ORACLE_NGRAM_JACCARD,
+        "n-gram jaccard, exact uncapped variant",
     ),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_MINHASH, "minhash LSH"),
     "dedup_simhash": (q_dedup_simhash, ORACLE_SIMHASH, "simhash"),
@@ -3263,6 +3273,10 @@ _GATE_FRONT: list[str] = [
     "ann_ivf_trained_topk",
     "join_shipping_priority",
     "join_region_volume",
+    # round-4 changes that need a fresh driver row: the jaccard primary
+    # swapped to the capped form and the exact form got a new key
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_exact",
     # 12 rows green in r01/r02 but evicted from the r03 window:
     "p5_ttl_trim",
     "j3_preimage_verify",

@@ -195,3 +195,19 @@ def test_pipeline_end_to_end_no_single_partition(spark):
     sum — no stage may funnel the corpus through one partition."""
     plan = _plan(spark, "pipeline_end_to_end")
     assert "SinglePartition" not in plan, "single-partition stage in the e2e pipeline"
+
+
+def test_jaccard_sizes_join_never_hinted_broadcast(spark):
+    """The per-document size tables are corpus-cardinality; a user
+    broadcast hint on them overrides AQE's size check and OOMs the driver
+    at billions of docs. The only permitted hint in the jaccard plan is
+    the df-cap hot-shingle anti-join (bounded by max_df cardinality)."""
+    def hints(name):
+        fn, _, _ = QUERIES[name]
+        analyzed = str(fn(spark, SF)._jdf.queryExecution().analyzed())
+        return analyzed.count("ResolvedHint")
+
+    assert hints("dedup_ngram_jaccard_exact") == 0, "hint crept onto the sizes join"
+    # the hot-set anti-join hint appears twice: the hinted subtree is
+    # duplicated across the a/b branches of the self-join
+    assert hints("dedup_ngram_jaccard") <= 2, "only the hot-set anti-join may hint"
