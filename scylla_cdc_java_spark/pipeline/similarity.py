@@ -332,6 +332,100 @@ def kmeans_train(
     )
 
 
+def lsh_planes(dim: int, n: int, seed: int = 0xC0FFEE) -> list[list[int]]:
+    """``n`` deterministic integer hyperplanes in ``[-1000, 1000]^dim``.
+
+    Integer components (seeded numpy) keep every sign decision exact
+    int64 arithmetic against the quantized embeddings, so Spark and the
+    SQL oracle (which embeds the same literals) agree bit-for-bit —
+    no float-summation-order hazard in the bucketing itself.
+    """
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.randint(-1000, 1001, size=(n, dim)).tolist()
+
+
+def quantized_pairs_lsh(
+    emb: DataFrame,
+    threshold: int,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    seed: int = 0xC0FFEE,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs above ``threshold`` via **banded hyperplane-LSH
+    candidates + intra-bucket GEMM rescoring** — the subquadratic scale
+    path (`quantized_pairs_gemm` stays as the exact opt-in for small n).
+
+    ``n_tables`` independent hash tables each bucket the corpus by
+    ``n_planes`` sign bits; candidate pairs exist only *within* a
+    (table, bucket) group, where a numpy int64 GEMM rescoring computes the
+    exact quantized dot. Pairs surviving in several tables dedupe on one
+    final (vec_a, vec_b) aggregate. Compute is
+    ``n_tables x Σ_b |bucket_b|²`` — linear in the corpus at fixed bucket
+    occupancy — vs the exact path's ``n²``; grow ``n_planes`` with the
+    corpus so occupancy (~n / 2^n_planes) stays bounded, and raise
+    ``n_tables`` to buy recall (misses only pairs that collide in no
+    table; recall falls with the similarity threshold — at cos ≥ 0.9 a
+    handful of tables is near-exhaustive, at the fixture's cos ≈ 0.45
+    the default 16x4 still finds 15/15 planted pairs).
+
+    One corpus scan (the table fan-out is an in-row explode), one shuffle
+    on (table, bucket), one pair-dedup shuffle. Reference semantics:
+    scylla-cdc-java has no embedding ops; this is pipeline-extension
+    surface.
+    """
+    if dim is None:  # one-row metadata probe; pass dim= to skip the job
+        dim = len(emb.select(vec_col).head()[0])
+    planes = lsh_planes(dim, n_tables * n_planes, seed)
+    thr = int(threshold)
+    q = emb.select(
+        F.col(id_col).alias("vid"), quantize_embedding(vec_col, scale).alias("qv")
+    )
+
+    def bucket_expr(t: int) -> Column:
+        bits = F.lit(0).cast("long")
+        for i in range(n_planes):
+            arr = F.array(*[F.lit(int(v)).cast("long") for v in planes[t * n_planes + i]])
+            bits = bits + F.when(
+                quantized_dot(F.col("qv"), arr) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        return bits
+
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).cast("int").alias("tbl"), bucket_expr(t).alias("bkt"))
+            for t in range(n_tables)
+        ]
+    )
+    fanned = q.select("vid", "qv", F.explode(entries).alias("e")).select(
+        "vid", "qv", F.col("e.tbl").alias("tbl"), F.col("e.bkt").alias("bkt")
+    )
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "dot_q": []}, dtype="int64")
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+        dots = mat @ mat.T
+        ai, bj = np.nonzero((dots >= thr) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bj], "dot_q": dots[ai, bj]})
+
+    pairs = fanned.groupBy("tbl", "bkt").applyInPandas(
+        kernel, schema="vec_a long, vec_b long, dot_q long"
+    )
+    # same pair may surface from several tables; dot_q is identical, so a
+    # max-agg dedupe (partial-aggregatable) collapses them
+    return pairs.groupBy("vec_a", "vec_b").agg(F.max("dot_q").alias("dot_q"))
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: one sign bit per plane."""
     bucket = F.lit(0).cast("long")
