@@ -184,6 +184,32 @@ def reconfigure_workers(
     return tuple(sorted(a - n)), tuple(sorted(n - a))
 
 
+def tablets_based(tables) -> bool:
+    """Master.isTabletsBased analog (reference scylla-cdc-base/.../model/
+    master/Master.java:46-65): a CDC consumer group must use EITHER
+    tablet-based replication (per-table generations) or vnodes-based
+    (cluster-wide generations) for every table — a mixed set has no
+    coherent metadata model, so the master refuses it.
+
+    ``tables`` is an iterable of ``(name, uses_tablets)`` pairs; returns
+    the common mode, raising ``ValueError`` on a mixed configuration.
+    """
+    mode: bool | None = None
+    for name, uses in tables:
+        uses = bool(uses)
+        if mode is None:
+            mode = uses
+        elif mode != uses:
+            raise ValueError(
+                f"Mixed tablet configuration detected: table '{name}' "
+                f"{'uses' if uses else 'does not use'} tablets, but other tables "
+                f"in the configuration {'use' if mode else 'do not use'} tablets. "
+                "All tables in the same CDC configuration must consistently use "
+                "either tablet-based replication or vnodes-based."
+            )
+    return bool(mode)
+
+
 @dataclass(frozen=True)
 class MasterDecision:
     """Outcome of one master step: what the source should do next."""

@@ -59,6 +59,10 @@ class CdcTableDescriptor:
     clustering_keys: list[str] = field(default_factory=list)
     non_frozen_collections: list[str] = field(default_factory=list)
     list_columns: list[str] = field(default_factory=list)
+    # replication metadata: True when the base table uses tablet-based
+    # replication (per-table CDC generations) instead of vnodes. A CDC
+    # consumer group must be mode-uniform (reference Master.java:46-65).
+    uses_tablets: bool = False
 
     @property
     def primary_key(self) -> list[str]:

@@ -89,8 +89,17 @@ class MultiTableConsumer:
             .with_checkpoint(os.path.join(self.work_root, t.name, "checkpoint"))
         )
 
+    def _validate_modes(self) -> None:
+        """Reference Master.isTabletsBased (Master.java:46-65): refuse a
+        table set mixing tablet-based and vnodes-based replication — the
+        group has no coherent generation metadata model."""
+        from ..model.generations import tablets_based
+
+        tablets_based((t.name, t.desc.uses_tablets) for t in self._tables)
+
     def start(self, trigger_interval: str | None = None) -> dict:
         """Start every table's pipeline; returns {name: StreamingQuery}."""
+        self._validate_modes()
         queries = {}
         for t in self._tables:
             c = self._consumer(t)
@@ -112,6 +121,7 @@ class MultiTableConsumer:
         """Catch-up pass over all tables (Trigger.AvailableNow each);
         returns {name: materialized state}. Queries run concurrently —
         group wall-clock is the slowest table, not the sum."""
+        self._validate_modes()
         queries = {}
         sinks = {}
         for t in self._tables:

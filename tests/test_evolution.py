@@ -247,3 +247,38 @@ def test_descriptor_persisted_and_resumed(spark, tmp_path):
     assert desc2.regular_columns == ["v1", "v2"]
     got = {(r["pk"], r["ck"]): (r["v1"], r["v2"]) for r in state2.collect()}
     assert got == {("a", 1): (10, None), ("b", 1): (20, "w")}
+
+
+def test_mixed_tablet_mode_rejected(spark, tmp_path):
+    """Reference Master.isTabletsBased (Master.java:46-65) / MasterTest's
+    mixed-mode case: a consumer group mixing tablet-based and
+    vnodes-based tables must be refused before any query starts."""
+    import pytest
+
+    from scylla_cdc_java_spark.model.generations import tablets_based
+    from scylla_cdc_java_spark.streaming.multi import MultiTableConsumer
+
+    # unit level: uniform sets return the common mode, mixed sets raise
+    assert tablets_based([("a", False), ("b", False)]) is False
+    assert tablets_based([("a", True), ("b", True)]) is True
+    assert tablets_based([]) is False
+    with pytest.raises(ValueError, match="Mixed tablet configuration"):
+        tablets_based([("a", True), ("b", False)])
+
+    # group level: the mixed set is rejected at lifecycle entry
+    d_vnode = _desc_of(("pk", S), ("v1", I))
+    d_tablet = CdcTableDescriptor(
+        name="tbl_t",
+        base_schema=T.StructType([T.StructField("pk", S), T.StructField("v", I)]),
+        partition_keys=["pk"],
+        uses_tablets=True,
+    )
+    group = (
+        MultiTableConsumer(spark, str(tmp_path / "work"), n_buckets=4)
+        .add_tables([("t1", str(tmp_path / "s1"), d_vnode),
+                     ("t2", str(tmp_path / "s2"), d_tablet)])
+    )
+    with pytest.raises(ValueError, match="Mixed tablet configuration"):
+        group.replicate_available_now()
+    with pytest.raises(ValueError, match="Mixed tablet configuration"):
+        group.start()
