@@ -137,6 +137,42 @@ def descriptor_diff(
     return added, dropped
 
 
+def conform_column(col, have: T.DataType, want: T.DataType):
+    """Reconcile ONE column written under an older nested layout with the
+    current type — the UDT-field-level half of schema evolution (reference
+    AlterUpdateUdtIT: ``ALTER TYPE ... ADD`` widens a UDT mid-stream).
+
+    Struct fields the new type added become typed NULLs, fields it
+    dropped disappear, recursively through arrays and map values; scalar
+    mismatches fall back to a cast. NULL structs stay NULL (a struct()
+    rebuild would otherwise manufacture a non-null row of NULL fields).
+    """
+    from pyspark.sql import functions as F
+
+    if have == want:
+        return col
+    if isinstance(have, T.StructType) and isinstance(want, T.StructType):
+        hf = {f.name: f for f in have.fields}
+        inner = [
+            conform_column(col.getField(f.name), hf[f.name].dataType, f.dataType).alias(
+                f.name
+            )
+            if f.name in hf
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in want.fields
+        ]
+        return F.when(col.isNull(), F.lit(None).cast(want)).otherwise(F.struct(*inner))
+    if isinstance(have, T.ArrayType) and isinstance(want, T.ArrayType):
+        return F.transform(
+            col, lambda x: conform_column(x, have.elementType, want.elementType)
+        )
+    if isinstance(have, T.MapType) and isinstance(want, T.MapType):
+        return F.transform_values(
+            col, lambda _, v: conform_column(v, have.valueType, want.valueType)
+        )
+    return col.cast(want)
+
+
 def conform_state(state, desc: CdcTableDescriptor, keep_extra: tuple = ()):
     """Reconcile a materialized state frame written under an *older* schema
     with the current descriptor — the restart path of schema evolution:
@@ -160,10 +196,17 @@ def conform_state(state, desc: CdcTableDescriptor, keep_extra: tuple = ()):
             f"state is missing primary-key columns {missing_keys}; "
             "schema evolution cannot add or drop key columns"
         )
+    have = {f.name: f for f in state.schema.fields}
     sel = []
     for f in desc.base_schema.fields:
         if f.name in cols:
-            sel.append(F.col(f.name))
+            # nested reconciliation: a UDT field added/dropped mid-stream
+            # (ALTER TYPE) changes the struct type, not the column set
+            sel.append(
+                conform_column(F.col(f.name), have[f.name].dataType, f.dataType).alias(
+                    f.name
+                )
+            )
         else:
             sel.append(F.lit(None).cast(f.dataType).alias(f.name))
     for c in keep_extra:

@@ -1125,6 +1125,27 @@ def q_k3_stream_replicate(spark, sf_dir):
     )
 
 
+def _evo_tmpdir() -> str:
+    """Scratch dir for the schema-evolution gate queries, removed at
+    process exit (the returned state DataFrame lazily reads parquet under
+    it, so removal must outlive the caller's collect)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="cdc_evo_gate_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return tmp
+
+
+def _evo_mtime_gap() -> None:
+    """Ensure the next written file gets a strictly newer mtime (epoch
+    ordering for signature detection)."""
+    import time as _time
+
+    _time.sleep(0.05)
+
+
 def q_t9_schema_evolution(spark, sf_dir):
     """Mid-stream schema evolution (ALTER TABLE ADD while replicating —
     Driver3WorkerCQL.java:133-159 / Driver3SchemaFactory.java:73-153
@@ -1136,8 +1157,6 @@ def q_t9_schema_evolution(spark, sf_dir):
     column, so ``props`` only reflects post-ALTER writes while ``value``
     is cell-LWW over the whole log (null+no-marker = unset, R2)."""
     import os
-    import tempfile
-    import time as _time
 
     from .streaming.evolution import replicate_with_schema_evolution
 
@@ -1145,11 +1164,11 @@ def q_t9_schema_evolution(spark, sf_dir):
         F.col("cdc$operation") != 3
     )
     cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    tmp = tempfile.mkdtemp(prefix="cdc_evo_gate_")
+    tmp = _evo_tmpdir()
     src = os.path.join(tmp, "src")
     # epoch 1 (pre-ALTER) first; signature detection orders files by mtime
     cdc.where(F.col("cdc$time_ts") < cutoff).drop("props").write.parquet(src)
-    _time.sleep(0.05)
+    _evo_mtime_gap()
     cdc.where(F.col("cdc$time_ts") >= cutoff).write.mode("append").parquet(src)
 
     v1_desc = CdcTableDescriptor(
@@ -1166,7 +1185,8 @@ def q_t9_schema_evolution(spark, sf_dir):
     state, desc = replicate_with_schema_evolution(
         spark, src, v1_desc, os.path.join(tmp, "work"), n_buckets=8
     )
-    assert desc.regular_columns == ["value", "props"], desc.regular_columns
+    if desc.regular_columns != ["value", "props"]:
+        raise ValueError(f"descriptor failed to evolve: {desc.regular_columns}")
     return state.select("user_id", "value", "props")
 
 
@@ -1190,6 +1210,83 @@ p AS (
   ) WHERE rn = 1
 )
 SELECT v.user_id, v.value, p.props FROM v LEFT JOIN p USING (user_id)
+"""
+
+
+def q_t9_udt_evolution(spark, sf_dir):
+    """Mid-stream **UDT field** evolution (AlterUpdateUdtIT analog:
+    ``ALTER TYPE simple_udt ADD c`` while streaming): the column set is
+    unchanged — a struct column's layout widens between epochs. Epoch-1
+    files carry ``u: struct<a>``; epoch-2 files carry ``u: struct<a,b>``.
+    The engine is handed the OUTDATED descriptor, detects the widened
+    nested layout from the pending files' merged footers, evolves the
+    descriptor's struct type (descriptor_from_log_schema), null-fills the
+    new field for pre-ALTER rows on both the log side (conform via
+    parquet nested read) and the state side (conform_column), and keeps
+    whole-cell LWW semantics for the UDT across the boundary."""
+    import os
+
+    from .streaming.evolution import replicate_with_schema_evolution
+
+    cdc = events_as_cdc(spark, sf_dir, events=_events(spark, sf_dir)).where(
+        F.col("cdc$operation") != 3
+    )
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    narrow = F.struct((F.col("value") * 2).alias("a"))
+    wide = F.struct((F.col("value") * 2).alias("a"), F.col("props").alias("b"))
+    tmp = _evo_tmpdir()
+    src = os.path.join(tmp, "src")
+    cdc.where(F.col("cdc$time_ts") < cutoff).withColumn("u", narrow).drop(
+        "props"
+    ).write.parquet(src)
+    _evo_mtime_gap()
+    cdc.where(F.col("cdc$time_ts") >= cutoff).withColumn("u", wide).drop(
+        "props"
+    ).write.mode("append").parquet(src)
+
+    v1_desc = CdcTableDescriptor(
+        name="user_state_udt_v1",
+        base_schema=T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField(
+                    "u", T.StructType([T.StructField("a", T.DoubleType())])
+                ),
+            ]
+        ),
+        partition_keys=["user_id"],
+        clustering_keys=[],
+    )
+    state, desc = replicate_with_schema_evolution(
+        spark, src, v1_desc, os.path.join(tmp, "work"), n_buckets=8
+    )
+    u_fields = [f.name for f in desc.base_field("u").dataType.fields]
+    if u_fields != ["a", "b"]:
+        raise ValueError(f"UDT layout failed to evolve: {u_fields}")
+    return state.select(
+        "user_id",
+        "value",
+        F.col("u.a").alias("ua"),
+        F.col("u.b").alias("ub"),
+    )
+
+
+ORACLE_T9_UDT = """
+WITH w AS (
+  SELECT user_id, value, props, ts, event_id FROM events
+  WHERE event_type <> 'error'
+),
+l AS (
+  SELECT user_id, value, props, ts FROM (
+    SELECT user_id, value, props, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM w
+  ) WHERE rn = 1
+)
+SELECT user_id, value, value * 2 AS ua,
+       CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN props END AS ub
+FROM l
 """
 
 
@@ -3214,6 +3311,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_T9,
         "mid-stream ALTER ADD: signature-tracked descriptor rollover",
     ),
+    "t9_udt_evolution": (
+        q_t9_udt_evolution,
+        ORACLE_T9_UDT,
+        "mid-stream ALTER TYPE ADD: nested UDT field evolution",
+    ),
     "p5_ttl_trim": (q_p5_ttl_trim, ORACLE_P5, "P5/P6 TTL pruning"),
     "j3_preimage_verify": (q_j3_preimage_verify, ORACLE_J3, "J3 pre-image verify"),
     "f4_f5_renders": (q_f4_f5_renders, ORACLE_F4F5, "F4/F5 renders"),
@@ -3367,6 +3469,8 @@ _GATE_FRONT: list[str] = [
     "dedup_embedding_pairs",
     "dedup_embedding_pairs_exact",
     "dedup_embedding_clusters",
+    # round-4: nested UDT-field mid-stream evolution (new query)
+    "t9_udt_evolution",
     # 12 rows green in r01/r02 but evicted from the r03 window:
     "p5_ttl_trim",
     "j3_preimage_verify",

@@ -63,20 +63,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Parquet timestamp[us] without UTC adjustment reads as TIMESTAMP_NTZ
     # under Spark 4's inferTimestampNTZ default. All operators key on
     # instant-typed timestamps (unix_micros etc.), so normalize to
-    # TimestampType here; the session timezone is pinned to UTC by every
-    # entry point, making the cast wall-clock preserving (and matching the
-    # DuckDB oracle's naive-as-UTC reading). The raw NTZ column is kept as
-    # <c>__ntz so range predicates can still reach the parquet scan — a
-    # filter through the cast would not push down. See time_range().
+    # TimestampType here with a timezone-EXPLICIT conversion:
+    # make_timestamp(..., 'UTC') reconstructs the instant from the NTZ
+    # wall-clock fields, so the result is the naive-as-UTC reading the
+    # DuckDB oracles use regardless of (and without mutating) the
+    # session timezone — a plain cast would read the session tz at
+    # execution time and silently change results under a user tz. The
+    # raw NTZ column is kept as <c>__ntz so range predicates can still
+    # reach the parquet scan — a filter through the conversion would not
+    # push down. See time_range().
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
-    if ntz_cols:
-        # the cast below reads the session tz at EXECUTION time; pin it here
-        # so callers that skip the queries-module entry hook still get the
-        # UTC wall-clock-preserving conversion the oracles assume
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     for c in ntz_cols:
         df = df.withColumn(f"{c}__ntz", F.col(c)).withColumn(
-            c, F.col(c).cast("timestamp")
+            c,
+            F.expr(
+                f"make_timestamp(year(`{c}`), month(`{c}`), day(`{c}`), "
+                f"hour(`{c}`), minute(`{c}`), extract(second from `{c}`), 'UTC')"
+            ),
         )
     return df
 

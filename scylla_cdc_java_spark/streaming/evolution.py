@@ -14,16 +14,25 @@ Spark-native equivalent has two parts:
   reader null-fills columns a pre-ALTER file lacks and ignores columns a
   post-DROP schema no longer declares, and ``conform_changes`` gives the
   same tolerance to batch frames fed straight to the sink;
-* **across schema changes** — ``replicate_with_schema_evolution`` watches
-  the column signature of the newest log file (a parquet-footer read, no
-  data scan), evolves the table descriptor when the signature changes
-  (ALTER ADD -> new nullable column, ALTER DROP -> column removed), and
-  rolls the stream onto the new schema by restarting the AvailableNow
-  pass on the *same checkpoint* — already-processed files are skipped by
-  the source's offset log, exactly the semantics of the reference's
-  schema-hash-triggered requery. The materialized state itself is
-  reconciled by ``conform_state`` inside the sink (the restart path),
-  so both halves of the ALTER land without user intervention.
+* **across schema changes** — ``replicate_with_schema_evolution`` derives
+  each pass's schema from the merged parquet footers of every
+  not-yet-processed file plus the newest one (footer reads, no data
+  scan): no pending file is ever read under a schema narrower than its
+  own, even when a post-ALTER file's mtime sorts older (distributed
+  writers). It evolves the table descriptor when the signature changes
+  (ALTER ADD -> new nullable column, ALTER DROP -> column removed once
+  the old files are consumed, ALTER TYPE ADD/DROP -> nested UDT field
+  reconciliation via ``conform_column``), and rolls the stream onto the
+  new schema by restarting the AvailableNow pass on the *same
+  checkpoint* — already-processed files are skipped by the source's
+  offset log, the semantics of the reference's schema-hash-triggered
+  requery at file granularity (a file that lands in the instant between
+  the footer listing and the source's own listing is still read under
+  the pass schema; the listing happens immediately before the pass, so
+  that window is the file-landing race every file source has). The
+  materialized state is reconciled by ``conform_state`` inside the sink
+  (the restart path), so both halves of the ALTER land without user
+  intervention.
 
 Scale posture: signature detection reads one parquet footer; the evolve
 loop adds zero data-plane work — each round is the normal replication
@@ -48,6 +57,7 @@ from ..model.schema import (
     DELETED_PREFIX,
     CdcTableDescriptor,
     build_cdc_log_schema,
+    conform_column,
     descriptor_diff,
 )
 
@@ -108,7 +118,13 @@ def conform_changes(df: DataFrame, desc: CdcTableDescriptor) -> DataFrame:
     cols: list = []
     for f in target.fields:
         if f.name in have:
-            cols.append(F.col(f"`{f.name}`"))
+            # nested reconciliation: an ALTER TYPE ADD/DROP changes a UDT
+            # column's struct layout without changing the column set
+            cols.append(
+                conform_column(
+                    F.col(f"`{f.name}`"), have[f.name].dataType, f.dataType
+                ).alias(f.name)
+            )
         elif f.name in _IDENTITY_COLS or not f.nullable:
             # nullable=False envelope columns (cdc$time/cdc$time_ts) are
             # derivable downstream; add typed nulls only when optional
@@ -183,19 +199,56 @@ def descriptor_from_log_schema(
     )
 
 
-def latest_log_schema(spark: SparkSession, source_dir: str) -> T.StructType | None:
-    """Schema of the newest log file under ``source_dir`` (recursive), by
-    (mtime, path) — a single-file footer read, no data scan. None when the
-    directory holds no parquet yet."""
-    files = [
+def _log_files(source_dir: str) -> list[str]:
+    return [
         p
         for p in glob.glob(os.path.join(source_dir, "**", "*.parquet"), recursive=True)
         if os.path.getsize(p) > 0
     ]
+
+
+def latest_log_schema(spark: SparkSession, source_dir: str) -> T.StructType | None:
+    """Schema of the newest log file under ``source_dir`` (recursive), by
+    (mtime, path) — a single-file footer read, no data scan. None when the
+    directory holds no parquet yet."""
+    files = _log_files(source_dir)
     if not files:
         return None
     newest = max(files, key=lambda p: (os.path.getmtime(p), p))
     return spark.read.parquet(newest).schema
+
+
+def pending_log_schema(
+    spark: SparkSession, source_dir: str, processed: set[str]
+) -> tuple[T.StructType | None, list[str]]:
+    """Schema every *pending* file must be read under, plus the current
+    file listing.
+
+    Merges the footers (``mergeSchema`` — nested struct fields included)
+    of every file not yet processed, together with the newest file by
+    (mtime, path). Merging the unseen set — not just the newest file —
+    closes the distributed-writer hole: a post-ALTER file whose mtime
+    sorts older than a pre-ALTER one still contributes its widened
+    columns, so no pending file is ever read under a schema narrower than
+    its own (which would silently drop its new columns AND permanently
+    skip them via the offset log on the evolved re-run). The newest file
+    still anchors the merge so ALTER DROP takes effect once the old
+    files' data has been consumed.
+
+    Returns ``(None, files)`` when every file is already processed:
+    schema changes are only ever inferred from *fresh* evidence — an
+    already-consumed file set can't signal an ALTER, and re-deriving from
+    the newest processed file would mis-read a late pre-ALTER straggler
+    as an ALTER DROP, conforming the added column's data back out of the
+    state.
+    """
+    files = _log_files(source_dir)
+    unseen = {p for p in files if p not in processed}
+    if not unseen:
+        return None, files
+    newest = max(files, key=lambda p: (os.path.getmtime(p), p))
+    paths = sorted(unseen | {newest})
+    return spark.read.option("mergeSchema", "true").parquet(*paths).schema, files
 
 
 def replicate_with_schema_evolution(
@@ -211,11 +264,14 @@ def replicate_with_schema_evolution(
     """Replicate everything currently in ``source_dir``, evolving the
     schema as ALTERs appear — the user never rebuilds a descriptor.
 
-    Each round: infer the current descriptor from the newest file's
-    footer, run the AvailableNow replication pass under it (the shared
-    checkpoint makes re-runs incremental), then rescan — if files with a
-    *newer* signature arrived mid-pass, roll onto the evolved schema and
-    go again. Returns ``(state, descriptor)`` for the final schema.
+    Each round: infer the current descriptor from the merged footers of
+    every not-yet-processed file plus the newest one (so a pending file
+    is never read under a schema narrower than its own — see
+    ``pending_log_schema``), run the AvailableNow replication pass under
+    it (the shared checkpoint makes re-runs incremental), record the
+    consumed files, then rescan — if files with a different signature
+    arrived mid-pass, roll onto the evolved schema and go again. Returns
+    ``(state, descriptor)`` for the final schema.
     """
     from .replicator import replicate_available_now
 
@@ -226,9 +282,17 @@ def replicate_with_schema_evolution(
     desc = load_descriptor(desc_path) or base_desc
     if desc is not base_desc:
         descriptor_diff(base_desc, desc)  # stored schema must share the pk
+    # processed-file record (mirror of the source's offset log, kept next
+    # to the descriptor cache): files consumed by earlier passes no longer
+    # widen the pending-schema merge, which is what lets ALTER DROP land
+    proc_path = os.path.join(work_dir, "processed_files.json")
+    processed: set[str] = set()
+    if os.path.exists(proc_path):
+        with open(proc_path) as fh:
+            processed = set(json.load(fh))
     state: DataFrame | None = None
     for _ in range(max_rounds):
-        observed = latest_log_schema(spark, source_dir)
+        observed, listed = pending_log_schema(spark, source_dir, processed)
         if observed is not None:
             evolved = descriptor_from_log_schema(observed, desc)
             # descriptor_diff validates the pk is untouched
@@ -246,7 +310,15 @@ def replicate_with_schema_evolution(
             confidence_ms=confidence_ms,
             n_buckets=n_buckets,
         )
-        after = latest_log_schema(spark, source_dir)
+        # the AvailableNow pass consumed (at least) the files listed
+        # before it started; record exactly those — a file that landed
+        # mid-pass stays pending and contributes to the next merge
+        processed |= set(listed)
+        tmp = f"{proc_path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(sorted(processed), fh)
+        os.replace(tmp, proc_path)
+        after, _ = pending_log_schema(spark, source_dir, processed)
         if after is None:
             return state, desc
         next_desc = descriptor_from_log_schema(after, desc)

@@ -282,3 +282,82 @@ def test_mixed_tablet_mode_rejected(spark, tmp_path):
         group.replicate_available_now()
     with pytest.raises(ValueError, match="Mixed tablet configuration"):
         group.start()
+
+
+UD1 = _desc_of(("pk", S), ("ck", I), ("u", T.StructType([T.StructField("a", I)])))
+UD2 = _desc_of(
+    ("pk", S),
+    ("ck", I),
+    ("u", T.StructType([T.StructField("a", I), T.StructField("b", S)])),
+)
+
+
+def test_replicate_evolves_udt_field_add(spark, tmp_path):
+    """AlterUpdateUdtIT analog: ``ALTER TYPE ... ADD`` widens a UDT column
+    mid-stream — the column set is unchanged, only the struct layout
+    grows. The engine must evolve the descriptor's nested type, null-fill
+    the new field for pre-ALTER rows (log and state sides), and keep the
+    whole-cell LWW semantics across the boundary."""
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    g1 = CdcLogGenerator(UD1)
+    _append(
+        spark,
+        g1,
+        [("insert", ("a",), (1,), {"u": {"a": 1}}),
+         ("insert", ("b",), (1,), {"u": {"a": 2}})],
+        src,
+    )
+    state, desc = replicate_with_schema_evolution(spark, src, UD1, work, n_buckets=4)
+    assert [f.name for f in desc.base_field("u").dataType.fields] == ["a"]
+
+    # ALTER TYPE simple_udt ADD b — post-ALTER files carry struct<a,b>
+    g2 = CdcLogGenerator(UD2)
+    g2._t = g1._t
+    _append(
+        spark,
+        g2,
+        [("insert", ("a",), (2,), {"u": {"a": 3, "b": "x"}}),
+         ("update", ("b",), (1,), {"u": {"a": 9, "b": "y"}})],
+        src,
+    )
+    state, desc = replicate_with_schema_evolution(spark, src, UD1, work, n_buckets=4)
+    assert [f.name for f in desc.base_field("u").dataType.fields] == ["a", "b"]
+    got = {
+        (r["pk"], r["ck"]): (r["u"]["a"], r["u"]["b"]) if r["u"] is not None else None
+        for r in state.collect()
+    }
+    # pre-ALTER row (a,1): state-side null-fill of the new field;
+    # (b,1): post-ALTER whole-cell overwrite wins
+    assert got == {("a", 1): (1, None), ("a", 2): (3, "x"), ("b", 1): (9, "y")}
+
+
+def test_post_alter_file_with_older_mtime_is_not_narrowed(spark, tmp_path):
+    """The distributed-writer hole: a post-ALTER (wide) file whose mtime
+    sorts OLDER than a pre-ALTER (narrow) straggler. Newest-file-only
+    signature detection would read the wide file under the narrow schema
+    — silently dropping the new column's data and permanently skipping it
+    via the offset log. The pending-merge must read every file at least
+    as wide as its own footer, and a processed-files-only directory must
+    never re-narrow the descriptor."""
+    import os as _os
+
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    g2 = CdcLogGenerator(V2)  # post-ALTER writer (wide: v1, v2)
+    _append(spark, g2, [("insert", ("n",), (1,), {"v1": 1, "v2": "keep"})], src)
+    g1 = CdcLogGenerator(V1)  # pre-ALTER straggler (narrow: v1)
+    g1._t = g2._t
+    _append(spark, g1, [("insert", ("o",), (1,), {"v1": 2})], src)
+    # no utime games needed: the wide file already has the OLDER mtime —
+    # exactly the adversarial ordering (newest-by-mtime is the narrow one)
+
+    state, desc = replicate_with_schema_evolution(spark, src, V1, work, n_buckets=4)
+    assert desc.regular_columns == ["v1", "v2"], "straggler mis-read as ALTER DROP"
+    got = {(r["pk"], r["ck"]): (r["v1"], r["v2"]) for r in state.collect()}
+    assert got == {("n", 1): (1, "keep"), ("o", 1): (2, None)}
+
+    # a second pass over the fully-processed directory must keep the wide
+    # descriptor (no fresh evidence -> no schema change)
+    state, desc = replicate_with_schema_evolution(spark, src, V1, work, n_buckets=4)
+    assert desc.regular_columns == ["v1", "v2"]
+    assert {(r["pk"], r["ck"]): (r["v1"], r["v2"]) for r in state.collect()} == got

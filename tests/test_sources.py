@@ -17,14 +17,19 @@ from scylla_cdc_java_spark.sources.tables import epoch_micros, load_table
 SF = "/root/testdata/sf0.001"
 
 
-def test_load_table_pins_utc_for_ntz_columns(spark):
+def test_load_table_ntz_conversion_is_timezone_independent(spark):
+    """The NTZ->instant conversion is timezone-EXPLICIT
+    (make_timestamp(..., 'UTC')): a user-set session timezone is neither
+    mutated nor able to change the produced instants — the naive-as-UTC
+    reading matches DuckDB's epoch_us under any session tz."""
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         df = load_table(spark, SF, "events")
         if not any(c == "ts__ntz" or c == "ts__ns" for c in df.columns):
-            return  # file carries instant-typed timestamps; nothing to pin
-        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+            return  # file carries instant-typed timestamps; nothing to do
+        # the user's session timezone survives load_table untouched
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
         got = df.agg(F.min(epoch_micros(df, "ts")).alias("m")).first()["m"]
         want = duckdb.sql(
             f"SELECT min(epoch_us(ts)) FROM read_parquet('{SF}/events.parquet')"
