@@ -64,6 +64,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # subset override for smoke tests (comma-separated query names)
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = [q for q in subset.split(",") if q] if subset else HEADLINE
     spark = get_spark(app_name="scylla_cdc_java_spark-bench")
 
     # Warm the engine once so timings reflect steady state rather than
@@ -81,16 +84,16 @@ def main() -> None:
     # before each run, so both are cold-plan runs — the min damps this
     # box's ±40% scheduler/GC noise (BASELINE.md), it does not hide work.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    runs: dict[str, list[float]] = {}
+    for name in headline:
         fn, _, _ = QUERIES[name]
-        best = None
+        runs[name] = []
         for _ in range(2):
             spark.catalog.clearCache()  # per-query caches must not leak
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs[name].append(round(time.time() - t0, 3))
+        timings[name] = min(runs[name])
 
     total = round(sum(timings.values()), 3)
     print(
@@ -100,6 +103,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # individual run times: lets cross-round comparisons use
+                # any aggregation (r01/r02 artifacts were single-run)
+                "runs": runs,
                 "sf": sf,
                 "runs_per_query": 2,
                 "agg": "min",

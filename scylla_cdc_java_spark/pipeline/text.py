@@ -666,10 +666,18 @@ def bm25_scores(
     stats (N, avgdl, per-term document frequency) in one tiny aggregate
     broadcast back, Robertson/Sparck-Jones idf ``ln(1 + (N-df+.5)/(df+.5))``.
 
-    One corpus scan computes every tf in-row (no explode, no per-term
-    shuffle); the stats frame is a single row — the join is a broadcast
-    nested loop of width 1. Scale: O(|corpus|) map work + one 1-row agg.
+    Every tf is computed in-row (no explode, no per-term shuffle); the
+    stats frame is a single row — the join is a broadcast nested loop of
+    width 1. The tokenized projection feeds two plan branches (the stats
+    aggregate and the scoring scan), so without materialization the
+    corpus would be tokenized twice; ``base`` is therefore persisted —
+    it is the NARROW projection (id, doc length, one int per query term;
+    the token array is dropped before caching), so the cached footprint
+    is bytes per doc, spilling to disk past memory. Scale: O(|corpus|)
+    map work + one 1-row agg, corpus tokenized once.
     """
+    from pyspark import StorageLevel
+
     toks = F.col("__toks")
     tf_cols = {
         f"__tf_{i}": F.size(F.filter(toks, lambda x: x == F.lit(t)))
@@ -680,6 +688,7 @@ def bm25_scores(
         .withColumn("__dl", F.size(toks))
         .withColumns(tf_cols)
         .drop("__toks")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = base.agg(
         F.count(F.lit(1)).alias("__n"),
