@@ -1618,28 +1618,47 @@ SELECT source, doc_id FROM r WHERE rk <= tgt
 def q_text_length_quantiles_approx(spark, sf_dir):
     """The documented 100 TB path for length profiling: percentile_approx
     (t-digest sketch, map-side combinable — no per-group value buffering).
-    Sketch results are engine-specific, so this row has NO SQL oracle and
-    gets the driver's weaker rows/schema check; the exact variant
-    (`text_length_quantiles`) is the value-checked one."""
+
+    Sketch values are engine-specific, so a raw-value oracle can't exist;
+    instead this row is gated with an explicit RANK-error bound (the
+    guarantee t-digest actually makes): the query computes, per quantile
+    p, the exact interpolated percentiles at ``p ± 0.08`` and returns
+    whether the sketch value lands inside that bracket. 0.08 covers >= 2
+    ranks at the gate's 25-docs-per-stratum scale (1 rank of sketch
+    error at accuracy 10k plus 1 rank of discrete-sketch-value vs
+    interpolated-exact mismatch) and only tightens relatively as strata
+    grow. The oracle pins those booleans TRUE (and value-checks n_docs),
+    so a sketch drifting past its rank bound FAILS the gate instead of
+    passing a rows-only check. The exact variant
+    (``text_length_quantiles``) remains the value-checked row."""
     from .pipeline.text import tokens_col
 
     n = F.size(tokens_col("text")).cast("double")
-    return (
-        _docs(spark, sf_dir)
-        .select("source", n.alias("__n"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.percentile_approx("__n", [0.5, 0.9, 0.99], 10_000).alias("pq"),
+    probs = (0.5, 0.9, 0.99)
+    delta = 0.08
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile_approx("__n", list(probs), 10_000).alias("pq"),
+    ]
+    for i, p in enumerate(probs):
+        lo, hi = max(0.0, p - delta), min(1.0, p + delta)
+        aggs.append(F.expr(f"percentile(__n, {lo!r})").alias(f"__lo{i}"))
+        aggs.append(F.expr(f"percentile(__n, {hi!r})").alias(f"__hi{i}"))
+    d = _docs(spark, sf_dir).select("source", n.alias("__n")).groupBy("source").agg(*aggs)
+    cols = [F.col("source"), F.col("n_docs")]
+    for i, p in enumerate(probs):
+        name = f"p{str(p).replace('0.', '').ljust(2, '0')}_ok"
+        cols.append(
+            F.col("pq")[i].between(F.col(f"__lo{i}"), F.col(f"__hi{i}")).alias(name)
         )
-        .select(
-            "source",
-            "n_docs",
-            F.col("pq")[0].alias("p50"),
-            F.col("pq")[1].alias("p90"),
-            F.col("pq")[2].alias("p99"),
-        )
-    )
+    return d.select(*cols)
+
+
+ORACLE_LENGTH_QUANTILES_APPROX = """
+SELECT source, count(*) AS n_docs,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM documents GROUP BY source
+"""
 
 
 def q_text_quality_filter(spark, sf_dir):
@@ -3395,8 +3414,8 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     ),
     "text_length_quantiles_approx": (
         q_text_length_quantiles_approx,
-        None,
-        "t-digest quantile scale path (rows-only check)",
+        ORACLE_LENGTH_QUANTILES_APPROX,
+        "t-digest quantile scale path (bounded-error gate)",
     ),
     "ann_kmeans_train": (q_ann_kmeans_train, ORACLE_KMEANS, "IVF k-means trainer"),
     "ann_ivf_trained_topk": (
