@@ -66,7 +66,7 @@ from .sources.events_cdc import (
     events_as_cdc_udtops,
     stream_id_expr,
 )
-from .sources.tables import load_table
+from .sources.tables import load_table, ts_filter
 
 
 def _prep(spark: SparkSession) -> None:
@@ -2085,9 +2085,12 @@ def q_join_salted_revenue(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    orders = ts_filter(
+        ts_filter(
+            load_table(spark, sf_dir, "orders"),
+            "o_orderdate", ">=", "1996-01-01 00:00:00",
+        ),
+        "o_orderdate", "<", "1998-01-01 00:00:00",
     ).select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
@@ -2497,7 +2500,7 @@ FROM t GROUP BY source
 def q_agg_lineitem_pushdown(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        ts_filter(li, "l_shipdate", "<=", "2000-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
@@ -2519,9 +2522,12 @@ GROUP BY l_returnflag, l_linestatus
 
 def q_join_broadcast_revenue(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    orders = ts_filter(
+        ts_filter(
+            load_table(spark, sf_dir, "orders"),
+            "o_orderdate", ">=", "1996-01-01 00:00:00",
+        ),
+        "o_orderdate", "<", "1998-01-01 00:00:00",
     )
     rev = (
         F.col("l_extendedprice").cast("decimal(18,2)")
@@ -2688,11 +2694,11 @@ def q_join_shipping_priority(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    orders = ts_filter(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "<", "1998-01-01 00:00:00"
     )
-    li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    li = ts_filter(
+        load_table(spark, sf_dir, "lineitem"), "l_shipdate", ">", "1998-01-01 00:00:00"
     )
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
@@ -2737,9 +2743,12 @@ def q_join_region_volume(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
-    orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    orders = ts_filter(
+        ts_filter(
+            load_table(spark, sf_dir, "orders"),
+            "o_orderdate", ">=", "1996-01-01 00:00:00",
+        ),
+        "o_orderdate", "<", "1999-01-01 00:00:00",
     )
     li = load_table(spark, sf_dir, "lineitem")
     dims = (

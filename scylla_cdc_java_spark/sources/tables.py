@@ -133,6 +133,33 @@ def time_range(df: DataFrame, col: str, lo: str | None = None, hi: str | None = 
     return df
 
 
+def ts_filter(df: DataFrame, col: str, op: str, bound: str) -> DataFrame:
+    """Single pushdown-friendly timestamp comparison (``op`` one of
+    ``< <= > >=``, ``bound`` a ``YYYY-MM-DD HH:MM:SS`` UTC string).
+
+    Like :func:`time_range`, the comparison happens in the RAW column
+    domain — the nanos long (``<col>__ns``) or the NTZ column
+    (``<col>__ntz``) that :func:`load_table` preserved — because a
+    predicate through the instant conversion (``make_timestamp``) never
+    reaches ``PushedFilters``, so at scale the scan would read every row
+    group. The converted column and the raw column order identically
+    (same instants under the fixed naive-as-UTC reading), so the filters
+    are equivalent; ``tests/test_plans.py`` pins the pushdown.
+    """
+    import operator
+    from datetime import datetime, timezone
+
+    f = {"<": operator.lt, "<=": operator.le, ">": operator.gt, ">=": operator.ge}[op]
+    raw = f"{col}__ns"
+    if raw in df.columns:
+        dt = datetime.fromisoformat(bound).replace(tzinfo=timezone.utc)
+        return df.where(f(F.col(raw), F.lit(int(dt.timestamp() * 1_000_000) * 1000)))
+    raw_ntz = f"{col}__ntz"
+    if raw_ntz in df.columns:
+        return df.where(f(F.col(raw_ntz), F.lit(bound).cast("timestamp_ntz")))
+    return df.where(f(F.col(col), F.lit(bound).cast("timestamp")))
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     for name in names or TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
