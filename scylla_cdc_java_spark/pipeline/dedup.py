@@ -444,3 +444,62 @@ def winnow_fingerprints(
     return d.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
     )
+
+
+def simhash_expr(df: DataFrame, bits: int = 32, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """Per-ROW SimHash as a pure column expression — bit-identical to the
+    groupBy form in :func:`simhash` (same h31 token hash, same distinct-token
+    set, same sign rule; ``tests/test_sketches.py`` pins the equality), but
+    computed without any shuffle: the token array folds in place. This is
+    the form a streaming stage needs (no blocking aggregation) and the
+    cheaper batch form when the row already carries its text.
+
+    The token-hash array is projected ONCE before the per-bit folds —
+    Catalyst does not CSE through higher-order-function lambdas, so folding
+    over ``h31(token)`` directly would recompute the md5 per bit.
+    """
+    with_h = df.withColumn(
+        "__sh_h", F.transform(F.array_distinct(tokens_col(text_col)), lambda t: h31(t))
+    )
+    def bit_sum(j: int) -> Column:
+        return F.aggregate(
+            F.col("__sh_h"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.lit(2) * ((h / F.lit(1 << j)).cast("long") % F.lit(2))
+            - F.lit(1),
+        )
+    sim = sum(
+        F.when(bit_sum(j) > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)
+    )
+    return with_h.withColumn(out_col, sim.cast("long")).drop("__sh_h")
+
+
+def stream_simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
+    bits: int = 32,
+) -> DataFrame:
+    """NEAR-duplicate dedup of a (streaming) document feed: documents that
+    collapse to the same SimHash value (identical sign pattern across all
+    ``bits`` token-hash sums — token-multiset near-identity) keep only the
+    first arrival. The streaming analog of the batch ``simhash`` operator,
+    composed exactly like :func:`stream_exact_dedup`: per-row signature
+    (``simhash_expr`` — no aggregation, so it runs inside a streaming
+    stage) + ``dropDuplicatesWithinWatermark`` bounding state to the
+    watermark horizon.
+
+    Sensitivity trade, documented: radius-0 matching — two docs are
+    near-dups iff ALL simhash bits agree. Hamming-neighbor matching
+    (radius>0) needs banded keys with OR-semantics across bands, which a
+    single drop-duplicates stage cannot express; at scale that variant is
+    the batch LSH path (``minhash_lsh_pairs``) run per micro-batch via
+    ``foreachBatch``.
+    """
+    out = simhash_expr(df, bits=bits, text_col=text_col)
+    if event_time_col is not None:
+        out = out.withWatermark(f"`{event_time_col}`", watermark)
+        return out.dropDuplicatesWithinWatermark(["simhash"])
+    return out.dropDuplicates(["simhash"])

@@ -471,3 +471,223 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot_q")
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    seed_mod: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Train per-subspace product-quantization codebooks (Jégou et al.
+    2011): the embedding splits into ``m`` contiguous subvectors and each
+    subspace gets its own small k-means codebook. Returns
+    ``(sub, code, cw)`` — subspace index, code id, integer codeword.
+
+    Fully deterministic (same discipline as :func:`kmeans_train`): seeds
+    are the subvectors of corpus rows with ``id % seed_mod == 0``; Lloyd
+    rounds assign by **min integer L2** (ties to the smaller code id) and
+    update with the floor-division integer mean. All m subspaces train in
+    ONE set of jobs — the subspace index is just another grouping key, so
+    adding subspaces widens no shuffle. Per round: one broadcast-argmin
+    map pass over |corpus| x m rows + one (sub, code, pos)-keyed partial
+    aggregation of k x m x (dim/m) rows.
+    """
+    sub_w = F.floor(F.size(quantize_embedding(vec_col, scale)) / F.lit(m))
+    q = corpus.select(
+        F.col(id_col).alias("vid"),
+        quantize_embedding(vec_col, scale).alias("qv"),
+        sub_w.alias("sw"),
+    )
+    # (vid, sub, sv): m rows per vector, sv the subvector
+    subs = q.select(
+        "vid",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("qv"),
+        "sw",
+    ).select(
+        "vid",
+        "sub",
+        F.slice(
+            F.col("qv"), (F.col("sub") * F.col("sw") + 1).cast("int"), F.col("sw").cast("int")
+        ).alias("sv"),
+    )
+    cb = subs.where(F.col("vid") % seed_mod == 0).select(
+        "sub", F.col("vid").alias("code"), F.col("sv").alias("cw")
+    ).localCheckpoint()
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    assign = None
+    for _ in range(n_iter):
+        cents = cb.groupBy("sub").agg(
+            F.collect_list(F.struct("code", "cw")).alias("cents")
+        )
+        best = F.array_max(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    (-l2(F.col("sv"), c["cw"])).alias("negd"),
+                    (-c["code"]).alias("negc"),
+                ),
+            )
+        )
+        assign = subs.join(F.broadcast(cents), "sub").select(
+            "vid", "sub", "sv", (-best["negc"]).alias("code")
+        )
+        comps = (
+            assign.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("comp", F.expr("(s - pmod(s, n)) div n"))
+        )
+        cb = (
+            comps.groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "comp"))),
+                    lambda x: x["comp"],
+                ).alias("cw")
+            )
+            .localCheckpoint()
+        )
+    return cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Encode every corpus vector as ``m`` small code ids (nearest codeword
+    per subspace, min integer L2, ties to the smaller code). Output
+    ``(vid, sub, code)`` — the 100 TB-resident representation: m bytes-ish
+    per vector instead of dim floats. One broadcast-argmin map pass, no
+    corpus shuffle."""
+    sub_w = F.floor(F.size(quantize_embedding(vec_col, scale)) / F.lit(m))
+    subs = (
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            quantize_embedding(vec_col, scale).alias("qv"),
+            sub_w.alias("sw"),
+        )
+        .select(
+            "vid",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col("qv"),
+            "sw",
+        )
+        .select(
+            "vid",
+            "sub",
+            F.slice(
+                F.col("qv"),
+                (F.col("sub") * F.col("sw") + 1).cast("int"),
+                F.col("sw").cast("int"),
+            ).alias("sv"),
+        )
+    )
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cents = codebooks.groupBy("sub").agg(
+        F.collect_list(F.struct("code", "cw")).alias("cents")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (-l2(F.col("sv"), c["cw"])).alias("negd"),
+                (-c["code"]).alias("negc"),
+            ),
+        )
+    )
+    return subs.join(F.broadcast(cents), "sub").select(
+        "vid", "sub", (-best["negc"]).alias("code")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    seed_mod: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """PQ/ADC approximate top-k by inner product: corpus vectors live only
+    as code ids; each query builds an m x |codebook| lookup table of
+    ``dot(query_sub, codeword)`` partial scores (asymmetric distance
+    computation) and every corpus score is the sum of m table lookups —
+    never a full-dimension dot against raw vectors.
+
+    Plan: codes (vid, sub, code) join the broadcast per-query LUT on
+    (sub, code) → partial scores, one (query_id, vid) sum-aggregate
+    (partial-agg collapses map-side), one per-query window for top-k. At
+    100 TB this exact shape runs inside IVF buckets (encode once, probe
+    per query) — the full-corpus scan here is the dense variant of the
+    same ADC loop. Approximate by construction: gate rows bound recall
+    against the exact scan instead of value-matching ranks.
+    """
+    cb = pq_codebooks(corpus, m=m, seed_mod=seed_mod, id_col=id_col,
+                      vec_col=vec_col, scale=scale)
+    codes = pq_encode(corpus, cb, m=m, id_col=id_col, vec_col=vec_col, scale=scale)
+    sub_w = F.floor(F.size(quantize_embedding(vec_col, scale)) / F.lit(m))
+    qsubs = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize_embedding(vec_col, scale).alias("qv"),
+            sub_w.alias("sw"),
+        )
+        .select(
+            "query_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col("qv"),
+            "sw",
+        )
+        .select(
+            "query_id",
+            "sub",
+            F.slice(
+                F.col("qv"),
+                (F.col("sub") * F.col("sw") + 1).cast("int"),
+                F.col("sw").cast("int"),
+            ).alias("sv"),
+        )
+    )
+    lut = qsubs.join(cb, "sub").select(
+        "query_id",
+        "sub",
+        F.col("code"),
+        quantized_dot(F.col("sv"), F.col("cw")).alias("part"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("query_id") != F.col("vid"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("part").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )

@@ -819,3 +819,170 @@ def ngram_lm_score(
         "mean_freq",
         F.round(F.col("sum_freq").cast("double") / F.col("n_bigrams"), 6),
     )
+
+
+def length_histogram(
+    df: DataFrame,
+    bucket_width: int = 10,
+    n_buckets: int = 10,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum token-length histogram with fixed-width buckets
+    (``bucket = min(n_tokens div width, n_buckets-1)``, i.e. the last
+    bucket absorbs the tail) — the fixed-cardinality companion to
+    :func:`length_quantiles` for dashboard-shaped profiling.
+
+    One map pass + one groupBy whose key space is |strata| x n_buckets;
+    partial aggregation collapses each task to at most that many rows, so
+    the plan is corpus-size-independent after the scan.
+    """
+    n = F.size(tokens_col(text_col))
+    b = F.least(n / F.lit(bucket_width), F.lit(n_buckets - 1)).cast("long")
+    return (
+        df.select(F.col(stratum_col), b.alias("bucket"))
+        .groupBy(stratum_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``, the scikit-learn smoothing) —
+    the classic keyword-extraction / relevance-feature step.
+
+    Plan: one explode → (doc, term) count (tf), one term-level groupBy
+    (df — output is |vocab| rows, partial-agg collapsed), one join of the
+    per-doc table against the vocab table (AQE broadcasts the vocab side
+    when it fits; at trillion-token scale it becomes a shuffle join on
+    the term key, which is the right plan), then a per-doc window for
+    the top-k. Ties break (score desc, term asc) — bit-stable against
+    the SQL oracle since the score is rounded after a fixed expression
+    tree.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_corpus"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_corpus") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges over the corpus — the REAL iterative
+    tokenizer-training loop whose single round :func:`bpe_pair_counts`
+    exposes. Returns the learned merge table ``(step, a, b, n)`` in merge
+    order (the artifact a tokenizer ships).
+
+    Shape (mirrors how production BPE trainers distribute): the corpus
+    collapses ONCE to a ``(word, count)`` vocabulary — all further rounds
+    touch |vocab| rows, never the corpus. Each round is (1) a pair-count
+    aggregate over the symbolized vocab, (2) a 1-row argmax collect
+    (count desc, pair asc — the deterministic tiebreak), (3) a native
+    left-to-right fold (``F.aggregate``) that replaces non-overlapping
+    ``(a,b)`` adjacencies with the merged symbol, (4) ``localCheckpoint``
+    so the lazy plan doesn't nest rounds exponentially. The driver loop
+    is metadata-plane: one tiny job per merge, exactly like the
+    reference-scale trainers' "count, pick, substitute" rounds.
+
+    Not SQL-expressible (aggregation inside recursion), so the gate row
+    is rows-only; ``tests/test_text.py`` pins a hand-computed example.
+    """
+    wc = (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("syms", F.split(F.col("w"), ""))
+        .select("syms", "cnt")
+        .localCheckpoint()
+    )
+    merges = []
+    for step in range(n_merges):
+        pairs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - F.lit(1)),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("a"),
+                    F.element_at("syms", i + F.lit(1)).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            wc.select("cnt", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
+        merges.append((step, a, b, n))
+        la, lb = F.lit(a), F.lit(b)
+        # left-to-right non-overlapping substitution: fold each symbol in,
+        # merging when the accumulator tail is `a` AND that tail was not
+        # itself just produced by a merge this round (tracked in `m`).
+        folded = F.aggregate(
+            F.col("syms"),
+            F.struct(
+                F.array().cast("array<string>").alias("acc"),
+                F.lit(False).alias("m"),
+            ),
+            lambda st, s: F.when(
+                (F.size(st["acc"]) > 0)
+                & ~st["m"]
+                & (F.element_at(st["acc"], -1) == la)
+                & (s == lb),
+                F.struct(
+                    F.concat(
+                        F.slice(st["acc"], 1, F.size(st["acc"]) - 1),
+                        F.array(F.concat(la, lb)),
+                    ).alias("acc"),
+                    F.lit(True).alias("m"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(st["acc"], F.array(s)).alias("acc"),
+                    F.lit(False).alias("m"),
+                )
+            ),
+            lambda st: st["acc"],
+        )
+        wc = wc.select(folded.alias("syms"), "cnt").localCheckpoint()
+    spark = df.sparkSession
+    return spark.createDataFrame(merges, "step int, a string, b string, n long")

@@ -3240,6 +3240,193 @@ LEFT JOIN state st ON pr.grp = st.grp AND pr.user_id = st.user_id
 """
 
 
+
+
+def q_text_length_histogram(spark, sf_dir):
+    """Fixed-width token-length histogram per source (10-token buckets,
+    tail bucket absorbs 90+): fixed-cardinality profiling companion to
+    the quantile rows."""
+    from .pipeline.text import length_histogram
+
+    return length_histogram(_docs(spark, sf_dir))
+
+
+ORACLE_LENGTH_HISTOGRAM = """
+SELECT source,
+       least(len(string_split(text, ' ')) // 10, 9) AS bucket,
+       count(*) AS n_docs
+FROM documents GROUP BY source, bucket
+"""
+
+
+def q_text_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 terms by smoothed TF-IDF (keyword extraction)."""
+    from .pipeline.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+ORACLE_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_corpus FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * (ln((n.n_corpus + 1) / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= 3
+"""
+
+
+_CMS_PROBE_TERMS = ["the", "a", "and", "batch", "merge", "absent_probe_term"]
+
+
+def q_text_countmin_probe(spark, sf_dir):
+    """Count-min sketch over the token stream (depth 4 x width 512 —
+    fixed-size mergeable state instead of a |vocab|-row table), probed at
+    six terms. Returns the EXACT count (value-checked) plus the sketch's
+    two published guarantees as oracle-pinned booleans; the raw estimate
+    depends on xxhash64 bucketing, so it stays engine-internal. See
+    pipeline/sketches.py."""
+    from .pipeline.sketches import countmin_probe_report
+
+    return countmin_probe_report(_docs(spark, sf_dir), _CMS_PROBE_TERMS)
+
+
+ORACLE_CMS_PROBE = """
+WITH probes(term) AS (
+  VALUES ('the'), ('a'), ('and'), ('batch'), ('merge'), ('absent_probe_term')
+),
+tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+exact AS (SELECT tok AS term, count(*) AS exact_cnt FROM tok GROUP BY tok)
+SELECT p.term, COALESCE(e.exact_cnt, 0) AS exact_cnt,
+       TRUE AS never_under, TRUE AS within_bound
+FROM probes p LEFT JOIN exact e USING (term)
+"""
+
+
+def q_text_distinct_hll(spark, sf_dir):
+    """Per-source distinct-token cardinality: HyperLogLog++ gated against
+    its error bound next to the exact count (the fixed-state path a
+    100 TB profile would run alone). See pipeline/sketches.py."""
+    from .pipeline.sketches import approx_distinct_report
+
+    return approx_distinct_report(_docs(spark, sf_dir))
+
+
+ORACLE_DISTINCT_HLL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT source, count(DISTINCT tok) AS n_distinct, TRUE AS hll_ok
+FROM tok GROUP BY source
+"""
+
+
+def q_text_bpe_train(spark, sf_dir):
+    """Iterative BPE tokenizer training: 8 merge rounds over the
+    (word, count)-collapsed corpus; returns the learned merge table.
+    Aggregation-inside-recursion is not single-statement SQL, so this row
+    is rows-only at the driver; tests/test_text.py pins a hand-computed
+    merge sequence and the per-round operator (text_bpe_pairs) is
+    value-gated."""
+    from .pipeline.text import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=8)
+
+
+def q_agg_cube_revenue(spark, sf_dir):
+    """CUBE aggregate: revenue across all 2^2 grouping combinations of
+    (returnflag, linestatus) in one partial-agg-friendly pass (the
+    grouping-sets companion to the rollup row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_set_ops_customers(spark, sf_dir):
+    """Relational set ops over order cohorts: customers active in 1996
+    INTERSECT 1997 (retained) and 1996 EXCEPT 1997 (churned), labeled and
+    unioned — the INTERSECT/EXCEPT surface the reference lacks, expressed
+    as Spark's native set operators (which plan to aggregate/anti-join)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cohort(yr: str, nxt: str):
+        return ts_filter(
+            ts_filter(orders, "o_orderdate", ">=", f"{yr}-01-01 00:00:00"),
+            "o_orderdate", "<", f"{nxt}-01-01 00:00:00",
+        ).select("o_custkey").distinct()
+
+    y96, y97 = cohort("1996", "1997"), cohort("1997", "1998")
+    retained = y96.intersect(y97).select(
+        F.lit("retained").alias("cohort"), "o_custkey"
+    )
+    churned = y96.exceptAll(y97).select(
+        F.lit("churned").alias("cohort"), "o_custkey"
+    )
+    return retained.unionByName(churned)
+
+
+ORACLE_SET_OPS = """
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+),
+y97 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT 'retained' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+UNION ALL
+SELECT 'churned' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+"""
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (Jégou et al. 2011): corpus resident
+    as m=8 code ids per vector, scored by LUT lookups — the
+    memory-scale path under IVF. Approximate by construction and the
+    fixture embeddings are unstructured noise, so rank-recall is not a
+    stable contract; the row is rows-only at the driver while
+    tests/test_similarity_pq.py proves exact-recall on clustered data."""
+    from .pipeline.similarity import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 5)
+    return pq_topk(emb, qs, k=5, m=8, seed_mod=8)
+
+
 QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "s1_window_scan": (q_s1_window_scan, ORACLE_S1, "S1/P1 windowed stream scan"),
     "s4_ordered_stream_read": (q_s4_ordered_stream_read, ORACLE_S4, "S4/O1 per-stream order"),
@@ -3436,6 +3623,34 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "join_broadcast_revenue": (q_join_broadcast_revenue, ORACLE_JOIN_REVENUE, "broadcast join anchor"),
     "join_shipping_priority": (q_join_shipping_priority, ORACLE_Q3_SHIPPING, "Q3-shape top-N anchor"),
     "join_region_volume": (q_join_region_volume, ORACLE_Q5_REGION, "Q5-shape snowflake anchor"),
+    "text_length_histogram": (
+        q_text_length_histogram,
+        ORACLE_LENGTH_HISTOGRAM,
+        "fixed-width length histogram",
+    ),
+    "text_tfidf_topk": (q_text_tfidf_topk, ORACLE_TFIDF, "per-doc TF-IDF keyword top-k"),
+    "text_countmin_probe": (
+        q_text_countmin_probe,
+        ORACLE_CMS_PROBE,
+        "count-min sketch, bounded-error gate",
+    ),
+    "text_distinct_hll": (
+        q_text_distinct_hll,
+        ORACLE_DISTINCT_HLL,
+        "HLL++ distinct cardinality, bounded-error gate",
+    ),
+    "agg_cube_revenue": (q_agg_cube_revenue, ORACLE_CUBE, "CUBE grouping-sets aggregate"),
+    "set_ops_customers": (q_set_ops_customers, ORACLE_SET_OPS, "INTERSECT/EXCEPT cohorts"),
+    "text_bpe_train": (
+        q_text_bpe_train,
+        None,
+        "iterative BPE merge training (rows-only: aggregation-in-recursion)",
+    ),
+    "ann_pq_topk": (
+        q_ann_pq_topk,
+        None,
+        "PQ/ADC codebook top-k (rows-only: approximate on unstructured fixture)",
+    ),
 }
 
 # --- Driver-gate window rotation -------------------------------------------
@@ -3499,6 +3714,15 @@ _GATE_FRONT: list[str] = [
     "dedup_embedding_clusters",
     # round-4: nested UDT-field mid-stream evolution (new query)
     "t9_udt_evolution",
+    # round-4 additions (need their first driver row):
+    "text_length_histogram",
+    "text_tfidf_topk",
+    "text_countmin_probe",
+    "text_distinct_hll",
+    "agg_cube_revenue",
+    "set_ops_customers",
+    "text_bpe_train",
+    "ann_pq_topk",
     # 12 rows green in r01/r02 but evicted from the r03 window:
     "p5_ttl_trim",
     "j3_preimage_verify",

@@ -1,0 +1,215 @@
+"""Sketch operators (count-min, HLL gate) and the round-4 text/relational
+additions: BPE merge training, TF-IDF, length histogram, PQ codebooks.
+
+The sketch rows' driver gate only pins booleans; these tests check the
+underlying guarantees directly on controlled inputs where the exact
+answer is hand-computable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from scylla_cdc_java_spark.pipeline.sketches import (
+    approx_distinct_report,
+    countmin_estimate,
+    countmin_probe_report,
+    countmin_sketch,
+)
+from scylla_cdc_java_spark.pipeline.similarity import (
+    cosine_topk_bruteforce,
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+)
+from scylla_cdc_java_spark.pipeline.text import bpe_train, length_histogram, tfidf_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "src0") for i, t in enumerate(rows)], "doc_id long, text string, source string"
+    )
+
+
+class TestCountMin:
+    def test_never_underestimates_and_exact_when_wide(self, spark):
+        docs = _docs(spark, ["a a a b", "b c", "a d"])
+        sk = countmin_sketch(docs, depth=4, width=4096)
+        terms = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "term string")
+        est = {
+            r["term"]: r["est"]
+            for r in countmin_estimate(sk, terms, depth=4, width=4096).collect()
+        }
+        # width 4096 >> 5 distinct tokens: collisions are virtually
+        # impossible across 4 hash rows, so the min equals the exact count
+        assert est == {"a": 4, "b": 2, "c": 1, "zz": 0}
+
+    def test_sketch_size_is_bounded(self, spark):
+        docs = _docs(spark, ["a b c d e f g h"] * 50)
+        sk = countmin_sketch(docs, depth=3, width=8)
+        assert sk.count() <= 3 * 8
+
+    def test_probe_report_guarantees(self, spark):
+        docs = _docs(spark, ["x y x", "y z", "x q"])
+        rep = countmin_probe_report(docs, ["x", "z", "absent"], depth=4, width=512)
+        rows = {r["term"]: r for r in rep.collect()}
+        assert rows["x"]["exact_cnt"] == 3 and rows["absent"]["exact_cnt"] == 0
+        for r in rows.values():
+            assert r["never_under"] and r["within_bound"]
+
+
+class TestApproxDistinct:
+    def test_exact_and_bound(self, spark):
+        docs = _docs(spark, ["a b c", "c d", "e"])
+        rows = approx_distinct_report(docs).collect()
+        assert len(rows) == 1
+        assert rows[0]["n_distinct"] == 5 and rows[0]["hll_ok"]
+
+
+class TestBpeTrain:
+    def test_hand_computed_merges(self, spark):
+        # corpus: "low low lower" -> word counts: low:2, lower:1
+        # pair counts r1: (l,o):3 (o,w):3 (w,e):1 (e,r):1 -> tie (l,o) wins (asc)
+        # after merge "lo": words [lo,w]x2, [lo,w,e,r]
+        # r2: (lo,w):3 (w,e):1 (e,r):1 -> "low"
+        # r3: words [low]x2 [low,e,r]: (low,e):1 (e,r):1 -> (e,r) vs (low,e):
+        #   tie on n=1, asc order: ("e","r") < ("low","e")? "e" < "low" -> (e,r)
+        docs = _docs(spark, ["low low lower"])
+        merges = [(r["a"], r["b"], r["n"]) for r in bpe_train(docs, n_merges=3).collect()]
+        assert merges == [("l", "o", 3), ("lo", "w", 3), ("e", "r", 1)]
+
+    def test_overlapping_pairs_merge_left_to_right(self, spark):
+        # "aaaa": pairs (a,a) x3; after merging left-to-right: [aa, aa]
+        docs = _docs(spark, ["aaaa"])
+        out = bpe_train(docs, n_merges=2).collect()
+        assert (out[0]["a"], out[0]["b"], out[0]["n"]) == ("a", "a", 3)
+        # round 2 sees [aa, aa] -> pair (aa, aa) count 1
+        assert (out[1]["a"], out[1]["b"], out[1]["n"]) == ("aa", "aa", 1)
+
+
+class TestTfidf:
+    def test_rare_term_outranks_common(self, spark):
+        docs = _docs(spark, ["rare common", "common", "common x"])
+        top = tfidf_topk(docs, k=1).where(F.col("doc_id") == 0).collect()
+        assert top[0]["term"] == "rare"
+
+    def test_k_rows_per_doc(self, spark):
+        docs = _docs(spark, ["a b c d", "b c d e"])
+        out = tfidf_topk(docs, k=2)
+        counts = out.groupBy("doc_id").count().collect()
+        assert all(r["count"] == 2 for r in counts)
+
+
+class TestLengthHistogram:
+    def test_buckets_and_tail(self, spark):
+        docs = _docs(spark, ["a " * 5, "b " * 25, "c " * 500])
+        # trailing space -> split yields an extra empty token; compute the
+        # same way the operator does (n = size of raw split)
+        rows = {r["bucket"]: r["n_docs"] for r in length_histogram(docs).collect()}
+        assert rows.get(0) == 1 and rows.get(2) == 1 and rows.get(9) == 1
+
+
+class TestPq:
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        # 4 tight clusters in 16 dims: cluster center +/- small deterministic
+        # jitter. PQ must recover same-cluster vectors as top neighbors.
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        centers = rng.randn(4, 16) * 10
+        rows = []
+        for i in range(48):
+            c = i % 4
+            v = centers[c] + rng.randn(16) * 0.01
+            v = v / np.linalg.norm(v)
+            rows.append((i, [float(x) for x in v], c))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_recovers_cluster_neighbors(self, clustered, spark):
+        qs = clustered.where(F.col("vec_id") < 4)
+        got = pq_topk(clustered, qs, k=3, m=4, seed_mod=8).collect()
+        labels = {r["vec_id"]: r["label"] for r in clustered.collect()}
+        assert len(got) == 12
+        for r in got:
+            assert labels[r["neighbor_id"]] == labels[r["query_id"]], (
+                "PQ neighbor crossed clusters on tightly-clustered data"
+            )
+
+    def test_score_quality_vs_exact(self, clustered, spark):
+        # within a tight cluster every member quantizes to the same codes,
+        # so ADC ties collapse and exact-rank overlap is not the contract;
+        # the PQ guarantee is SCORE quality: each PQ pick's true similarity
+        # must be within a small epsilon of the exact k-th best.
+        import numpy as np
+
+        vecs = {r["vec_id"]: np.array(r["embedding"]) for r in clustered.collect()}
+        qs = clustered.where(F.col("vec_id") < 4)
+        exact = cosine_topk_bruteforce(clustered, qs, k=3).collect()
+        kth_best = {}
+        for r in exact:
+            kth_best[r["query_id"]] = min(
+                kth_best.get(r["query_id"], 1e18), r["dot_q"]
+            )
+        pq = pq_topk(clustered, qs, k=3, m=4, seed_mod=8).collect()
+        for r in pq:
+            true_dot = float(
+                np.round(vecs[r["query_id"]] * 1000)
+                @ np.round(vecs[r["neighbor_id"]] * 1000)
+            )
+            # quantized dots are ~1e6-scale; 1% slack covers the jitter
+            assert true_dot >= kth_best[r["query_id"]] - 0.01 * 1e6
+
+    def test_encode_one_code_per_subspace(self, clustered, spark):
+        cb = pq_codebooks(clustered, m=4, seed_mod=8)
+        codes = pq_encode(clustered, cb, m=4)
+        per = codes.groupBy("vid").count().collect()
+        assert all(r["count"] == 4 for r in per)
+
+
+class TestSimhashExpr:
+    def test_matches_groupby_simhash(self, spark):
+        from scylla_cdc_java_spark.pipeline.dedup import simhash, simhash_expr
+        from scylla_cdc_java_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+        batch = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+        perrow = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_expr(docs).select("doc_id", "simhash").collect()
+        }
+        assert batch == perrow
+
+    def test_stream_simhash_dedup(self, spark, tmp_path):
+        import os
+
+        from scylla_cdc_java_spark.pipeline.dedup import stream_simhash_dedup
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        # doc 3 is a token-permuted near-dup of doc 1 (same token multiset,
+        # same simhash); doc 4 differs
+        rows1 = [(1, "alpha beta gamma")]
+        rows2 = [(3, "beta gamma alpha"), (4, "delta epsilon zeta")]
+        for rows in (rows1, rows2):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            stream_simhash_dedup(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("docs_simdedup")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ids = sorted(
+            r["doc_id"] for r in spark.sql("select doc_id from docs_simdedup").collect()
+        )
+        assert len(ids) == 2 and 4 in ids
