@@ -289,7 +289,13 @@ def pack_sequences(
     """
     spark = df.sparkSession
     toks = F.size(tokens_col(text_col))
-    base = df.select(id_col, toks.alias("n_tokens"))
+    # Materialize the tiny (id, n_tokens) projection ONCE: the boundary
+    # quantiles, the per-bucket totals, and the final plan each execute
+    # their input, so without this the caller's upstream (possibly a whole
+    # quality->dedup->sample pipeline) runs three times — measured 2x the
+    # composed pipeline's wall clock. localCheckpoint truncates the
+    # lineage to the 16-byte-per-doc projection.
+    base = df.select(id_col, toks.alias("n_tokens")).localCheckpoint()
 
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
@@ -297,7 +303,7 @@ def pack_sequences(
     if n_buckets > 1:
         try:
             qs = [i / n_buckets for i in range(1, n_buckets)]
-            bounds = sorted(set(df.stat.approxQuantile(id_col, qs, 0.001)))
+            bounds = sorted(set(base.stat.approxQuantile(id_col, qs, 0.001)))
         except Exception:  # non-numeric id: keep the (correct) global window
             bounds = []
 

@@ -1110,8 +1110,14 @@ def q_k3_stream_replicate(spark, sf_dir):
 
     from .streaming import replicate_available_now
 
+    import atexit
+    import shutil
+
     cdc = events_as_cdc(spark, sf_dir, events=_events(spark, sf_dir))
     tmp = tempfile.mkdtemp(prefix="cdc_stream_gate_")
+    # the returned state DataFrame lazily reads parquet under tmp, so
+    # removal must outlive the caller's collect (same as _evo_tmpdir)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     src = os.path.join(tmp, "src")
     cdc.write.parquet(src)
     return replicate_available_now(
