@@ -862,23 +862,26 @@ def tfidf_topk(
     (``tf * (ln((N+1)/(df+1)) + 1)``, the scikit-learn smoothing) —
     the classic keyword-extraction / relevance-feature step.
 
-    Plan: one explode → (doc, term) count (tf), one term-level groupBy
-    (df — output is |vocab| rows, partial-agg collapsed), one join of the
-    per-doc table against the vocab table (AQE broadcasts the vocab side
-    when it fits; at trillion-token scale it becomes a shuffle join on
-    the term key, which is the right plan), then a per-doc window for
-    the top-k. Ties break (score desc, term asc) — bit-stable against
-    the SQL oracle since the score is rounded after a fixed expression
-    tree.
+    Plan: (doc, term) count (tf) in one explode+partial-agg pass;
+    document frequency is declared as ``tf.groupBy(term).count`` —
+    Catalyst plans it as a second partial-agg-collapsed pass over the
+    token stream rather than reusing the tf exchange, which is the
+    intended trade: both passes combine map-side and stay SKEW-SAFE,
+    whereas the one-pass alternative (``count over Window.partitionBy
+    (term)``) funnels every occurrence of a hot stopword through one
+    task. The per-doc table then joins the |vocab|-row df table (AQE
+    broadcasts it when it fits; at trillion-token scale it becomes a
+    shuffle join on the term key, which is the right plan), and a
+    per-doc window takes the top-k (WindowGroupLimit prunes map-side).
+    Ties break (score desc, term asc) — bit-stable against the SQL
+    oracle since the score is rounded after a fixed expression tree.
     """
     toks = df.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_corpus"))
-    dfreq = toks.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
-    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))

@@ -211,3 +211,61 @@ def test_jaccard_sizes_join_never_hinted_broadcast(spark):
     # the hot-set anti-join hint appears twice: the hinted subtree is
     # duplicated across the a/b branches of the self-join
     assert hints("dedup_ngram_jaccard") <= 2, "only the hot-set anti-join may hint"
+
+
+def test_length_histogram_partial_agg_one_exchange(spark):
+    """Histogram key space is |strata| x n_buckets: the plan must be a
+    partial/final aggregate pair around one exchange — corpus-size-
+    independent after the scan."""
+    plan = _plan(spark, "text_length_histogram")
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" not in plan  # bucket is a size() expr, no explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cube_expands_once(spark):
+    """CUBE plans as Expand (4 grouping sets) + one partial/final agg pair —
+    no per-grouping-set rescan."""
+    plan = _plan(spark, "agg_cube_revenue")
+    assert "Expand" in plan
+    assert plan.split("\n\n")[0].count("Scan parquet") == 1
+
+
+def test_tfidf_topk_pruned_window(spark):
+    """Per-doc top-k must prune map-side (WindowGroupLimit) and stay
+    JVM-native; both corpus passes are partial-agg collapsed."""
+    plan = _plan(spark, "text_tfidf_topk")
+    assert "WindowGroupLimit" in plan, "top-k filter not pushed below the window"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only single-partition stage allowed is the 1-row corpus count;
+    # the doc window itself must stay hash-partitioned
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_countmin_no_corpus_broadcast(spark):
+    """The CMS plan may broadcast only the probe terms / sketch / 1-row
+    total — never a corpus-cardinality table. Guard: every build side in
+    the plan is an aggregate output (sketch: depth x width rows; exact
+    probe counts: |probe| rows), which holds as long as no raw token
+    stream reaches a BroadcastExchange directly."""
+    fn, _, _ = QUERIES["text_countmin_probe"]
+    simple = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    lines = simple.split("\n")
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        indent = len(ln) - len(ln.lstrip(" :+-*"))
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            nindent = len(nxt) - len(nxt.lstrip(" :+-*"))
+            if nindent <= indent:
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        # a corpus scan may feed a broadcast ONLY through an aggregate
+        # (sketch: depth x width rows; exact probe counts: |probe| rows;
+        # token total: 1 row) — never raw
+        if "Scan parquet" in sub:
+            assert "HashAggregate" in sub or "SortAggregate" in sub, (
+                "corpus rows reached a BroadcastExchange unaggregated"
+            )
