@@ -503,3 +503,83 @@ def stream_simhash_dedup(
         out = out.withWatermark(f"`{event_time_col}`", watermark)
         return out.dropDuplicatesWithinWatermark(["simhash"])
     return out.dropDuplicates(["simhash"])
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    k: int = 32,
+    band_rows: int = 4,
+    n: int = 3,
+    threshold: float = 0.25,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admission-control near-dup check for CONTINUOUS ingest: each
+    incoming document is tested against an already-indexed corpus (not
+    against its own batch) via the same banded-MinHash machinery as
+    :func:`minhash_lsh_pairs`. The shape every production training-data
+    pipeline runs daily: the corpus signature/band index is computed once
+    and persisted; each new batch only signs itself and probes the index.
+
+    Returns one row per incoming doc: ``(doc_id, is_dup, match_id,
+    est_jaccard)`` with the best corpus match (max estimate, ties to the
+    smaller corpus id; nulls when no band collision clears the
+    threshold). Plan: batch-side signatures (one shingle pass), band join
+    against the corpus band table (shuffle keyed on the 8-byte band
+    hash — at scale the corpus side is bucketed/persisted so only the
+    small batch shuffles), estimate join on the two signature tables,
+    max_by aggregate, left join back to the batch. Candidates are
+    band-bounded — never |batch| x |corpus|.
+    """
+    sig_c = minhash_signatures(corpus, k=k, n=n, id_col=id_col).cache()
+    sig_i = minhash_signatures(incoming, k=k, n=n, id_col=id_col).cache()
+    sig_c.count(), sig_i.count()
+    n_bands = k // band_rows
+    band_keys = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh_{i}") for i in range(b * band_rows, (b + 1) * band_rows)]
+        )
+        for b in range(n_bands)
+    ]
+
+    def bands(sig: DataFrame, out: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(out), F.explode(F.array(*band_keys)).alias("band_key")
+        )
+
+    cand = (
+        bands(sig_i, "doc_id")
+        .join(bands(sig_c, "match_id"), ["band_key"])
+        .select("doc_id", "match_id")
+        .distinct()
+    )
+    siga = sig_i.select(
+        F.col(id_col).alias("doc_id"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)]
+    )
+    sigb = sig_c.select(
+        F.col(id_col).alias("match_id"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)],
+    )
+    n_equal = sum((F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k))
+    est = (
+        cand.join(siga, "doc_id")
+        .join(sigb, "match_id")
+        .withColumn("est_jaccard", F.round(n_equal.cast("double") / F.lit(float(k)), 6))
+        .where(F.col("est_jaccard") >= F.lit(threshold))
+    )
+    best = est.groupBy("doc_id").agg(
+        F.max_by(
+            F.struct(F.col("est_jaccard"), (-F.col("match_id")).alias("neg")),
+            F.struct(F.col("est_jaccard"), (-F.col("match_id")).alias("neg")),
+        ).alias("bm")
+    )
+    return (
+        incoming.select(id_col)
+        .join(best, [id_col], "left")
+        .select(
+            id_col,
+            F.col("bm").isNotNull().alias("is_dup"),
+            (-F.col("bm.neg")).alias("match_id"),
+            F.col("bm.est_jaccard").alias("est_jaccard"),
+        )
+    )

@@ -995,3 +995,38 @@ def bpe_train(
         wc = wc.select(folded.alias("syms"), "cnt").localCheckpoint()
     spark = df.sparkSession
     return spark.createDataFrame(merges, "step int, a string, b string, n long")
+
+
+def temperature_weights(
+    df: DataFrame,
+    tau: float = 0.7,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture sampling weights: the multilingual/
+    multi-domain standard ``p_i ∝ f_i^tau`` (tau<1 upsamples small
+    domains, tau=1 is proportional, tau→0 is uniform). The companion to
+    :func:`mixture_weights` when no explicit target shares exist.
+
+    Returns per stratum the token mass, its natural share, the
+    temperature-annealed share, and the resampling weight
+    ``p_i / f_i``. One partial-aggregatable groupBy; all arithmetic runs
+    on the |strata|-row aggregate.
+    """
+    agg = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col(text_col))).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    f = F.col("n_tokens").cast("double") / total.cast("double")
+    pw = F.pow(f, F.lit(float(tau)))
+    z = F.sum(pw).over(Window.partitionBy())
+    p = pw / z
+    return agg.select(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        F.round(f, 6).alias("natural_share"),
+        F.round(p, 6).alias("annealed_share"),
+        F.round(p / f, 6).alias("weight"),
+    )

@@ -3433,6 +3433,99 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(emb, qs, k=5, m=8, seed_mod=8)
 
 
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Continuous-ingest admission check: odd doc_ids (the new batch) are
+    near-dup-tested against even doc_ids (the indexed corpus) via banded
+    MinHash — candidates band-bounded, never |batch| x |corpus|."""
+    from .pipeline.dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(corpus, incoming, k=32, band_rows=4, n=3, threshold=0.25)
+
+
+ORACLE_INCREMENTAL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h FROM sh
+),
+perms AS (SELECT unnest(generate_series(0, 31)) AS i),
+sig AS (
+  SELECT doc_id, i, min(((2*i + 1) * h + 7919 * i) % 2147483647) AS mh
+  FROM hashed, perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+),
+est AS (
+  SELECT c.doc_id, c.match_id,
+         round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0, 6) AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_id
+  JOIN sig sb ON sb.doc_id = c.match_id AND sb.i = sa.i
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, match_id, est_jaccard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY est_jaccard DESC, match_id) AS rk
+  FROM est WHERE est_jaccard >= 0.25
+)
+SELECT d.doc_id,
+       (b.doc_id IS NOT NULL) AS is_dup,
+       b.match_id, b.est_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+"""
+
+
+def q_text_temperature_weights(spark, sf_dir):
+    """Temperature mixture sampling (p_i ∝ f_i^0.7): the multilingual
+    upsampling standard, next to the explicit-target mixture_weights."""
+    from .pipeline.text import temperature_weights
+
+    return temperature_weights(_docs(spark, sf_dir), tau=0.7)
+
+
+ORACLE_TEMPERATURE = """
+WITH agg AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT sum(n_tokens) AS total FROM agg),
+p AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens / CAST(t.total AS DOUBLE) AS f,
+         power(n_tokens / CAST(t.total AS DOUBLE), 0.7) AS pw
+  FROM agg, t
+),
+z AS (SELECT sum(pw) AS z FROM p)
+SELECT source, n_docs, n_tokens,
+       round(f, 6) AS natural_share,
+       round(pw / z.z, 6) AS annealed_share,
+       round((pw / z.z) / f, 6) AS weight
+FROM p, z
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "s1_window_scan": (q_s1_window_scan, ORACLE_S1, "S1/P1 windowed stream scan"),
     "s4_ordered_stream_read": (q_s4_ordered_stream_read, ORACLE_S4, "S4/O1 per-stream order"),
@@ -3657,6 +3750,16 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         None,
         "PQ/ADC codebook top-k (rows-only: approximate on unstructured fixture)",
     ),
+    "dedup_incremental": (
+        q_dedup_incremental,
+        ORACLE_INCREMENTAL,
+        "continuous-ingest admission dedup vs indexed corpus",
+    ),
+    "text_temperature_weights": (
+        q_text_temperature_weights,
+        ORACLE_TEMPERATURE,
+        "temperature-annealed mixture sampling",
+    ),
 }
 
 # --- Driver-gate window rotation -------------------------------------------
@@ -3710,13 +3813,10 @@ _GATE_FRONT: list[str] = [
     "join_shipping_priority",
     "join_region_volume",
     # round-4 changes that need a fresh driver row: the jaccard primary
-    # swapped to the capped form and the exact form got a new key
+    # swapped to the capped form and embedding dedup switched to
+    # LSH-bucketed candidates
     "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_exact",
-    # round-4: embedding dedup switched to LSH-bucketed candidates and
-    # the exact GEMM path became an explicit variant
     "dedup_embedding_pairs",
-    "dedup_embedding_pairs_exact",
     "dedup_embedding_clusters",
     # round-4: nested UDT-field mid-stream evolution (new query)
     "t9_udt_evolution",
@@ -3727,8 +3827,14 @@ _GATE_FRONT: list[str] = [
     "text_distinct_hll",
     "agg_cube_revenue",
     "set_ops_customers",
+    "dedup_incremental",
+    "text_temperature_weights",
     "text_bpe_train",
     "ann_pq_topk",
+    # exact-variant keys renamed in round 4; the computations behind them
+    # were driver-verified in r03 under the old primary keys
+    "dedup_ngram_jaccard_exact",
+    "dedup_embedding_pairs_exact",
     # 12 rows green in r01/r02 but evicted from the r03 window:
     "p5_ttl_trim",
     "j3_preimage_verify",

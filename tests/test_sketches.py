@@ -213,3 +213,65 @@ class TestSimhashExpr:
             r["doc_id"] for r in spark.sql("select doc_id from docs_simdedup").collect()
         )
         assert len(ids) == 2 and 4 in ids
+
+
+class TestIncrementalDedup:
+    def test_flags_near_dup_of_corpus_only(self, spark):
+        from scylla_cdc_java_spark.pipeline.dedup import incremental_dedup
+
+        corpus = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        )
+        incoming = spark.createDataFrame(
+            [
+                # near-dup of corpus doc 0 (one token changed)
+                (1, "the quick brown fox jumps over the lazy cat today"),
+                # no relation to the corpus
+                (3, "completely different words about spark engines and parquet"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in incremental_dedup(corpus, incoming, threshold=0.2).collect()
+        }
+        assert rows[1]["is_dup"] and rows[1]["match_id"] == 0
+        assert not rows[3]["is_dup"] and rows[3]["match_id"] is None
+
+    def test_batch_internal_dups_are_admitted(self, spark):
+        """Two identical docs in the SAME batch are both admitted — the
+        operator tests against the index only (batch-internal dedup is the
+        job of the batch-mode operators)."""
+        from scylla_cdc_java_spark.pipeline.dedup import incremental_dedup
+
+        corpus = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+        )
+        twin = "one two three four five six seven eight"
+        incoming = spark.createDataFrame(
+            [(1, twin), (2, twin)], "doc_id long, text string"
+        )
+        rows = incremental_dedup(corpus, incoming, threshold=0.2).collect()
+        assert all(not r["is_dup"] for r in rows)
+
+
+class TestTemperatureWeights:
+    def test_tau_one_is_proportional(self, spark):
+        from scylla_cdc_java_spark.pipeline.text import temperature_weights
+
+        docs = _docs(spark, ["a b c d", "a b", "x"])
+        rows = temperature_weights(docs, tau=1.0).collect()
+        for r in rows:
+            assert abs(r["annealed_share"] - r["natural_share"]) < 1e-6
+            assert abs(r["weight"] - 1.0) < 1e-6
+
+    def test_small_domain_upsampled(self, spark):
+        from scylla_cdc_java_spark.pipeline.text import temperature_weights
+
+        docs = spark.createDataFrame(
+            [(0, "w " * 99 + "w", "big"), (1, "w", "small")],
+            "doc_id long, text string, source string",
+        )
+        rows = {r["source"]: r for r in temperature_weights(docs, tau=0.5).collect()}
+        assert rows["small"]["weight"] > 1.0 > rows["big"]["weight"]
