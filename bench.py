@@ -57,6 +57,14 @@ HEADLINE = [
     "text_bpe_pairs",
     "text_bm25",
     "pipeline_end_to_end",
+    # round-4 additions
+    "text_tfidf_topk",
+    "text_countmin_probe",
+    "text_length_histogram",
+    "agg_cube_revenue",
+    "set_ops_customers",
+    "dedup_incremental",
+    "dedup_embedding_clusters",
 ]
 
 
