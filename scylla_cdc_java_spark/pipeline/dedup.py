@@ -583,3 +583,89 @@ def incremental_dedup(
             F.col("bm.est_jaccard").alias("est_jaccard"),
         )
     )
+
+
+def stream_incremental_dedup(
+    spark,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    k: int = 32,
+    band_rows: int = 4,
+    n: int = 3,
+    threshold: float = 0.25,
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Streaming ingest admission: a file stream of document batches is
+    near-dup-checked against a PERSISTED, growing corpus index and only
+    admitted (novel) documents are appended to it — the production shape
+    of continuous training-data collection.
+
+    Per micro-batch (``foreachBatch`` — the cross-batch state here is the
+    index itself, which Spark's per-key state stores cannot hold, exactly
+    the case foreachBatch exists for):
+
+    1. batch-internal near-dups collapse first (banded-MinHash pairs
+       within the batch, keep the smallest id — twins arriving together
+       must not both pass);
+    2. survivors run :func:`incremental_dedup` against the current index
+       parquet (batch-side signatures only; the index side is the
+       persisted artifact a real deployment would sign once and store);
+    3. admitted docs append to ``index_dir``.
+
+    Restart safety: the checkpoint replays an in-flight batch after a
+    crash *before* its append was recorded... append-then-checkpoint
+    would double-admit, so admission re-runs against the index including
+    any rows the half-finished attempt appended — re-admitted twins are
+    then caught by the index check itself (their first copy is already
+    indexed), making the batch idempotent.
+
+    Returns the StreamingQuery (caller awaits). The admitted corpus is
+    ``spark.read.parquet(index_dir)``.
+    """
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+
+    def admit(batch: DataFrame, batch_id: int) -> None:
+        b = batch.persist()
+        try:
+            if b.isEmpty():
+                return
+            # (1) within-batch: drop any doc near-dup of a smaller-id doc
+            pairs = minhash_lsh_pairs(
+                b, k=k, band_rows=band_rows, n=n, threshold=threshold, id_col=id_col
+            )
+            losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+            survivors = b.join(losers, [id_col], "left_anti")
+            # (2) vs the persisted index (idempotent under batch replay)
+            spark_l = b.sparkSession
+            try:
+                index = spark_l.read.parquet(index_dir).select(id_col, "text")
+                have_index = index.limit(1).count() > 0
+            except Exception:
+                have_index = False
+            if have_index:
+                verdict = incremental_dedup(
+                    index, survivors, k=k, band_rows=band_rows, n=n,
+                    threshold=threshold, id_col=id_col,
+                )
+                admitted = survivors.join(
+                    verdict.where(~F.col("is_dup")).select(id_col), [id_col]
+                )
+            else:
+                admitted = survivors
+            # (3) grow the index
+            admitted.write.mode("append").parquet(index_dir)
+        finally:
+            b.unpersist()
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -3526,6 +3526,45 @@ FROM p, z
 """
 
 
+
+
+def q_events_lag_lead(spark, sf_dir):
+    """Explicit analytic-frame row (SURVEY §2.5 — the per-stream ordering
+    contract the reference unit-tests in WorkerTest): per-user event
+    sequencing with lag/lead — inter-event gap, next event type, and a
+    3-event centered moving average of value. One (user) shuffle; all
+    three frames share one sort."""
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id", "user_id", "event_type", "value",
+        epoch_micros(ev, "ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wavg = w.rowsBetween(-1, 1)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+        (F.col("ts_us") - F.lag("ts_us", 1).over(w)).alias("gap_us"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.round(F.avg("value").over(wavg), 6).alias("mavg3"),
+    )
+
+
+ORACLE_LAG_LEAD = """
+SELECT user_id, event_id,
+       row_number() OVER w AS seq,
+       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+       lead(event_type, 1) OVER w AS next_type,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS mavg3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "s1_window_scan": (q_s1_window_scan, ORACLE_S1, "S1/P1 windowed stream scan"),
     "s4_ordered_stream_read": (q_s4_ordered_stream_read, ORACLE_S4, "S4/O1 per-stream order"),
@@ -3760,6 +3799,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_TEMPERATURE,
         "temperature-annealed mixture sampling",
     ),
+    "events_lag_lead": (
+        q_events_lag_lead,
+        ORACLE_LAG_LEAD,
+        "explicit analytic frames: lag/lead/moving average",
+    ),
 }
 
 # --- Driver-gate window rotation -------------------------------------------
@@ -3829,6 +3873,7 @@ _GATE_FRONT: list[str] = [
     "set_ops_customers",
     "dedup_incremental",
     "text_temperature_weights",
+    "events_lag_lead",
     "text_bpe_train",
     "ann_pq_topk",
     # exact-variant keys renamed in round 4; the computations behind them

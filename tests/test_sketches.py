@@ -275,3 +275,58 @@ class TestTemperatureWeights:
         )
         rows = {r["source"]: r for r in temperature_weights(docs, tau=0.5).collect()}
         assert rows["small"]["weight"] > 1.0 > rows["big"]["weight"]
+
+
+class TestStreamIncrementalDedup:
+    def test_admission_across_batches(self, spark, tmp_path):
+        import os
+
+        from scylla_cdc_java_spark.pipeline.dedup import stream_incremental_dedup
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "index")
+        os.makedirs(src)
+        base = "the quick brown fox jumps over the lazy dog today again"
+        rows1 = [(1, base), (2, "completely different words about spark engines here")]
+        rows2 = [
+            (3, base.replace("dog", "cat")),  # near-dup of indexed doc 1
+            (4, "novel content that matches nothing in the corpus index"),
+            (5, "novel content that matches nothing in the corpus index"),  # twin of 4
+        ]
+        for rows in (rows1, rows2):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        q = stream_incremental_dedup(
+            spark, src, idx, str(tmp_path / "ckpt"), threshold=0.2
+        )
+        q.awaitTermination()
+        admitted = sorted(
+            r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").collect()
+        )
+        # 1,2 seed the index; 3 rejected (near-dup of 1); one of the twins
+        # 4/5 admitted (within-batch smallest id wins)
+        assert admitted == [1, 2, 4]
+
+    def test_restart_is_idempotent(self, spark, tmp_path):
+        """Replaying the same input with a FRESH checkpoint (worst-case
+        re-delivery: every batch re-runs after its append) admits nothing
+        new — each doc now matches its own indexed copy."""
+        import os
+
+        from scylla_cdc_java_spark.pipeline.dedup import stream_incremental_dedup
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "index")
+        os.makedirs(src)
+        rows = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        for attempt in range(2):
+            q = stream_incremental_dedup(
+                spark, src, idx, str(tmp_path / f"ckpt{attempt}"), threshold=0.2
+            )
+            q.awaitTermination()
+        admitted = [r["doc_id"] for r in spark.read.parquet(idx).collect()]
+        assert admitted == [1]
