@@ -330,3 +330,58 @@ class TestStreamIncrementalDedup:
             q.awaitTermination()
         admitted = [r["doc_id"] for r in spark.read.parquet(idx).collect()]
         assert admitted == [1]
+
+
+# ---- differential property test: native BPE fold vs pure-Python ------------
+
+def _py_bpe(words: list[str], n_merges: int):
+    """Independent pure-Python BPE trainer (count, argmax with (n desc,
+    pair asc) tie-break, left-to-right non-overlapping substitution)."""
+    from collections import Counter
+
+    wc = Counter(words)
+    vocab = {w: list(w) for w in wc}
+    merges = []
+    for step in range(n_merges):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from scylla_cdc_java_spark.pipeline.text import bpe_train
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=6)
+    corpus = st.lists(word, min_size=1, max_size=12)
+
+    @settings(max_examples=10, deadline=None)
+    @given(corpus)
+    def check(words):
+        docs = spark.createDataFrame(
+            [(0, " ".join(words), "src0")], "doc_id long, text string, source string"
+        )
+        got = [
+            (r["step"], r["a"], r["b"], r["n"])
+            for r in bpe_train(docs, n_merges=4).collect()
+        ]
+        assert got == _py_bpe(words, 4)
+
+    check()
