@@ -2569,11 +2569,18 @@ def q_agg_rollup_revenue(spark, sf_dir):
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
     )
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.grouping("l_returnflag").cast("int").alias("g_flag"),
-        F.grouping("l_linestatus").cast("int").alias("g_status"),
-        F.sum(rev).cast("double").alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
+    # project the decimal product ONCE before Expand: grouping sets
+    # duplicate every input row per set, and an inline agg expression is
+    # re-evaluated on each copy (measured 2.6x the query)
+    return (
+        li.select("l_returnflag", "l_linestatus", rev.alias("__rev"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.sum("__rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
 
 
@@ -3359,11 +3366,18 @@ def q_agg_cube_revenue(spark, sf_dir):
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
     )
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.grouping("l_returnflag").cast("int").alias("g_flag"),
-        F.grouping("l_linestatus").cast("int").alias("g_status"),
-        F.sum(rev).cast("double").alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
+    # project the decimal product ONCE before Expand: grouping sets
+    # duplicate every input row per set, and an inline agg expression is
+    # re-evaluated on each copy (measured 2.6x the query)
+    return (
+        li.select("l_returnflag", "l_linestatus", rev.alias("__rev"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.sum("__rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
 
 
