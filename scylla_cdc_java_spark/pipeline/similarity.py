@@ -161,6 +161,37 @@ def quantized_pairs_gemm(
     )
 
 
+
+def _coarse_probe_kernel(cent_ids, cent_mat, n_out: int):
+    """mapInPandas kernel assigning each (vid, qv) row its ``n_out``
+    nearest coarse centroids by integer dot (one blocked numpy GEMM per
+    Arrow batch; stable argsort so ties break toward the smaller cid,
+    matching the SQL oracles). Shared by ``ivf_topk`` (n_out=1 corpus
+    assignment, n_out=nprobe query probes) and ``ivf_pq_topk``."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids = pdf["vid"].to_numpy(dtype=np.int64)
+            block = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            dots = block @ cent_mat.T
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :n_out]
+            n, p = order.shape
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(vids, p),
+                    "qv": [v for v in pdf["qv"] for _ in range(p)],
+                    "cid": cent_ids[order].reshape(-1),
+                }
+            )
+
+    return kernel
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -200,29 +231,7 @@ def ivf_topk(
     cent_mat = np.array([r["cv"] for r in cent_rows], dtype=np.int64)
 
     def probe_kernel(n_out: int):
-        def kernel(batches):
-            import numpy as np
-            import pandas as pd
-
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                vids = pdf["vid"].to_numpy(dtype=np.int64)
-                block = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
-                dots = block @ cent_mat.T
-                # stable argsort on -dot: centroid columns are cid-ascending,
-                # so ties break toward the smaller cid (matches the oracle)
-                order = np.argsort(-dots, axis=1, kind="stable")[:, :n_out]
-                n, p = order.shape
-                yield pd.DataFrame(
-                    {
-                        "vid": np.repeat(vids, p),
-                        "qv": [v for v in pdf["qv"] for _ in range(p)],
-                        "cid": cent_ids[order].reshape(-1),
-                    }
-                )
-
-        return kernel
+        return _coarse_probe_kernel(cent_ids, cent_mat, n_out)
 
     def quantized(df: DataFrame) -> DataFrame:
         return df.select(
@@ -702,6 +711,114 @@ def pq_topk(
         .where(F.col("query_id") != F.col("vid"))
         .groupBy("query_id", F.col("vid").alias("neighbor_id"))
         .agg(F.sum("part").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    centroid_mod: int = 40,
+    m: int = 4,
+    seed_mod: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN architecture (coarse inverted file
+    restricts candidates, product-quantization ADC scores them) — exactly
+    how billion-vector indexes are actually laid out.
+
+    * build (once, persisted in a real deployment): coarse assignment of
+      every corpus vector to its nearest centroid (one broadcast-GEMM map
+      pass, ``_coarse_probe_kernel``) + PQ codes per vector (m small ids);
+      the raw vectors are never touched again;
+    * query: probe ``nprobe`` nearest centroids, build the per-query
+      (sub, code)->partial-dot LUT, ADC-score ONLY vectors in probed
+      buckets, one (query_id, vid) partial-agg sum, per-query top-k.
+
+    Compute per query is ~``nprobe/C`` of the corpus at m LUT lookups per
+    candidate. Approximate twice over (coarse pruning + quantized
+    scoring), so the gate treatment matches ``ann_pq_topk`` (rows-only;
+    clustered-data recall pinned in tests).
+    """
+    import numpy as np
+
+    cent_src = corpus.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cid"), quantize_embedding(vec_col, scale).alias("cv")
+    )
+    cent_rows = sorted(cent_src.collect(), key=lambda r: r["cid"])
+    cent_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r["cv"] for r in cent_rows], dtype=np.int64)
+
+    def quantized(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out), quantize_embedding(vec_col, scale).alias("qv")
+        )
+
+    assign_schema = "vid long, qv array<long>, cid long"
+    assigned = (
+        quantized(corpus, "vid")
+        .mapInPandas(_coarse_probe_kernel(cent_ids, cent_mat, 1), schema=assign_schema)
+        .select("vid", "cid")
+    )
+    cb = pq_codebooks(
+        corpus, m=m, seed_mod=seed_mod, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    codes = pq_encode(corpus, cb, m=m, id_col=id_col, vec_col=vec_col, scale=scale)
+    indexed = codes.join(assigned, "vid")
+
+    probes = (
+        quantized(queries, "vid")
+        .mapInPandas(
+            _coarse_probe_kernel(cent_ids, cent_mat, min(nprobe, len(cent_rows))),
+            schema=assign_schema,
+        )
+        .select(F.col("vid").alias("query_id"), "cid")
+    )
+    sub_w = F.floor(F.size(quantize_embedding(vec_col, scale)) / F.lit(m))
+    qsubs = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize_embedding(vec_col, scale).alias("qv"),
+            sub_w.alias("sw"),
+        )
+        .select(
+            "query_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col("qv"),
+            "sw",
+        )
+        .select(
+            "query_id",
+            "sub",
+            F.slice(
+                F.col("qv"),
+                (F.col("sub") * F.col("sw") + 1).cast("int"),
+                F.col("sw").cast("int"),
+            ).alias("sv"),
+        )
+    )
+    lut = qsubs.join(cb, "sub").select(
+        "query_id", "sub", "code", quantized_dot(F.col("sv"), F.col("cw")).alias("part")
+    )
+    scored = (
+        indexed.join(F.broadcast(probes), "cid")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .where(F.col("query_id") != F.col("vid"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("part").alias("adc"), F.count(F.lit(1)).alias("__nsub"))
+        # a vector in two probed buckets would double-join; cid is unique
+        # per vector so __nsub == m exactly — guard against plan drift
+        .where(F.col("__nsub") == m)
+        .drop("__nsub")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
     return (

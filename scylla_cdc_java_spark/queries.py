@@ -3579,6 +3579,20 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 """
 
 
+
+
+def q_ann_ivf_pq_topk(spark, sf_dir):
+    """Composed IVF-PQ top-k — coarse inverted-file candidate restriction
+    + PQ/ADC scoring, the billion-vector index layout. Rows-only like
+    ann_pq_topk (doubly approximate on the unstructured fixture);
+    clustered-data recall pinned in tests/test_sketches.py."""
+    from .pipeline.similarity import ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 5)
+    return ivf_pq_topk(emb, qs, k=5, nprobe=4, centroid_mod=40, m=8, seed_mod=8)
+
+
 QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "s1_window_scan": (q_s1_window_scan, ORACLE_S1, "S1/P1 windowed stream scan"),
     "s4_ordered_stream_read": (q_s4_ordered_stream_read, ORACLE_S4, "S4/O1 per-stream order"),
@@ -3803,6 +3817,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         None,
         "PQ/ADC codebook top-k (rows-only: approximate on unstructured fixture)",
     ),
+    "ann_ivf_pq_topk": (
+        q_ann_ivf_pq_topk,
+        None,
+        "composed IVF-PQ index layout (rows-only)",
+    ),
     "dedup_incremental": (
         q_dedup_incremental,
         ORACLE_INCREMENTAL,
@@ -3890,6 +3909,7 @@ _GATE_FRONT: list[str] = [
     "events_lag_lead",
     "text_bpe_train",
     "ann_pq_topk",
+    "ann_ivf_pq_topk",
     # exact-variant keys renamed in round 4; the computations behind them
     # were driver-verified in r03 under the old primary keys
     "dedup_ngram_jaccard_exact",

@@ -385,3 +385,26 @@ def test_bpe_train_matches_python_reference(spark):
         assert got == _py_bpe(words, 4)
 
     check()
+
+
+class TestIvfPq:
+    def test_clustered_recall_and_bucket_restriction(self, spark):
+        import numpy as np
+
+        from scylla_cdc_java_spark.pipeline.similarity import ivf_pq_topk
+
+        rng = np.random.RandomState(11)
+        centers = rng.randn(4, 16) * 10
+        rows = []
+        for i in range(64):
+            c = i % 4
+            v = centers[c] + rng.randn(16) * 0.01
+            v = v / np.linalg.norm(v)
+            rows.append((i, [float(x) for x in v], c))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        qs = emb.where(F.col("vec_id") < 4)
+        got = ivf_pq_topk(emb, qs, k=3, nprobe=2, centroid_mod=8, m=4, seed_mod=8).collect()
+        labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+        assert len(got) == 12  # k rows per query — probing found the bucket
+        for r in got:
+            assert labels[r["neighbor_id"]] == labels[r["query_id"]]
