@@ -3593,6 +3593,49 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
     return ivf_pq_topk(emb, qs, k=5, nprobe=4, centroid_mod=40, m=8, seed_mod=8)
 
 
+
+
+def q_events_interval_join(spark, sf_dir):
+    """Bucketed interval (range-containment) join: label every event on
+    one of the 3 highest-volume days with that day's id — the theta-join
+    (start <= ts < end) a naive plan turns into a nested loop, rewritten
+    as explode-to-buckets + equi-join (operators/interval.py)."""
+    from .operators.interval import interval_join
+    from .sources.tables import epoch_micros
+
+    day_us = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select("event_id", epoch_micros(ev, "ts").alias("ts_us"))
+    daily = ev.groupBy((F.col("ts_us") / F.lit(day_us)).cast("long").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = daily.orderBy(F.col("n").desc(), "day").limit(3)
+    intervals = top.select(
+        F.col("day").alias("window_day"),
+        (F.col("day") * day_us).alias("start"),
+        ((F.col("day") + 1) * day_us).alias("end"),
+    )
+    return interval_join(ev, intervals, "ts_us", bucket_width=3_600_000_000).select(
+        "event_id", "window_day"
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+daily AS (
+  SELECT CAST(floor(ts_us / 86400000000.0) AS BIGINT) AS day, count(*) AS n
+  FROM ev GROUP BY 1
+),
+top3 AS (SELECT day FROM daily ORDER BY n DESC, day LIMIT 3),
+iv AS (
+  SELECT day AS window_day, day * 86400000000 AS s, (day + 1) * 86400000000 AS e
+  FROM top3
+)
+SELECT ev.event_id, iv.window_day
+FROM ev JOIN iv ON iv.s <= ev.ts_us AND ev.ts_us < iv.e
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "s1_window_scan": (q_s1_window_scan, ORACLE_S1, "S1/P1 windowed stream scan"),
     "s4_ordered_stream_read": (q_s4_ordered_stream_read, ORACLE_S4, "S4/O1 per-stream order"),
@@ -3837,6 +3880,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_LAG_LEAD,
         "explicit analytic frames: lag/lead/moving average",
     ),
+    "events_interval_join": (
+        q_events_interval_join,
+        ORACLE_INTERVAL_JOIN,
+        "bucketed range-containment join",
+    ),
 }
 
 # --- Driver-gate window rotation -------------------------------------------
@@ -3907,6 +3955,7 @@ _GATE_FRONT: list[str] = [
     "dedup_incremental",
     "text_temperature_weights",
     "events_lag_lead",
+    "events_interval_join",
     "text_bpe_train",
     "ann_pq_topk",
     "ann_ivf_pq_topk",

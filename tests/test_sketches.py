@@ -408,3 +408,47 @@ class TestIvfPq:
         assert len(got) == 12  # k rows per query — probing found the bucket
         for r in got:
             assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+
+
+class TestIntervalJoin:
+    def _mk(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 50), (2, 100), (3, 250), (4, 999)], "pid long, ts long"
+        )
+        ivs = spark.createDataFrame(
+            [(10, 0, 100), (20, 90, 300), (30, 200, 260)],
+            "iv_id long, start long, end long",
+        )
+        return pts, ivs
+
+    def test_containment_and_boundaries(self, spark):
+        from scylla_cdc_java_spark.operators.interval import interval_join
+
+        pts, ivs = self._mk(spark)
+        got = {
+            (r["pid"], r["iv_id"])
+            for r in interval_join(pts, ivs, "ts", bucket_width=64).collect()
+        }
+        # ts=50 in [0,100); ts=100 NOT in [0,100) (half-open) but in [90,300);
+        # ts=250 in [90,300) and [200,260); ts=999 uncovered
+        assert got == {(1, 10), (2, 20), (3, 20), (3, 30)}
+
+    def test_left_keeps_uncovered(self, spark):
+        from scylla_cdc_java_spark.operators.interval import interval_join
+
+        pts, ivs = self._mk(spark)
+        rows = interval_join(pts, ivs, "ts", bucket_width=64, how="left").collect()
+        uncovered = [r for r in rows if r["iv_id"] is None]
+        assert [r["pid"] for r in uncovered] == [4]
+        assert len(rows) == 5
+
+    def test_bucket_width_invariance(self, spark):
+        from scylla_cdc_java_spark.operators.interval import interval_join
+
+        pts, ivs = self._mk(spark)
+        for w in (1, 7, 100, 10_000):
+            got = {
+                (r["pid"], r["iv_id"])
+                for r in interval_join(pts, ivs, "ts", bucket_width=w).collect()
+            }
+            assert got == {(1, 10), (2, 20), (3, 20), (3, 30)}, f"width {w}"
