@@ -905,6 +905,43 @@ def tfidf_topk(
     )
 
 
+
+def _merge_fold(syms: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping substitution of the adjacent pair
+    ``(a, b)`` by the merged symbol ``a+b`` — the BPE application step as
+    one native fold: merge when the accumulator tail is ``a`` AND that
+    tail was not itself just produced by a merge this pass (tracked in
+    ``m``). Shared by the trainer (one fold per round over the vocab) and
+    the encoder (one fold per learned merge over each word)."""
+    la, lb = F.lit(a), F.lit(b)
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.array().cast("array<string>").alias("acc"),
+            F.lit(False).alias("m"),
+        ),
+        lambda st, s: F.when(
+            (F.size(st["acc"]) > 0)
+            & ~st["m"]
+            & (F.element_at(st["acc"], -1) == la)
+            & (s == lb),
+            F.struct(
+                F.concat(
+                    F.slice(st["acc"], 1, F.size(st["acc"]) - 1),
+                    F.array(F.concat(la, lb)),
+                ).alias("acc"),
+                F.lit(True).alias("m"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(st["acc"], F.array(s)).alias("acc"),
+                F.lit(False).alias("m"),
+            )
+        ),
+        lambda st: st["acc"],
+    )
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 8,
@@ -962,37 +999,7 @@ def bpe_train(
             break
         a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
         merges.append((step, a, b, n))
-        la, lb = F.lit(a), F.lit(b)
-        # left-to-right non-overlapping substitution: fold each symbol in,
-        # merging when the accumulator tail is `a` AND that tail was not
-        # itself just produced by a merge this round (tracked in `m`).
-        folded = F.aggregate(
-            F.col("syms"),
-            F.struct(
-                F.array().cast("array<string>").alias("acc"),
-                F.lit(False).alias("m"),
-            ),
-            lambda st, s: F.when(
-                (F.size(st["acc"]) > 0)
-                & ~st["m"]
-                & (F.element_at(st["acc"], -1) == la)
-                & (s == lb),
-                F.struct(
-                    F.concat(
-                        F.slice(st["acc"], 1, F.size(st["acc"]) - 1),
-                        F.array(F.concat(la, lb)),
-                    ).alias("acc"),
-                    F.lit(True).alias("m"),
-                ),
-            ).otherwise(
-                F.struct(
-                    F.concat(st["acc"], F.array(s)).alias("acc"),
-                    F.lit(False).alias("m"),
-                )
-            ),
-            lambda st: st["acc"],
-        )
-        wc = wc.select(folded.alias("syms"), "cnt").localCheckpoint()
+        wc = wc.select(_merge_fold(F.col("syms"), a, b).alias("syms"), "cnt").localCheckpoint()
     spark = df.sparkSession
     return spark.createDataFrame(merges, "step int, a string, b string, n long")
 
@@ -1029,4 +1036,37 @@ def temperature_weights(
         F.round(f, 6).alias("natural_share"),
         F.round(p, 6).alias("annealed_share"),
         F.round(p / f, 6).alias("weight"),
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned BPE merge list to every document: each word starts
+    as characters and the merges replay IN TRAINING ORDER (the defining
+    BPE-encode contract), producing the subword token array plus its
+    length — the real token counter for budget/packing decisions once a
+    tokenizer exists (``add_token_stats``'s chars/4 column is the
+    pre-tokenizer estimate).
+
+    Pure per-row expression work: one fold per merge nested over each
+    word's symbol array — no shuffle, no Python, whole-stage codegen;
+    expression depth grows linearly with |merges| (fine for the classic
+    merge-list sizes; checkpoint the intermediate column if you ever
+    chain thousands).
+    """
+    words = tokens_col(text_col)
+    per_word = F.transform(words, lambda w: F.split(w, ""))
+
+    def encode_word(syms):
+        for a, b in merges:
+            syms = _merge_fold(syms, a, b)
+        return syms
+
+    enc = F.flatten(F.transform(per_word, encode_word))
+    return df.withColumn(out_col, enc).withColumn(
+        f"n_{out_col}", F.size(F.col(out_col))
     )

@@ -3636,6 +3636,22 @@ FROM ev JOIN iv ON iv.s <= ev.ts_us AND ev.ts_us < iv.e
 """
 
 
+
+
+def q_text_bpe_encode(spark, sf_dir):
+    """Tokenizer end-to-end: train 8 BPE merges on the corpus, then
+    encode every document with them (merges replayed in training order)
+    and report the real subword token count. Rows-only like
+    text_bpe_train (the merge list is data-derived, so no single-
+    statement SQL oracle); tests pin the encoder against an independent
+    pure-Python implementation."""
+    from .pipeline.text import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = [(r["a"], r["b"]) for r in bpe_train(docs, n_merges=8).collect()]
+    return bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
 QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "s1_window_scan": (q_s1_window_scan, ORACLE_S1, "S1/P1 windowed stream scan"),
     "s4_ordered_stream_read": (q_s4_ordered_stream_read, ORACLE_S4, "S4/O1 per-stream order"),
@@ -3865,6 +3881,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         None,
         "composed IVF-PQ index layout (rows-only)",
     ),
+    "text_bpe_encode": (
+        q_text_bpe_encode,
+        None,
+        "BPE tokenizer train+encode end-to-end (rows-only)",
+    ),
     "dedup_incremental": (
         q_dedup_incremental,
         ORACLE_INCREMENTAL,
@@ -3959,6 +3980,7 @@ _GATE_FRONT: list[str] = [
     "text_bpe_train",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
+    "text_bpe_encode",
     # exact-variant keys renamed in round 4; the computations behind them
     # were driver-verified in r03 under the old primary keys
     "dedup_ngram_jaccard_exact",

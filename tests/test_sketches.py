@@ -452,3 +452,45 @@ class TestIntervalJoin:
                 for r in interval_join(pts, ivs, "ts", bucket_width=w).collect()
             }
             assert got == {(1, 10), (2, 20), (3, 20), (3, 30)}, f"width {w}"
+
+
+class TestBpeEncode:
+    def test_matches_python_encoder(self, spark):
+        from scylla_cdc_java_spark.pipeline.text import bpe_encode, bpe_train
+
+        corpus = ["low low lower lowest", "newer new newest lower"]
+        docs = _docs(spark, corpus)
+        merges = [(r["a"], r["b"]) for r in bpe_train(docs, n_merges=5).collect()]
+
+        def py_encode(text):
+            out = []
+            for w in text.split(" "):
+                syms = list(w)
+                for a, b in merges:
+                    res, i = [], 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                out.extend(syms)
+            return out
+
+        got = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_encode(docs, merges).select("doc_id", "bpe_tokens").collect()
+        }
+        for i, text in enumerate(corpus):
+            assert got[i] == py_encode(text), text
+
+    def test_token_count_shrinks_with_merges(self, spark):
+        from scylla_cdc_java_spark.pipeline.text import bpe_encode, bpe_train
+
+        docs = _docs(spark, ["banana bandana banana"])
+        merges = [(r["a"], r["b"]) for r in bpe_train(docs, n_merges=4).collect()]
+        n0 = bpe_encode(docs, []).head()["n_bpe_tokens"]
+        n4 = bpe_encode(docs, merges).head()["n_bpe_tokens"]
+        assert n4 < n0
