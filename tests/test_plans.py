@@ -269,3 +269,21 @@ def test_countmin_no_corpus_broadcast(spark):
             assert "HashAggregate" in sub or "SortAggregate" in sub, (
                 "corpus rows reached a BroadcastExchange unaggregated"
             )
+
+
+def test_interval_join_no_nested_loop(spark):
+    """The bucketed rewrite's whole point: the containment predicate must
+    ride a bucket equi-join, never a nested-loop over the cross product.
+    (The tiny top-3 interval side may broadcast — but as a hash join on
+    the bucket key.)"""
+    plan = _plan(spark, "events_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_incremental_dedup_band_bounded(spark):
+    """Admission dedup joins batch bands to corpus bands — an equi-join on
+    band_key; no cross product, no Python eval in the band path."""
+    plan = _plan(spark, "dedup_incremental")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
