@@ -131,6 +131,13 @@ def minhash_signatures(
     pre-shuffle (min is duplicate-insensitive, so repeated shingles cannot
     change the signature). At 100 TB this is ONE shuffle of the partially
     aggregated per-doc rows.
+
+    Measured dead end, kept out on purpose: a shuffle-FREE per-row form
+    (``array_min`` over k ``transform``s of the doc's own shingle array)
+    is 2-4x SLOWER at sf0.1 — Spark evaluates higher-order functions
+    interpreted, outside whole-stage codegen, while the explode feeds
+    codegen'd min aggregates; the exchange it saves is tiny (partially
+    aggregated k-long rows) next to that constant factor.
     """
     # distinct is per-doc map-side (array_distinct in shingles()) — free of
     # shuffle, and it prunes duplicate shingles BEFORE the md5-based h31,

@@ -575,6 +575,21 @@ def assign_splits(
     return df.withColumn("split", split)
 
 
+
+def shingle_array(toks: Column, n: int) -> Column:
+    """Word n-gram shingle ARRAY of a (projected) token-array column.
+    Guard short documents: sequence(0, size-n) steps DOWNWARD when
+    size < n (negative slice indices abort the job); a doc with fewer
+    than n tokens has no n-shingles, so emit the empty array."""
+    return F.when(
+        F.size(toks) >= F.lit(n),
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(
     df: DataFrame,
     n: int = 3,
@@ -598,16 +613,7 @@ def shingles(
     # sequence element (Catalyst does not CSE through higher-order
     # functions) — O(n^2) splits per doc, measured 4x slower at sf0.1.
     toks = F.col("__toks")
-    # Guard short documents: sequence(0, size-n) steps DOWNWARD when
-    # size < n (negative slice indices abort the job); a doc with fewer
-    # than n tokens has no n-shingles, so emit none and explode drops it.
-    sh = F.when(
-        F.size(toks) >= F.lit(n),
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = shingle_array(toks, n)
     return (
         df.withColumn("__toks", tokens_col(text_col))
         .withColumn(out, F.explode(F.array_distinct(sh) if distinct else sh))
