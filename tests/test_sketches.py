@@ -494,3 +494,66 @@ class TestBpeEncode:
         n0 = bpe_encode(docs, []).head()["n_bpe_tokens"]
         n4 = bpe_encode(docs, merges).head()["n_bpe_tokens"]
         assert n4 < n0
+
+
+class TestExportCorpus:
+    def test_partitioned_layout_and_roundtrip(self, spark, tmp_path):
+        import glob
+        import os
+
+        from scylla_cdc_java_spark.pipeline.export import export_corpus, load_corpus
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}", "train" if i % 4 else "val", f"src{i % 2}")
+             for i in range(40)],
+            "doc_id long, text string, split string, source string",
+        )
+        out = str(tmp_path / "corpus")
+        export_corpus(docs, out, partition_by=["split", "source"])
+        # hive-style directories per (split, source)
+        assert os.path.isdir(os.path.join(out, "split=train", "source=src0"))
+        # bounded files per directory: 1 salt bucket -> 1 data file
+        files = glob.glob(os.path.join(out, "split=train", "source=src0", "*.parquet"))
+        assert len(files) == 1
+        back = load_corpus(spark, out)
+        assert back.count() == 40
+        assert {r["doc_id"] for r in back.where(F.col("split") == "val").collect()} == {
+            0, 4, 8, 12, 16, 20, 24, 28, 32, 36
+        }
+
+    def test_partition_pruning_on_readback(self, spark, tmp_path):
+        from scylla_cdc_java_spark.pipeline.export import export_corpus, load_corpus
+
+        docs = spark.createDataFrame(
+            [(i, "t", "train" if i % 2 else "val") for i in range(10)],
+            "doc_id long, text string, split string",
+        )
+        out = str(tmp_path / "corpus2")
+        export_corpus(docs, out, partition_by=["split"])
+        plan = (
+            load_corpus(spark, out)
+            .where(F.col("split") == "train")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "split" in m.group(1), (
+            "split filter must prune at the directory level, not post-scan"
+        )
+
+    def test_max_records_per_file(self, spark, tmp_path):
+        import glob
+        import os
+
+        from scylla_cdc_java_spark.pipeline.export import export_corpus
+
+        docs = spark.createDataFrame(
+            [(i, "x", "train") for i in range(100)], "doc_id long, text string, split string"
+        )
+        out = str(tmp_path / "corpus3")
+        export_corpus(docs, out, partition_by=["split"], max_records_per_file=30)
+        files = glob.glob(os.path.join(out, "split=train", "*.parquet"))
+        assert len(files) >= 4  # 100 rows / 30-cap
