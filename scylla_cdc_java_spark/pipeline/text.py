@@ -1076,3 +1076,30 @@ def bpe_encode(
     return df.withColumn(out_col, enc).withColumn(
         f"n_{out_col}", F.size(F.col(out_col))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    equal to its per-row ``weight_col`` (clamped to [0, 1]) — the
+    quality-weighted curation step (keep good documents with high
+    probability, long-tail junk with low) every data-mixing pipeline
+    runs after scoring.
+
+    Same discipline as :func:`stratified_sample`: the coin is
+    ``h31(id) % denom``, a pure function of the row id — reruns, engines
+    and partitionings agree row-for-row, and changing one row's weight
+    cannot flip any other row's outcome (unlike RNG-stream sampling).
+    Map-only, no shuffle.
+    """
+    from .dedup import h31
+
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    keep = (h31(F.col(id_col).cast("string")) % F.lit(denom)).cast("double") < (
+        w * F.lit(float(denom))
+    )
+    return df.where(keep)

@@ -3652,6 +3652,34 @@ def q_text_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+
+
+def q_text_weighted_sample(spark, sf_dir):
+    """Quality-weighted importance sampling: each doc keeps with
+    probability = its quality score (deterministic hash coin — the
+    post-scoring curation step). Returns the surviving ids with their
+    weights."""
+    from .pipeline.text import add_quality, weighted_sample
+
+    d = add_quality(_docs(spark, sf_dir))
+    return weighted_sample(d, "quality").select("doc_id", "quality")
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+q AS (
+  SELECT doc_id,
+         round(len(list_filter(toks, x -> x IN ('the','a','of','and','is')))
+               / CAST(len(toks) AS DOUBLE) * 0.5
+               + least(len(toks), 100) / 200.0, 6) AS quality
+  FROM t
+)
+SELECT doc_id, quality FROM q
+WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2147483647 % 1000000)
+      < least(greatest(quality, 0), 1) * 1000000.0
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "s1_window_scan": (q_s1_window_scan, ORACLE_S1, "S1/P1 windowed stream scan"),
     "s4_ordered_stream_read": (q_s4_ordered_stream_read, ORACLE_S4, "S4/O1 per-stream order"),
@@ -3906,6 +3934,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_INTERVAL_JOIN,
         "bucketed range-containment join",
     ),
+    "text_weighted_sample": (
+        q_text_weighted_sample,
+        ORACLE_WEIGHTED_SAMPLE,
+        "deterministic quality-weighted importance sampling",
+    ),
 }
 
 # --- Driver-gate window rotation -------------------------------------------
@@ -3977,6 +4010,7 @@ _GATE_FRONT: list[str] = [
     "text_temperature_weights",
     "events_lag_lead",
     "events_interval_join",
+    "text_weighted_sample",
     "text_bpe_train",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
