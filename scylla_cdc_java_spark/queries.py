@@ -3680,6 +3680,177 @@ WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2147483647 % 1000
 """
 
 
+
+
+def q_join_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped anchor over the one fixture table no other row
+    touches (part): promo-type revenue share per part type in a shipdate
+    month. The part side is dimension-sized here and broadcasts via AQE;
+    at a 100 TB part table the same declarative plan becomes a shuffle
+    join on partkey — no hint pins it either way."""
+    li = ts_filter(
+        ts_filter(
+            load_table(spark, sf_dir, "lineitem"),
+            "l_shipdate", ">=", "1996-01-01 00:00:00",
+        ),
+        "l_shipdate", "<", "1996-07-01 00:00:00",
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_PROMO = """
+SELECT p_type,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY p_type
+"""
+
+
+def q_dedup_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup PAIRS within Hamming distance <= 3 — the
+    radius>0 variant the single-value dedup row can't see (Manku et al.
+    2007, the production simhash pattern). The 32-bit hash splits into 4
+    byte-bands; by pigeonhole a pair differing in at most 3 bits must
+    agree on at least one band, so the banded candidate generation is
+    EXACT for this radius, not approximate: candidates equi-join on
+    (band, band_value), the true Hamming distance (bit_count of xor)
+    filters, output (doc_a, doc_b, hamming). Larger radii raise the
+    band count (r+1 bands cover distance r) — same plan, wider fan."""
+    from .pipeline.dedup import simhash
+
+    sh = simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        ((F.col("simhash") / F.lit(1 << (8 * b))).cast("long") % F.lit(256)).alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band"), F.col("bv.val"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "val"
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+ORACLE_SIMHASH_HAMMING = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS h FROM toks
+),
+bits AS (SELECT unnest(generate_series(0, 31)) AS j),
+contrib AS (
+  SELECT doc_id, j, (1::BIGINT << j) AS pow2,
+         2 * ((h // (1::BIGINT << j)) % 2) - 1 AS c
+  FROM hashed, bits
+),
+bitvals AS (SELECT doc_id, j, pow2, sum(c) AS s FROM contrib GROUP BY 1, 2, 3),
+sh AS (
+  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitvals GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric near-dup: n-gram CONTAINMENT |A∩B| / |A| — catches a
+    document quoted/embedded inside a larger one, which symmetric
+    Jaccard dilutes below threshold. Same inverted-index plan as the
+    jaccard row (df-capped, hashed 8-byte keys); the score just
+    normalizes by ONE side, emitted in both directions."""
+    from .pipeline.dedup import h31
+    from .pipeline.text import shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = (
+        shingles(docs.select("doc_id", "text"), n=3)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = common.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a"
+    ).withColumn(
+        "containment",
+        F.round(F.col("common").cast("double") / F.col("sz_a").cast("double"), 6),
+    )
+    return j.where(F.col("containment") >= 0.5).select(
+        "doc_a", "doc_b", "common", "containment"
+    )
+
+
+ORACLE_CONTAINMENT = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM t
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.common,
+       round(c.common / CAST(s.sz AS DOUBLE), 6) AS containment
+FROM common c JOIN sizes s ON s.doc_id = c.doc_a
+WHERE c.common / CAST(s.sz AS DOUBLE) >= 0.5
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "s1_window_scan": (q_s1_window_scan, ORACLE_S1, "S1/P1 windowed stream scan"),
     "s4_ordered_stream_read": (q_s4_ordered_stream_read, ORACLE_S4, "S4/O1 per-stream order"),
@@ -3939,6 +4110,17 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_WEIGHTED_SAMPLE,
         "deterministic quality-weighted importance sampling",
     ),
+    "join_promo_revenue": (q_join_promo_revenue, ORACLE_PROMO, "Q14-shape part join"),
+    "dedup_simhash_hamming": (
+        q_dedup_simhash_hamming,
+        ORACLE_SIMHASH_HAMMING,
+        "banded simhash Hamming<=3 pairs (exact by pigeonhole)",
+    ),
+    "dedup_containment": (
+        q_dedup_containment,
+        ORACLE_CONTAINMENT,
+        "asymmetric n-gram containment pairs",
+    ),
 }
 
 # --- Driver-gate window rotation -------------------------------------------
@@ -4011,6 +4193,9 @@ _GATE_FRONT: list[str] = [
     "events_lag_lead",
     "events_interval_join",
     "text_weighted_sample",
+    "join_promo_revenue",
+    "dedup_simhash_hamming",
+    "dedup_containment",
     "text_bpe_train",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
