@@ -287,3 +287,18 @@ def test_incremental_dedup_band_bounded(spark):
     plan = _plan(spark, "dedup_incremental")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_hamming_banded_no_cartesian(spark):
+    """Hamming pairs must come from the (band, value) equi-join — the
+    all-pairs xor comparison the oracle runs is exactly what the plan
+    must NOT contain."""
+    plan = _plan(spark, "dedup_simhash_hamming")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_no_forced_broadcast(spark):
+    """Size table is corpus-cardinality — no user hint may pin it."""
+    fn, _, _ = QUERIES["dedup_containment"]
+    analyzed = str(fn(spark, SF)._jdf.queryExecution().analyzed())
+    assert analyzed.count("ResolvedHint") == 0

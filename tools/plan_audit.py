@@ -31,6 +31,18 @@ DEFAULT = [
     "ann_ivf_topk",
     "mm_feature_extract",
     "text_vocab",
+    # round-4 surface
+    "text_tfidf_topk",
+    "text_countmin_probe",
+    "agg_cube_revenue",
+    "set_ops_customers",
+    "dedup_incremental",
+    "events_interval_join",
+    "events_lag_lead",
+    "join_promo_revenue",
+    "dedup_simhash_hamming",
+    "dedup_containment",
+    "text_weighted_sample",
 ]
 
 
