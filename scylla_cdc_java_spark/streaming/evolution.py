@@ -295,9 +295,23 @@ def replicate_with_schema_evolution(
         observed, listed = pending_log_schema(spark, source_dir, processed)
         if observed is not None:
             evolved = descriptor_from_log_schema(observed, desc)
-            # descriptor_diff validates the pk is untouched
-            descriptor_diff(desc, evolved)
+            # descriptor_diff also validates the pk is untouched
+            _, dropped = descriptor_diff(desc, evolved)
             desc = evolved
+            if dropped:
+                # ALTER DROP must discard the data PHYSICALLY (as Scylla
+                # does): copy-on-write keeps stale column values in
+                # untouched bucket files, and a later re-ADD of the same
+                # name would read them back (AlterReAddColIT analog —
+                # re-added columns start NULL, never resurrect).
+                from .replicator import ReplicatorSink
+
+                ReplicatorSink(
+                    desc,
+                    os.path.join(work_dir, "state"),
+                    mode=mode,
+                    n_buckets=n_buckets,
+                ).purge_columns(spark, dropped)
         save_descriptor(desc, desc_path)
         schema = build_cdc_log_schema(desc)
         state = replicate_available_now(

@@ -104,6 +104,49 @@ class ReplicatorSink:
             return None
         return conform_state(state, self.desc, keep_extra=(TIME_MICROS, _BUCKET))
 
+    def purge_columns(self, spark: SparkSession, cols: list[str]) -> bool:
+        """Physically remove ``cols`` from the persisted state snapshot
+        (one full rewrite committed as a new manifest version).
+
+        Copy-on-write sheds a dropped column only LOGICALLY: untouched
+        bucket files keep the stale values on disk, and if an ALTER later
+        re-ADDs a column with the same name, ``mergeSchema`` +
+        ``conform_state`` would read those stale values back — the
+        resurrection the reference's AlterReAddColIT forbids (ScyllaDB's
+        own ALTER DROP discards the data physically). ALTERs are rare;
+        one state rewrite per DROP is the honest cost. Returns False when
+        there is no committed state or nothing to purge. Never run
+        concurrently with the streaming writer (same rule as vacuum)."""
+        manifest = self._latest_manifest()
+        if manifest is None or not cols:
+            return False
+        state = self._read_buckets(
+            spark, manifest, [int(b) for b in manifest["buckets"]]
+        )
+        if state is None:
+            return False
+        present = [c for c in cols if c in state.columns]
+        if not present:
+            return False
+        version = manifest["version"] + 1
+        rel = f"v{version}"
+        out_dir = os.path.join(self.state_dir, rel)
+        # bucket files don't store the partition column; re-derive it
+        out = state.drop(*present).withColumn(
+            _BUCKET, _bucket_expr(list(self.desc.partition_keys), self.n_buckets)
+        )
+        out.write.partitionBy(_BUCKET).mode("overwrite").parquet(out_dir)
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out_dir)
+            if d.startswith(f"{_BUCKET}=")
+        }
+        buckets = {
+            str(b): f"{rel}/{_BUCKET}={b}" for b in written
+        }
+        self._commit_manifest({"version": version, "buckets": buckets})
+        return True
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Drop version directories no manifest among the newest
         ``keep_versions`` references, plus superseded manifests. Returns the

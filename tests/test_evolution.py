@@ -361,3 +361,41 @@ def test_post_alter_file_with_older_mtime_is_not_narrowed(spark, tmp_path):
     state, desc = replicate_with_schema_evolution(spark, src, V1, work, n_buckets=4)
     assert desc.regular_columns == ["v1", "v2"]
     assert {(r["pk"], r["ck"]): (r["v1"], r["v2"]) for r in state.collect()} == got
+
+
+def test_replicate_re_add_column_does_not_resurrect(spark, tmp_path):
+    """AlterReAddColIT analog (scylla-cdc-lib/src/test/java/com/scylladb/
+    cdc/lib/AlterReAddColIT.java): DROP a column mid-stream, then re-ADD
+    one with the same name. The re-added column is a NEW column — rows
+    written before the re-add must read NULL, never their pre-drop
+    values."""
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    g1 = CdcLogGenerator(V2)  # (v1, v2)
+    _append(spark, g1, [("insert", ("a",), (1,), {"v1": 1, "v2": "old"})], src)
+    state, desc = replicate_with_schema_evolution(spark, src, V1, work, n_buckets=4)
+    assert {(r["pk"], r["v2"]) for r in state.collect()} == {("a", "old")}
+
+    gd = CdcLogGenerator(V1)  # ALTER DROP v2
+    gd._t = g1._t
+    _append(spark, gd, [("insert", ("b",), (1,), {"v1": 2})], src)
+    state, desc = replicate_with_schema_evolution(spark, src, V1, work, n_buckets=4)
+    assert "v2" not in state.columns
+
+    gr = CdcLogGenerator(V2)  # ALTER ADD v2 back (same name, fresh column)
+    gr._t = gd._t
+    _append(
+        spark,
+        gr,
+        [
+            ("insert", ("c",), (1,), {"v1": 3, "v2": "new"}),
+            ("update", ("a",), (1,), {"v1": 9}),
+        ],
+        src,
+    )
+    state, desc = replicate_with_schema_evolution(spark, src, V1, work, n_buckets=4)
+    assert desc.regular_columns == ["v1", "v2"]
+    got = {(r["pk"], r["ck"]): (r["v1"], r["v2"]) for r in state.collect()}
+    # "a" was updated after the re-add but its v2 must be NULL — the
+    # pre-drop "old" value may not resurrect
+    assert got == {("a", 1): (9, None), ("b", 1): (2, None), ("c", 1): (3, "new")}
