@@ -222,3 +222,44 @@ def test_state_stores_roundtrip(tmp_path):
     mem.set_task_state(tid1, st1)
     mem.delete_task_state(tid1)
     assert mem.get_task_state(tid1) is None
+
+
+def test_empty_generation_rolls_through_without_stalling():
+    """EmptyGenerationIT analog (scylla-cdc-lib/src/test/java/com/scylladb/
+    cdc/lib/EmptyGenerationIT.java): fake generations with NO streams —
+    one sorting before all real ones, one after — must not stall the
+    master loop; the consumer passes through each empty era and keeps
+    delivering the real generation's changes."""
+    empty_early = GenerationMetadata(10, 100, ())
+    real = _gen(100, 200)
+    empty_late = GenerationMetadata(200, 300, ())
+    open_gen = _gen(300, None)
+    cat = GenerationCatalog([empty_early, real, empty_late, open_gen])
+
+    # cold start adopts the EARLY empty generation first
+    d = run_master_step(cat, None, {}, now_ms=10**9)
+    assert d.action == "rollover" and d.next_generation.start_ms == 10
+
+    # an empty generation has zero tasks: the A3 barrier is vacuously
+    # satisfied and the master immediately rolls to the real generation
+    tasks_early = group_streams_to_tasks("ks", "t", empty_early)
+    assert tasks_early == {}
+    d = run_master_step(
+        cat, 10, {}, now_ms=10**9, expected_tasks=set(tasks_early)
+    )
+    assert d.action == "rollover" and d.next_generation.start_ms == 100
+
+    # the real generation consumes normally, then rolls into the LATE
+    # empty generation...
+    tids = list(group_streams_to_tasks("ks", "t", real))
+    done = {t: TaskState(window_start_ms=250, window_end_ms=260) for t in tids}
+    d = run_master_step(cat, 100, done, now_ms=10**9, expected_tasks=set(tids))
+    assert d.action == "rollover" and d.next_generation.start_ms == 200
+
+    # ...which again rolls straight through to the open generation
+    d = run_master_step(cat, 200, {}, now_ms=10**9, expected_tasks=set())
+    assert d.action == "rollover" and d.next_generation.start_ms == 300
+
+    # the open generation is steady state — no stall anywhere
+    d = run_master_step(cat, 300, {}, now_ms=10**9)
+    assert d.action == "steady"
