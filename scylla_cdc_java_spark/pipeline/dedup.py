@@ -520,6 +520,7 @@ def incremental_dedup(
     n: int = 3,
     threshold: float = 0.25,
     id_col: str = "doc_id",
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Admission-control near-dup check for CONTINUOUS ingest: each
     incoming document is tested against an already-indexed corpus (not
@@ -538,9 +539,18 @@ def incremental_dedup(
     max_by aggregate, left join back to the batch. Candidates are
     band-bounded — never |batch| x |corpus|.
     """
-    sig_c = minhash_signatures(corpus, k=k, n=n, id_col=id_col).cache()
+    # a real deployment signs the corpus ONCE and persists the signature
+    # table next to the index; pass it via corpus_signatures so only the
+    # (small) batch is signed per call
+    sig_c = (
+        corpus_signatures
+        if corpus_signatures is not None
+        else minhash_signatures(corpus, k=k, n=n, id_col=id_col).cache()
+    )
     sig_i = minhash_signatures(incoming, k=k, n=n, id_col=id_col).cache()
-    sig_c.count(), sig_i.count()
+    if corpus_signatures is None:
+        sig_c.count()
+    sig_i.count()
     n_bands = k // band_rows
     band_keys = [
         F.xxhash64(

@@ -557,3 +557,34 @@ class TestExportCorpus:
         export_corpus(docs, out, partition_by=["split"], max_records_per_file=30)
         files = glob.glob(os.path.join(out, "split=train", "*.parquet"))
         assert len(files) >= 4  # 100 rows / 30-cap
+
+
+def test_incremental_dedup_accepts_presigned_index(spark):
+    """A deployment signs the corpus once; passing the persisted signature
+    table must give identical verdicts to signing in-call."""
+    from scylla_cdc_java_spark.pipeline.dedup import (
+        incremental_dedup,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy cat today"),
+         (3, "completely different words about spark engines and parquet")],
+        "doc_id long, text string",
+    )
+    inline = {
+        r["doc_id"]: (r["is_dup"], r["match_id"])
+        for r in incremental_dedup(corpus, incoming, threshold=0.2).collect()
+    }
+    sig = minhash_signatures(corpus)
+    presigned = {
+        r["doc_id"]: (r["is_dup"], r["match_id"])
+        for r in incremental_dedup(
+            corpus, incoming, threshold=0.2, corpus_signatures=sig
+        ).collect()
+    }
+    assert inline == presigned
