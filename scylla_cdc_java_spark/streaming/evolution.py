@@ -251,6 +251,35 @@ def pending_log_schema(
     return spark.read.option("mergeSchema", "true").parquet(*paths).schema, files
 
 
+
+def _lost_nested_fields(
+    old: CdcTableDescriptor, new: CdcTableDescriptor
+) -> list[str]:
+    """Base columns present in BOTH descriptors whose struct type LOST a
+    field (recursively) — the ALTER TYPE DROP case that
+    ``descriptor_diff``'s column-level view cannot see."""
+
+    def lost(ot: T.DataType, nt: T.DataType) -> bool:
+        if isinstance(ot, T.StructType) and isinstance(nt, T.StructType):
+            nf = {f.name: f.dataType for f in nt.fields}
+            for f in ot.fields:
+                if f.name not in nf or lost(f.dataType, nf[f.name]):
+                    return True
+            return False
+        if isinstance(ot, T.ArrayType) and isinstance(nt, T.ArrayType):
+            return lost(ot.elementType, nt.elementType)
+        if isinstance(ot, T.MapType) and isinstance(nt, T.MapType):
+            return lost(ot.valueType, nt.valueType)
+        return False
+
+    nfields = {f.name: f.dataType for f in new.base_schema.fields}
+    return [
+        f.name
+        for f in old.base_schema.fields
+        if f.name in nfields and lost(f.dataType, nfields[f.name])
+    ]
+
+
 def replicate_with_schema_evolution(
     spark: SparkSession,
     source_dir: str,
@@ -297,13 +326,16 @@ def replicate_with_schema_evolution(
             evolved = descriptor_from_log_schema(observed, desc)
             # descriptor_diff also validates the pk is untouched
             _, dropped = descriptor_diff(desc, evolved)
+            lost_nested = _lost_nested_fields(desc, evolved)
             desc = evolved
-            if dropped:
-                # ALTER DROP must discard the data PHYSICALLY (as Scylla
-                # does): copy-on-write keeps stale column values in
+            if dropped or lost_nested:
+                # a destructive ALTER (DROP column, or ALTER TYPE that
+                # removes a UDT field) must discard the data PHYSICALLY
+                # (as Scylla does): copy-on-write keeps stale values in
                 # untouched bucket files, and a later re-ADD of the same
-                # name would read them back (AlterReAddColIT analog —
-                # re-added columns start NULL, never resurrect).
+                # name would read them back (AlterReAddColIT /
+                # AlterUpdateUdtIT semantics — re-added names start NULL,
+                # never resurrect).
                 from .replicator import ReplicatorSink
 
                 ReplicatorSink(
@@ -311,7 +343,7 @@ def replicate_with_schema_evolution(
                     os.path.join(work_dir, "state"),
                     mode=mode,
                     n_buckets=n_buckets,
-                ).purge_columns(spark, dropped)
+                ).conform_snapshot(spark)
         save_descriptor(desc, desc_path)
         schema = build_cdc_log_schema(desc)
         state = replicate_available_now(

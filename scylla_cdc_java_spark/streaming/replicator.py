@@ -104,35 +104,36 @@ class ReplicatorSink:
             return None
         return conform_state(state, self.desc, keep_extra=(TIME_MICROS, _BUCKET))
 
-    def purge_columns(self, spark: SparkSession, cols: list[str]) -> bool:
-        """Physically remove ``cols`` from the persisted state snapshot
-        (one full rewrite committed as a new manifest version).
+    def conform_snapshot(self, spark: SparkSession) -> bool:
+        """Physically rewrite the persisted state snapshot conformed to
+        the CURRENT descriptor (one full rewrite committed as a new
+        manifest version) — dropped columns disappear from disk and
+        narrowed UDT structs shed their removed fields.
 
-        Copy-on-write sheds a dropped column only LOGICALLY: untouched
-        bucket files keep the stale values on disk, and if an ALTER later
-        re-ADDs a column with the same name, ``mergeSchema`` +
-        ``conform_state`` would read those stale values back — the
-        resurrection the reference's AlterReAddColIT forbids (ScyllaDB's
-        own ALTER DROP discards the data physically). ALTERs are rare;
-        one state rewrite per DROP is the honest cost. Returns False when
-        there is no committed state or nothing to purge. Never run
-        concurrently with the streaming writer (same rule as vacuum)."""
+        Copy-on-write sheds dropped data only LOGICALLY: untouched bucket
+        files keep the stale values (whole columns or nested struct
+        fields) on disk, and if an ALTER later re-ADDs the same name,
+        ``mergeSchema`` + ``conform_state`` would read those stale values
+        back — the resurrection the reference's AlterReAddColIT /
+        AlterUpdateUdtIT semantics forbid (ScyllaDB's own ALTER DROP
+        discards the data physically). ALTERs are rare; one state rewrite
+        per destructive ALTER is the honest cost. Returns False when
+        there is no committed state. Never run concurrently with the
+        streaming writer (same rule as vacuum)."""
         manifest = self._latest_manifest()
-        if manifest is None or not cols:
+        if manifest is None:
             return False
         state = self._read_buckets(
             spark, manifest, [int(b) for b in manifest["buckets"]]
         )
         if state is None:
             return False
-        present = [c for c in cols if c in state.columns]
-        if not present:
-            return False
+        out = conform_state(state, self.desc, keep_extra=(TIME_MICROS,))
         version = manifest["version"] + 1
         rel = f"v{version}"
         out_dir = os.path.join(self.state_dir, rel)
         # bucket files don't store the partition column; re-derive it
-        out = state.drop(*present).withColumn(
+        out = out.withColumn(
             _BUCKET, _bucket_expr(list(self.desc.partition_keys), self.n_buckets)
         )
         out.write.partitionBy(_BUCKET).mode("overwrite").parquet(out_dir)

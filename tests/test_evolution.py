@@ -399,3 +399,33 @@ def test_replicate_re_add_column_does_not_resurrect(spark, tmp_path):
     # "a" was updated after the re-add but its v2 must be NULL — the
     # pre-drop "old" value may not resurrect
     assert got == {("a", 1): (9, None), ("b", 1): (2, None), ("c", 1): (3, "new")}
+
+
+def test_replicate_udt_field_re_add_does_not_resurrect(spark, tmp_path):
+    """UDT-field sibling of the re-add scenario: ALTER TYPE DROP a field,
+    then ADD one back with the same name. The nested field is NEW — rows
+    written before the re-add must read NULL in it, never their pre-drop
+    nested values (bucket files keep the old struct layout on disk)."""
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+
+    g1 = CdcLogGenerator(UD2)  # u: struct<a:int, b:string>
+    _append(spark, g1, [("insert", ("a",), (1,), {"u": {"a": 1, "b": "old"}})], src)
+    state, desc = replicate_with_schema_evolution(spark, src, UD1, work, n_buckets=4)
+    assert {r["u"]["b"] for r in state.collect()} == {"old"}
+
+    gd = CdcLogGenerator(UD1)  # ALTER TYPE DROP b
+    gd._t = g1._t
+    _append(spark, gd, [("insert", ("b",), (1,), {"u": {"a": 2}})], src)
+    state, desc = replicate_with_schema_evolution(spark, src, UD1, work, n_buckets=4)
+    assert "b" not in [f.name for f in desc.base_field("u").dataType.fields]
+
+    gr = CdcLogGenerator(UD2)  # ALTER TYPE ADD b back
+    gr._t = gd._t
+    _append(spark, gr, [("insert", ("c",), (1,), {"u": {"a": 3, "b": "new"}})], src)
+    state, desc = replicate_with_schema_evolution(spark, src, UD1, work, n_buckets=4)
+    assert [f.name for f in desc.base_field("u").dataType.fields] == ["a", "b"]
+    got = {
+        (r["pk"], r["ck"]): (r["u"]["a"], r["u"]["b"]) if r["u"] is not None else None
+        for r in state.collect()
+    }
+    assert got == {("a", 1): (1, None), ("b", 1): (2, None), ("c", 1): (3, "new")}
