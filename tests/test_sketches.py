@@ -588,3 +588,76 @@ def test_incremental_dedup_accepts_presigned_index(spark):
         ).collect()
     }
     assert inline == presigned
+
+
+class TestEmptyInputEdges:
+    """Every round-4 operator must degrade to an empty (or
+    correctly-null-filled) result on empty input — the kernels' empty-
+    batch guards and the left-join null paths are load-bearing at scale
+    where empty partitions and empty buckets are routine."""
+
+    @pytest.fixture(scope="class")
+    def empties(self, spark):
+        return (
+            spark.createDataFrame([], "doc_id long, text string, source string"),
+            spark.createDataFrame([], "vec_id long, embedding array<float>, label int"),
+        )
+
+    def test_text_ops_empty(self, spark, empties):
+        from scylla_cdc_java_spark.pipeline.text import (
+            bpe_encode,
+            bpe_train,
+            length_histogram,
+            pack_sequences,
+            temperature_weights,
+            tfidf_topk,
+        )
+
+        docs, _ = empties
+        assert bpe_train(docs, 2).count() == 0
+        assert bpe_encode(docs, [("a", "b")]).count() == 0
+        assert tfidf_topk(docs).count() == 0
+        assert length_histogram(docs).count() == 0
+        assert pack_sequences(docs).count() == 0  # quantile fallback path
+        assert temperature_weights(docs).count() == 0
+
+    def test_dedup_and_sketches_empty(self, spark, empties):
+        from scylla_cdc_java_spark.pipeline.dedup import (
+            incremental_dedup,
+            minhash_lsh_pairs,
+        )
+        from scylla_cdc_java_spark.pipeline.sketches import (
+            approx_distinct_report,
+            countmin_probe_report,
+        )
+
+        docs, _ = empties
+        assert minhash_lsh_pairs(docs).count() == 0
+        assert approx_distinct_report(docs).count() == 0
+        # CMS still answers the probes (exact 0, bounds hold)
+        rows = countmin_probe_report(docs, ["x"]).collect()
+        assert len(rows) == 1 and rows[0]["exact_cnt"] == 0 and rows[0]["never_under"]
+        one = spark.createDataFrame(
+            [(1, "a b c d e f", "s")], "doc_id long, text string, source string"
+        )
+        # empty corpus: the incoming doc is admitted (is_dup False)
+        verdict = incremental_dedup(docs, one).collect()
+        assert len(verdict) == 1 and not verdict[0]["is_dup"]
+        assert incremental_dedup(one, docs).count() == 0
+
+    def test_ann_and_interval_empty(self, spark, empties):
+        from scylla_cdc_java_spark.operators.interval import interval_join
+        from scylla_cdc_java_spark.pipeline.similarity import ivf_pq_topk, pq_topk
+
+        _, emb = empties
+        one = spark.createDataFrame(
+            [(0, [1.0] * 16, 0)], "vec_id long, embedding array<float>, label int"
+        )
+        assert pq_topk(emb, one).count() == 0
+        assert pq_topk(one, one, seed_mod=1).count() == 0  # no non-self neighbor
+        assert ivf_pq_topk(emb, one).count() == 0
+        pts = spark.createDataFrame([(1, 5)], "pid long, ts long")
+        eiv = spark.createDataFrame([], "iv long, start long, end long")
+        assert interval_join(pts, eiv, "ts", bucket_width=10).count() == 0
+        left = interval_join(pts, eiv, "ts", bucket_width=10, how="left").collect()
+        assert len(left) == 1 and left[0]["iv"] is None
