@@ -10,8 +10,14 @@ repetition, and planted near/exact dups — then runs the REAL contract
 comparator (tools/check_contract.py) over every document-dependent gate
 query against its DuckDB oracle on that data.
 
-Round-4 recorded result: 33/33 MATCH — tokenization, md5/xxhash hashing,
-length semantics, and float rounding agree across engines on all of it.
+A second section does the same for the EVENT/CDC family: an events table
+built from exact-timestamp bursts (10 events at one instant for one
+user), cross-user timestamp ties, and null value/props — the data shape
+where unstable sort ties and null handling break hash equality.
+
+Round-4 recorded results: documents 33/33 MATCH, events 30/30 MATCH —
+tokenization, hashing, length semantics, float rounding, and the
+event_id tie-break discipline agree across engines on all of it.
 
 Usage: PYTHONPATH=/root/repo python tools/pathological_sweep.py
 """
@@ -26,6 +32,22 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC_SF = "/root/testdata/sf0.001"
 OUT = "/tmp/pathological_sf"
+
+EVENT_QUERIES = ",".join(
+    [
+        "s1_window_scan", "s4_ordered_stream_read", "p2_dedup_resume",
+        "p3_projection_split", "p7_op_dispatch", "a1_stream_task_grouping",
+        "a2_min_generation_after", "a3_consumed_barrier", "t1_tumbling_windows",
+        "t2_confidence_window", "t6_generation_rollover",
+        "j1_range_delete_pairing", "j2_postimage_pairing",
+        "f1_timeuuid_roundtrip", "f3_vnode_extract", "r1_apply_delta",
+        "r1_apply_lww_fast", "r4_row_delete_effect", "r9_delta_full_mix",
+        "events_sessionize", "events_funnel", "events_asof_join",
+        "events_retention_cohorts", "events_sliding_topk",
+        "events_anomaly_zscore", "events_pivot_types", "events_lag_lead",
+        "events_interval_join", "o3_list_ops", "ttl_apply_visibility",
+    ]
+)
 
 DOC_QUERIES = ",".join(
     [
@@ -83,18 +105,62 @@ def build_dir() -> None:
     con.execute(f"COPY d TO '{OUT}/documents.parquet' (FORMAT PARQUET)")
 
 
-def main() -> int:
-    build_dir()
-    env = dict(os.environ, PYTHONPATH=REPO)
-    return subprocess.call(
-        [
-            sys.executable,
-            os.path.join(REPO, "tools", "check_contract.py"),
-            "--sf-dir", OUT,
-            "--only", DOC_QUERIES,
-        ],
-        env=env,
+EV_OUT = "/tmp/pathological_events_sf"
+
+
+def build_events_dir() -> None:
+    import datetime
+
+    import duckdb
+
+    shutil.rmtree(EV_OUT, ignore_errors=True)
+    os.makedirs(EV_OUT)
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    ):
+        shutil.copy(f"{SRC_SF}/{t}.parquet", f"{EV_OUT}/{t}.parquet")
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def add(ts, uid, typ, val, props):
+        nonlocal eid
+        rows.append((eid, ts, uid, typ, val, props))
+        eid += 1
+
+    for i in range(10):  # burst: 10 events at ONE instant, one user
+        add(base, 1, "update", float(i), f'{{"k":{i}}}')
+    for u in range(2, 7):  # same instant across users
+        add(base, u, "insert", 1.5, '{"x":1}')
+    t1 = base + datetime.timedelta(seconds=30)
+    for u in (1, 2):  # interleaved ties + null payloads
+        for i in range(3):
+            add(t1, u, "delete" if i == 2 else "update", None if i == 1 else -i, None)
+    for d in range(40):
+        ts = base + datetime.timedelta(minutes=5 * d)
+        add(ts, d % 5, ["insert", "update", "delete", "view"][d % 4], 0.0, '{"d":%d}' % d)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
     )
+    for r in rows:
+        con.execute("INSERT INTO e VALUES (?,?,?,?,?,?)", list(r))
+    con.execute(f"COPY e TO '{EV_OUT}/events.parquet' (FORMAT PARQUET)")
+
+
+def main() -> int:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    check = os.path.join(REPO, "tools", "check_contract.py")
+    build_dir()
+    rc1 = subprocess.call(
+        [sys.executable, check, "--sf-dir", OUT, "--only", DOC_QUERIES], env=env
+    )
+    build_events_dir()
+    rc2 = subprocess.call(
+        [sys.executable, check, "--sf-dir", EV_OUT, "--only", EVENT_QUERIES], env=env
+    )
+    return rc1 or rc2
 
 
 if __name__ == "__main__":
