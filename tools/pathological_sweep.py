@@ -15,9 +15,12 @@ built from exact-timestamp bursts (10 events at one instant for one
 user), cross-user timestamp ties, and null value/props — the data shape
 where unstable sort ties and null handling break hash equality.
 
-Round-4 recorded results: documents 33/33 MATCH, events 30/30 MATCH —
-tokenization, hashing, length semantics, float rounding, and the
-event_id tie-break discipline agree across engines on all of it.
+A third section covers EMBEDDINGS: a zero vector, exact duplicates,
+a negated pair, and one-hot axis vectors (tie storms in every top-k).
+
+Round-4 recorded results: documents 33/33, events 30/30, embeddings 9/9
+MATCH — tokenization, hashing, length semantics, float rounding, and
+every ordering tie-break agree across engines on all of it.
 
 Usage: PYTHONPATH=/root/repo python tools/pathological_sweep.py
 """
@@ -46,6 +49,15 @@ EVENT_QUERIES = ",".join(
         "events_retention_cohorts", "events_sliding_topk",
         "events_anomaly_zscore", "events_pivot_types", "events_lag_lead",
         "events_interval_join", "o3_list_ops", "ttl_apply_visibility",
+    ]
+)
+
+EMB_QUERIES = ",".join(
+    [
+        "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_kmeans_train",
+        "ann_ivf_trained_topk", "dedup_embedding_pairs",
+        "dedup_embedding_pairs_exact", "dedup_embedding_clusters",
+        "dedup_keep_best",
     ]
 )
 
@@ -149,6 +161,45 @@ def build_events_dir() -> None:
     con.execute(f"COPY e TO '{EV_OUT}/events.parquet' (FORMAT PARQUET)")
 
 
+EMB_OUT = "/tmp/pathological_emb_sf"
+
+
+def build_emb_dir() -> None:
+    import duckdb
+    import numpy as np
+
+    shutil.rmtree(EMB_OUT, ignore_errors=True)
+    os.makedirs(EMB_OUT)
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "events",
+    ):
+        shutil.copy(f"{SRC_SF}/{t}.parquet", f"{EMB_OUT}/{t}.parquet")
+    rng = np.random.RandomState(5)
+
+    def unit(v):
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    rows = [(0, [0.0] * 64, 0)]  # zero vector
+    dup = unit(rng.randn(64))
+    rows += [(i, [float(x) for x in dup], 1) for i in (1, 2, 3)]  # exact dups
+    v = unit(rng.randn(64))
+    rows += [(4, [float(x) for x in v], 2), (5, [float(x) for x in -v], 2)]
+    for i in range(6, 10):  # one-hot axis vectors: tie storms
+        oh = [0.0] * 64
+        oh[i] = 1.0
+        rows.append((i, oh, 3))
+    rows += [
+        (i, [float(x) for x in unit(rng.randn(64))], i % 10) for i in range(10, 60)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INT)")
+    for r in rows:
+        con.execute("INSERT INTO e VALUES (?,?,?)", list(r))
+    con.execute(f"COPY e TO '{EMB_OUT}/embeddings.parquet' (FORMAT PARQUET)")
+
+
 def main() -> int:
     env = dict(os.environ, PYTHONPATH=REPO)
     check = os.path.join(REPO, "tools", "check_contract.py")
@@ -160,7 +211,11 @@ def main() -> int:
     rc2 = subprocess.call(
         [sys.executable, check, "--sf-dir", EV_OUT, "--only", EVENT_QUERIES], env=env
     )
-    return rc1 or rc2
+    build_emb_dir()
+    rc3 = subprocess.call(
+        [sys.executable, check, "--sf-dir", EMB_OUT, "--only", EMB_QUERIES], env=env
+    )
+    return rc1 or rc2 or rc3
 
 
 if __name__ == "__main__":
