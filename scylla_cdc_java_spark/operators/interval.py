@@ -51,13 +51,21 @@ def interval_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     w = int(bucket_width)
+    # degenerate/inverted intervals (end <= start) must explode to zero
+    # bucket rows: F.sequence steps DOWNWARD when stop < start, so an
+    # unguarded corrupt row would emit spurious buckets (or abort the job
+    # on the sequence-length cap for a large inverted gap) — same hazard
+    # text.shingle_array guards against
     iv = intervals.withColumn(
         "__bkt",
         F.explode(
-            F.sequence(
-                (F.col(start_col) / F.lit(w)).cast("long"),
-                ((F.col(end_col) - 1) / F.lit(w)).cast("long"),
-            )
+            F.when(
+                F.col(end_col) > F.col(start_col),
+                F.sequence(
+                    (F.col(start_col) / F.lit(w)).cast("long"),
+                    ((F.col(end_col) - 1) / F.lit(w)).cast("long"),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
         ),
     )
     pt = points.withColumn("__bkt", (F.col(ts_col) / F.lit(w)).cast("long"))

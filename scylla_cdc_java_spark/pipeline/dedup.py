@@ -584,10 +584,14 @@ def incremental_dedup(
         .withColumn("est_jaccard", F.round(n_equal.cast("double") / F.lit(float(k)), 6))
         .where(F.col("est_jaccard") >= F.lit(threshold))
     )
+    # best match = (est desc, match_id asc) via min_by over (-est, id):
+    # no arithmetic on the id itself, so string doc ids order correctly
+    # too (struct comparison is field-lexicographic); still a single
+    # partial-aggregatable agg, no window sort
     best = est.groupBy("doc_id").agg(
-        F.max_by(
-            F.struct(F.col("est_jaccard"), (-F.col("match_id")).alias("neg")),
-            F.struct(F.col("est_jaccard"), (-F.col("match_id")).alias("neg")),
+        F.min_by(
+            F.struct(F.col("est_jaccard"), F.col("match_id")),
+            F.struct((-F.col("est_jaccard")).alias("neg_est"), F.col("match_id")),
         ).alias("bm")
     )
     return (
@@ -596,7 +600,7 @@ def incremental_dedup(
         .select(
             id_col,
             F.col("bm").isNotNull().alias("is_dup"),
-            (-F.col("bm.neg")).alias("match_id"),
+            F.col("bm.match_id").alias("match_id"),
             F.col("bm.est_jaccard").alias("est_jaccard"),
         )
     )
@@ -637,7 +641,10 @@ def stream_incremental_dedup(
     would double-admit, so admission re-runs against the index including
     any rows the half-finished attempt appended — re-admitted twins are
     then caught by the index check itself (their first copy is already
-    indexed), making the batch idempotent.
+    indexed), making the batch idempotent. Sub-n-token documents never
+    produce shingles/band keys, so the banded check alone could not see
+    their replayed twins; the exact content-hash stages (within-batch
+    collapse + index anti-join) close that hole.
 
     Returns the StreamingQuery (caller awaits). The admitted corpus is
     ``spark.read.parquet(index_dir)``.
@@ -651,12 +658,27 @@ def stream_incremental_dedup(
         try:
             if b.isEmpty():
                 return
+            ch = F.xxhash64(F.col("text"))
+            # (0) exact stage, within batch: collapse identical texts to
+            # the smallest id. Documents with fewer than n tokens produce
+            # NO shingles, hence no signature and no band keys — the
+            # banded stages below are structurally blind to them, so
+            # without an exact stage a replayed half-appended batch would
+            # re-admit short twins (replay idempotency would not hold)
+            keep = b.groupBy(ch.alias("__ch")).agg(F.min(F.col(id_col)).alias("__keep"))
+            b_exact = (
+                b.withColumn("__ch", ch)
+                .join(keep, ["__ch"])
+                .where(F.col(id_col) == F.col("__keep"))
+                .drop("__keep")
+            )
             # (1) within-batch: drop any doc near-dup of a smaller-id doc
             pairs = minhash_lsh_pairs(
-                b, k=k, band_rows=band_rows, n=n, threshold=threshold, id_col=id_col
+                b_exact.drop("__ch"),
+                k=k, band_rows=band_rows, n=n, threshold=threshold, id_col=id_col,
             )
             losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-            survivors = b.join(losers, [id_col], "left_anti")
+            survivors = b_exact.join(losers, [id_col], "left_anti")
             # (2) vs the persisted index (idempotent under batch replay)
             spark_l = b.sparkSession
             try:
@@ -665,15 +687,21 @@ def stream_incremental_dedup(
             except Exception:
                 have_index = False
             if have_index:
+                # (2a) exact content-hash anti-join against the index —
+                # the cheap first admission stage that also catches the
+                # sub-n-token exact dups the banded path can never see
+                idx_hashes = index.select(F.xxhash64(F.col("text")).alias("__ch"))
+                survivors = survivors.join(idx_hashes, ["__ch"], "left_anti")
+                # (2b) banded near-dup check for everything else
                 verdict = incremental_dedup(
-                    index, survivors, k=k, band_rows=band_rows, n=n,
+                    index, survivors.drop("__ch"), k=k, band_rows=band_rows, n=n,
                     threshold=threshold, id_col=id_col,
                 )
-                admitted = survivors.join(
+                admitted = survivors.drop("__ch").join(
                     verdict.where(~F.col("is_dup")).select(id_col), [id_col]
                 )
             else:
-                admitted = survivors
+                admitted = survivors.drop("__ch")
             # (3) grow the index
             admitted.write.mode("append").parquet(index_dir)
         finally:

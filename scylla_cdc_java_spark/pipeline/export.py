@@ -47,7 +47,12 @@ def export_corpus(
     plus the per-file cap.
     """
     if partition_by:
-        salt = F.pmod(F.xxhash64(*df.columns[:1]), F.lit(files_per_partition))
+        # salt from the NON-partition columns: hashing a column that is
+        # (or correlates with) a partition_by column makes the salt
+        # constant within each directory and silently collapses
+        # files_per_partition back to one writer task per partition
+        salt_cols = [c for c in df.columns if c not in set(partition_by)] or df.columns
+        salt = F.pmod(F.xxhash64(*salt_cols), F.lit(files_per_partition))
         out = df.repartition(*[F.col(c) for c in partition_by], salt)
         writer = out.write.partitionBy(*partition_by)
     else:

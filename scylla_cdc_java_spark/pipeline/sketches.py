@@ -107,7 +107,7 @@ def countmin_probe_report(
     spark = df.sparkSession
     sk = countmin_sketch(df, depth=depth, width=width, text_col=text_col)
     terms = spark.createDataFrame([(t,) for t in probe_terms], "term string")
-    est = countmin_estimate(sk, terms, width=width)
+    est = countmin_estimate(sk, terms, depth=depth, width=width)
 
     toks = df.select(F.explode(tokens_col(text_col)).alias("tok"))
     total = toks.agg(F.count(F.lit(1)).alias("n_tokens"))

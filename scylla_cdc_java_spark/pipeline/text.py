@@ -1035,13 +1035,19 @@ def temperature_weights(
     pw = F.pow(f, F.lit(float(tau)))
     z = F.sum(pw).over(Window.partitionBy())
     p = pw / z
+    # DECIMAL(18,6), not round(double): pow() in two engines can differ in
+    # the last ulp, and round(x, 6) re-emits a double whose nearest
+    # representable value then differs bit-for-bit — every digit a reader
+    # cares about matches while a byte-exact hasher diverges. A decimal
+    # cast canonicalizes both engines to the identical 6-digit value
+    # (gate convention for any float-emitting share/ratio column)
     return agg.select(
         stratum_col,
         "n_docs",
         "n_tokens",
-        F.round(f, 6).alias("natural_share"),
-        F.round(p, 6).alias("annealed_share"),
-        F.round(p / f, 6).alias("weight"),
+        f.cast("decimal(18,6)").alias("natural_share"),
+        p.cast("decimal(18,6)").alias("annealed_share"),
+        (p / f).cast("decimal(18,6)").alias("weight"),
     )
 
 

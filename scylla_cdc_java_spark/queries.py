@@ -3533,9 +3533,9 @@ p AS (
 ),
 z AS (SELECT sum(pw) AS z FROM p)
 SELECT source, n_docs, n_tokens,
-       round(f, 6) AS natural_share,
-       round(pw / z.z, 6) AS annealed_share,
-       round((pw / z.z) / f, 6) AS weight
+       CAST(f AS DECIMAL(18,6)) AS natural_share,
+       CAST(pw / z.z AS DECIMAL(18,6)) AS annealed_share,
+       CAST((pw / z.z) / f AS DECIMAL(18,6)) AS weight
 FROM p, z
 """
 
@@ -4135,7 +4135,30 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
 # CORRECTNESS_r03.json) move to the back.  New queries added in round 4+ are
 # appended to _GATE_FRONT so they are verified in the round that adds them.
 _GATE_FRONT: list[str] = [
-    # 37 queries with no driver correctness row in rounds 1-3:
+    # --- round-5 window head -----------------------------------------
+    # the 11 queries that have never received a driver correctness row
+    # (they overflowed the 50-row window in r04) plus the one r04 red row
+    # (text_temperature_weights, re-fixed with DECIMAL canonicalization);
+    # green rows here complete the ledger: every registered query then
+    # has a green driver row across r01-r05
+    "text_temperature_weights",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "text_weighted_sample",
+    "join_promo_revenue",
+    "dedup_simhash_hamming",
+    "dedup_containment",
+    "events_interval_join",
+    "dedup_ngram_jaccard_exact",
+    "dedup_embedding_pairs_exact",
+    # round-5 re-verification: implementations touched this round
+    # (incremental_dedup tie-break rewrite, countmin depth forwarding,
+    # interval-join degenerate guard already covered above)
+    "dedup_incremental",
+    "text_countmin_probe",
+    # --- previously verified rows fill the remaining slots -----------
     "t9_schema_evolution",
     "text_repetition",
     "text_contamination",
@@ -4184,26 +4207,12 @@ _GATE_FRONT: list[str] = [
     # round-4 additions (need their first driver row):
     "text_length_histogram",
     "text_tfidf_topk",
-    "text_countmin_probe",
     "text_distinct_hll",
     "agg_cube_revenue",
     "set_ops_customers",
-    "dedup_incremental",
-    "text_temperature_weights",
     "events_lag_lead",
-    "events_interval_join",
-    "text_weighted_sample",
-    "join_promo_revenue",
-    "dedup_simhash_hamming",
-    "dedup_containment",
-    "text_bpe_train",
-    "ann_pq_topk",
-    "ann_ivf_pq_topk",
-    "text_bpe_encode",
     # exact-variant keys renamed in round 4; the computations behind them
     # were driver-verified in r03 under the old primary keys
-    "dedup_ngram_jaccard_exact",
-    "dedup_embedding_pairs_exact",
     # 12 rows green in r01/r02 but evicted from the r03 window:
     "p5_ttl_trim",
     "j3_preimage_verify",

@@ -263,8 +263,9 @@ class TestTemperatureWeights:
         docs = _docs(spark, ["a b c d", "a b", "x"])
         rows = temperature_weights(docs, tau=1.0).collect()
         for r in rows:
-            assert abs(r["annealed_share"] - r["natural_share"]) < 1e-6
-            assert abs(r["weight"] - 1.0) < 1e-6
+            # shares are DECIMAL(18,6) (cross-engine hash canonicalization)
+            assert abs(float(r["annealed_share"]) - float(r["natural_share"])) < 1e-6
+            assert abs(float(r["weight"]) - 1.0) < 1e-6
 
     def test_small_domain_upsampled(self, spark):
         from scylla_cdc_java_spark.pipeline.text import temperature_weights
