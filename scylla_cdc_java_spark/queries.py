@@ -3436,15 +3436,129 @@ SELECT 'churned' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SEL
 def q_ann_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-k (Jégou et al. 2011): corpus resident
     as m=8 code ids per vector, scored by LUT lookups — the
-    memory-scale path under IVF. Approximate by construction and the
-    fixture embeddings are unstructured noise, so rank-recall is not a
-    stable contract; the row is rows-only at the driver while
-    tests/test_similarity_pq.py proves exact-recall on clustered data."""
+    memory-scale path under IVF. The whole PQ pipeline is deterministic
+    (seeded codebooks, integer L2, floor-mean Lloyd updates), so the
+    oracle UNROLLS the two Lloyd rounds in SQL and hash-matches the exact
+    ranks — the same mirrored-math upgrade _emb_lsh_buckets_sql applied
+    to LSH bucketing; recall on clustered data is additionally pinned in
+    tests/test_sketches.py."""
     from .pipeline.similarity import pq_topk
 
     emb = _emb(spark, sf_dir)
     qs = emb.where(F.col("vec_id") < 5)
     return pq_topk(emb, qs, k=5, m=8, seed_mod=8)
+
+
+def _pq_cte_chain(m: int = 8, sw: int = 8, seed_mod: int = 8, n_iter: int = 2) -> str:
+    """DuckDB mirror of the deterministic PQ build behind ann_pq_topk /
+    ann_ivf_pq_topk (pipeline/similarity.py: pq_codebooks, pq_encode):
+    the ``n_iter`` Lloyd rounds UNROLL as chained CTEs — same seeded
+    codebooks (vid % seed_mod), same min-integer-L2 assignment (ties to
+    the smaller code; L2 expanded as a·a − 2a·b + b·b, exact in doubles
+    at these magnitudes), same floor-division integer mean
+    ``(s − pmod(s,n)) div n`` — so code assignments and ADC scores match
+    Spark bit-for-bit. Produces CTEs: q, subs, cb0..cb{n_iter}, codes
+    (corpus PQ codes) and lut (per-query (sub, code) → partial dot)."""
+    parts = [f"""q AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+subs AS (
+  SELECT vid, s.sub, qv[s.sub*{sw}+1 : s.sub*{sw}+{sw}] AS sv
+  FROM q, (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+),
+cb0 AS (SELECT sub, vid AS code, sv AS cw FROM subs WHERE vid % {seed_mod} = 0)"""]
+    for r in range(1, n_iter + 1):
+        parts.append(f"""d{r} AS (
+  SELECT s.vid, s.sub, s.sv, c.code,
+         CAST(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cw)
+              + list_dot_product(c.cw, c.cw) AS BIGINT) AS l2
+  FROM subs s JOIN cb{r - 1} c ON c.sub = s.sub
+),
+a{r} AS (
+  SELECT vid, sub, sv, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid, sub ORDER BY l2, code) AS rn
+    FROM d{r}
+  ) WHERE rn = 1
+),
+c{r} AS (
+  SELECT sub, code, p.pos, CAST(sum(sv[p.pos]) AS BIGINT) AS s, count(*) AS n
+  FROM a{r}, (SELECT unnest(generate_series(1, {sw})) AS pos) p
+  GROUP BY 1, 2, 3
+),
+cb{r} AS (
+  SELECT sub, code, list((s - ((s % n) + n) % n) // n ORDER BY pos) AS cw
+  FROM c{r} GROUP BY sub, code
+)""")
+    parts.append(f"""dz AS (
+  SELECT s.vid, s.sub, c.code,
+         CAST(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cw)
+              + list_dot_product(c.cw, c.cw) AS BIGINT) AS l2
+  FROM subs s JOIN cb{n_iter} c ON c.sub = s.sub
+),
+codes AS (
+  SELECT vid, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid, sub ORDER BY l2, code) AS rn
+    FROM dz
+  ) WHERE rn = 1
+),
+qsubs AS (SELECT vid AS query_id, sub, sv FROM subs WHERE vid < 5),
+lut AS (
+  SELECT qs.query_id, qs.sub, c.code,
+         CAST(list_dot_product(qs.sv, c.cw) AS BIGINT) AS part
+  FROM qsubs qs JOIN cb{n_iter} c ON c.sub = qs.sub
+)""")
+    return ",\n".join(parts)
+
+
+ORACLE_PQ_TOPK = f"""
+WITH {_pq_cte_chain()},
+scored AS (
+  SELECT l.query_id, co.vid AS neighbor_id, CAST(sum(l.part) AS BIGINT) AS adc
+  FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code
+  WHERE l.query_id <> co.vid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
+FROM ranked WHERE rank <= 5
+"""
+
+ORACLE_IVF_PQ_TOPK = f"""
+WITH {_pq_cte_chain()},
+cent AS (SELECT vid AS cid, qv AS cv FROM q WHERE vid % 40 = 0),
+coarse AS (
+  SELECT q.vid, cent.cid,
+         row_number() OVER (
+           PARTITION BY q.vid
+           ORDER BY CAST(list_dot_product(q.qv, cent.cv) AS BIGINT) DESC, cent.cid
+         ) AS rn
+  FROM q CROSS JOIN cent
+),
+corpus_assign AS (SELECT vid, cid FROM coarse WHERE rn = 1),
+probes AS (SELECT vid AS query_id, cid FROM coarse WHERE rn <= 4 AND vid < 5),
+scored AS (
+  SELECT l.query_id, co.vid AS neighbor_id, CAST(sum(l.part) AS BIGINT) AS adc
+  FROM codes co
+  JOIN corpus_assign ca ON ca.vid = co.vid
+  JOIN probes pr ON pr.cid = ca.cid
+  JOIN lut l ON l.query_id = pr.query_id AND l.sub = co.sub AND l.code = co.code
+  WHERE l.query_id <> co.vid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
+FROM ranked WHERE rank <= 5
+"""
 
 
 
@@ -3583,8 +3697,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 
 def q_ann_ivf_pq_topk(spark, sf_dir):
     """Composed IVF-PQ top-k — coarse inverted-file candidate restriction
-    + PQ/ADC scoring, the billion-vector index layout. Rows-only like
-    ann_pq_topk (doubly approximate on the unstructured fixture);
+    + PQ/ADC scoring, the billion-vector index layout. Hash-gated like
+    ann_pq_topk: the oracle composes the coarse-assignment SQL (same as
+    ORACLE_ANN_IVF) with the unrolled PQ chain (_pq_cte_chain);
     clustered-data recall pinned in tests/test_sketches.py."""
     from .pipeline.similarity import ivf_pq_topk
 
@@ -4072,13 +4187,13 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     ),
     "ann_pq_topk": (
         q_ann_pq_topk,
-        None,
-        "PQ/ADC codebook top-k (rows-only: approximate on unstructured fixture)",
+        ORACLE_PQ_TOPK,
+        "PQ/ADC codebook top-k (oracle unrolls the seeded Lloyd rounds)",
     ),
     "ann_ivf_pq_topk": (
         q_ann_ivf_pq_topk,
-        None,
-        "composed IVF-PQ index layout (rows-only)",
+        ORACLE_IVF_PQ_TOPK,
+        "composed IVF-PQ index layout (oracle mirrors coarse+PQ math)",
     ),
     "text_bpe_encode": (
         q_text_bpe_encode,
