@@ -969,8 +969,9 @@ def bpe_train(
     is metadata-plane: one tiny job per merge, exactly like the
     reference-scale trainers' "count, pick, substitute" rounds.
 
-    Not SQL-expressible (aggregation inside recursion), so the gate row
-    is rows-only; ``tests/test_text.py`` pins a hand-computed example.
+    The gate oracle unrolls the fixed merge count as chained SQL CTEs
+    (queries._bpe_cte_chain), so the row is hash-gated;
+    ``tests/test_text.py`` pins a hand-computed example.
     """
     wc = (
         df.select(F.explode(tokens_col(text_col)).alias("w"))

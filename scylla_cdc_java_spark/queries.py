@@ -3349,13 +3349,103 @@ FROM tok GROUP BY source
 def q_text_bpe_train(spark, sf_dir):
     """Iterative BPE tokenizer training: 8 merge rounds over the
     (word, count)-collapsed corpus; returns the learned merge table.
-    Aggregation-inside-recursion is not single-statement SQL, so this row
-    is rows-only at the driver; tests/test_text.py pins a hand-computed
-    merge sequence and the per-round operator (text_bpe_pairs) is
-    value-gated."""
+    Aggregation-inside-recursion is not recursive-CTE SQL, but the merge
+    count is FIXED, so the oracle UNROLLS the 8 rounds as materialized
+    CTE chains (_bpe_cte_chain) — pair counts, the (n desc, a, b) argmax,
+    and the greedy left-to-right fold (run-parity rule over consecutive
+    match positions) all mirrored exactly — and the row hash-matches;
+    tests/test_text.py additionally pins a hand-computed merge
+    sequence."""
     from .pipeline.text import bpe_train
 
     return bpe_train(_docs(spark, sf_dir), n_merges=8)
+
+
+def _bpe_cte_chain(n_merges: int = 8) -> str:
+    """DuckDB mirror of ``pipeline/text.bpe_train``'s training loop with
+    the rounds unrolled (same upgrade pattern as _pq_cte_chain). Produces
+    CTEs ``vocab`` (wid, w, cnt), ``wc0..wc{n}`` (per-round symbolized
+    vocab) and ``best0..best{n-1}`` (the selected merge per round).
+
+    The greedy left-to-right non-overlapping substitution of
+    ``_merge_fold`` is mirrored relationally: match positions are grouped
+    into consecutive runs (gaps-and-islands) and a match applies iff its
+    offset inside the run is even — exactly which adjacencies the fold
+    merges (the previous position of an applied match is consumed, so
+    alternating positions from each run start survive). State CTEs are
+    MATERIALIZED: each round references the previous state three times,
+    and inlining would duplicate the base scan 3^n times."""
+    parts = ["""w0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+vocab AS (SELECT row_number() OVER (ORDER BY w) AS wid, w, cnt FROM w0),
+wc0 AS MATERIALIZED (
+  SELECT wid, cnt, list(c ORDER BY i) AS syms FROM (
+    SELECT t.wid, t.cnt, u.i, substr(t.w, u.i, 1) AS c
+    FROM vocab t, unnest(generate_series(1, len(t.w))) AS u(i)
+  ) GROUP BY wid, cnt
+)"""]
+    for r in range(n_merges):
+        parts.append(f"""pc{r} AS (
+  SELECT syms[u.i] AS a, syms[u.i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+  FROM wc{r}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+),
+best{r} AS MATERIALIZED (SELECT a, b, n FROM pc{r} ORDER BY n DESC, a, b LIMIT 1),
+mk{r} AS (
+  SELECT w.wid, u.i
+  FROM wc{r} w, unnest(generate_series(1, len(w.syms) - 1)) AS u(i), best{r} bb
+  WHERE w.syms[u.i] = bb.a AND w.syms[u.i + 1] = bb.b
+),
+ap{r} AS (
+  SELECT wid, i FROM (
+    SELECT wid, i,
+           i - min(i) OVER (PARTITION BY wid, grp) AS off
+    FROM (SELECT wid, i,
+                 i - row_number() OVER (PARTITION BY wid ORDER BY i) AS grp
+          FROM mk{r})
+  ) WHERE off % 2 = 0
+),
+wc{r + 1} AS MATERIALIZED (
+  SELECT p.wid, p.cnt,
+         list(CASE WHEN h.i IS NOT NULL
+                   THEN (SELECT a || b FROM best{r}) ELSE p.s END ORDER BY p.i)
+           FILTER (WHERE pv.i IS NULL) AS syms
+  FROM (
+    SELECT w.wid, w.cnt, u.i, w.syms[u.i] AS s
+    FROM wc{r} w, unnest(generate_series(1, len(w.syms))) AS u(i)
+  ) p
+  LEFT JOIN ap{r} h  ON h.wid = p.wid AND h.i = p.i
+  LEFT JOIN ap{r} pv ON pv.wid = p.wid AND pv.i = p.i - 1
+  GROUP BY p.wid, p.cnt
+)""")
+    return ",\n".join(parts)
+
+
+ORACLE_BPE_TRAIN = "WITH " + _bpe_cte_chain() + "\n" + "\nUNION ALL ".join(
+    f"SELECT CAST({r} AS INT) AS step, a, b, n FROM best{r}" for r in range(8)
+)
+
+# encode reuses the trainer's final state: a word's symbolization after
+# all 8 merges IS wc8's row for it (identical fold, identical order), so
+# per-doc token counts are a word-level join + sum; words absent from the
+# vocab ('' from double spaces) tokenize to [] in Spark and NULL-sum to
+# the same 0 here
+ORACLE_BPE_ENCODE = f"""WITH {_bpe_cte_chain()},
+wlen AS (
+  SELECT v.w, len(wc.syms) AS n_toks
+  FROM wc8 wc JOIN vocab v ON v.wid = wc.wid
+),
+doc_words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT d.doc_id, CAST(coalesce(sum(wl.n_toks), 0) AS INT) AS n_bpe_tokens
+FROM doc_words d LEFT JOIN wlen wl ON wl.w = d.w
+GROUP BY d.doc_id
+"""
 
 
 def q_agg_cube_revenue(spark, sf_dir):
@@ -3756,9 +3846,11 @@ FROM ev JOIN iv ON iv.s <= ev.ts_us AND ev.ts_us < iv.e
 def q_text_bpe_encode(spark, sf_dir):
     """Tokenizer end-to-end: train 8 BPE merges on the corpus, then
     encode every document with them (merges replayed in training order)
-    and report the real subword token count. Rows-only like
-    text_bpe_train (the merge list is data-derived, so no single-
-    statement SQL oracle); tests pin the encoder against an independent
+    and report the real subword token count. Hash-gated like
+    text_bpe_train: the oracle re-derives the merges with the same
+    unrolled chain, then counts tokens per doc from the trainer's final
+    vocab state (a word's post-merge symbolization IS its encoding);
+    tests additionally pin the encoder against an independent
     pure-Python implementation."""
     from .pipeline.text import bpe_encode, bpe_train
 
@@ -4182,8 +4274,8 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "set_ops_customers": (q_set_ops_customers, ORACLE_SET_OPS, "INTERSECT/EXCEPT cohorts"),
     "text_bpe_train": (
         q_text_bpe_train,
-        None,
-        "iterative BPE merge training (rows-only: aggregation-in-recursion)",
+        ORACLE_BPE_TRAIN,
+        "iterative BPE merge training (oracle unrolls the 8 rounds)",
     ),
     "ann_pq_topk": (
         q_ann_pq_topk,
@@ -4197,8 +4289,8 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     ),
     "text_bpe_encode": (
         q_text_bpe_encode,
-        None,
-        "BPE tokenizer train+encode end-to-end (rows-only)",
+        ORACLE_BPE_ENCODE,
+        "BPE tokenizer train+encode end-to-end (oracle unrolls the merges)",
     ),
     "dedup_incremental": (
         q_dedup_incremental,
