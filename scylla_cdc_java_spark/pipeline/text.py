@@ -952,6 +952,7 @@ def bpe_train(
     df: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    batch: int = 1,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges over the corpus — the REAL iterative
     tokenizer-training loop whose single round :func:`bpe_pair_counts`
@@ -969,10 +970,26 @@ def bpe_train(
     is metadata-plane: one tiny job per merge, exactly like the
     reference-scale trainers' "count, pick, substitute" rounds.
 
+    ``batch`` is the standard distributed-BPE scale knob: per driver
+    round, the top-``batch`` mutually NON-INTERACTING pairs (no shared
+    symbol, and no symbol equal to another selection's merged string) are
+    selected from ONE aggregate and applied as chained folds in ONE job —
+    cutting driver round-trips and full pair-table recomputes by ~batch×
+    (the fix for the at-scale cost shape: a 32k-merge vocab at batch=32
+    is 1k Spark jobs, not 32k). ``batch=1`` (the default and the gate
+    path) is exactly sequential BPE. For ``batch>1`` the merge LIST can
+    deviate from strict sequential BPE in one bounded way: a pair created
+    by an earlier same-round merge could, under strict BPE, have
+    outranked a later same-round selection; recorded ``n`` values are the
+    pre-round counts. First-selection-per-round is always the strict
+    argmax.
+
     The gate oracle unrolls the fixed merge count as chained SQL CTEs
     (queries._bpe_cte_chain), so the row is hash-gated;
     ``tests/test_text.py`` pins a hand-computed example.
     """
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     wc = (
         df.select(F.explode(tokens_col(text_col)).alias("w"))
         .where(F.col("w") != "")
@@ -982,8 +999,9 @@ def bpe_train(
         .select("syms", "cnt")
         .localCheckpoint()
     )
-    merges = []
-    for step in range(n_merges):
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
         pairs = F.when(
             F.size("syms") >= 2,
             F.transform(
@@ -994,19 +1012,42 @@ def bpe_train(
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        best = (
+        # one aggregate serves the whole round; oversample so the greedy
+        # compatibility filter below can still fill the batch
+        top = (
             wc.select("cnt", F.explode(pairs).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.col("n").desc(), "a", "b")
-            .limit(1)
+            .limit(4 * want + 8)
             .collect()
         )
-        if not best:
+        if not top:
             break
-        a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
-        merges.append((step, a, b, n))
-        wc = wc.select(_merge_fold(F.col("syms"), a, b).alias("syms"), "cnt").localCheckpoint()
+        # greedy selection in (n desc, a, b) order: a candidate joins the
+        # round only if it cannot interact with an earlier selection —
+        # shares no symbol with one (the earlier fold would change its
+        # adjacency counts) and neither side equals an earlier merged
+        # string (the earlier fold CREATES those symbols mid-round)
+        selected: list[tuple[str, str, int]] = []
+        used_syms: set[str] = set()
+        created: set[str] = set()
+        for r in top:
+            if len(selected) >= want:
+                break
+            a, b, n = r["a"], r["b"], r["n"]
+            if {a, b} & (used_syms | created) or (a + b) in used_syms:
+                continue
+            selected.append((a, b, n))
+            used_syms |= {a, b}
+            created.add(a + b)
+        if not selected:
+            break
+        syms = F.col("syms")
+        for a, b, n in selected:
+            merges.append((len(merges), a, b, n))
+            syms = _merge_fold(syms, a, b)
+        wc = wc.select(syms.alias("syms"), "cnt").localCheckpoint()
     spark = df.sparkSession
     return spark.createDataFrame(merges, "step int, a string, b string, n long")
 

@@ -662,3 +662,146 @@ class TestEmptyInputEdges:
         assert interval_join(pts, eiv, "ts", bucket_width=10).count() == 0
         left = interval_join(pts, eiv, "ts", bucket_width=10, how="left").collect()
         assert len(left) == 1 and left[0]["iv"] is None
+
+
+# ---- round-5 additions: batched BPE, advisory-fix regression tests ---------
+
+
+class TestBpeBatchedTraining:
+    def test_batch_one_is_strict_sequential(self, spark):
+        docs = _docs(spark, ["low low lower"])
+        m1 = [tuple(r) for r in bpe_train(docs, n_merges=3, batch=1).collect()]
+        assert m1 == [(0, "l", "o", 3), (1, "lo", "w", 3), (2, "e", "r", 1)]
+
+    def test_batched_rounds_select_non_interacting_pairs(self, spark):
+        # round-1 counts sorted (n desc, a, b): (l,o):3 (o,w):3 (e,r):1
+        # (w,e):1 -> greedy takes (l,o) [uses l,o], skips (o,w) [o used],
+        # takes (e,r); round 2 takes (lo,w); round 3 (low,er)
+        docs = _docs(spark, ["low low lower"])
+        m8 = [tuple(r) for r in bpe_train(docs, n_merges=4, batch=8).collect()]
+        assert m8 == [
+            (0, "l", "o", 3),
+            (1, "e", "r", 1),
+            (2, "lo", "w", 3),
+            (3, "low", "er", 1),
+        ]
+
+    def test_first_selection_per_round_is_strict_argmax(self, spark):
+        docs = _docs(spark, ["pq pq rs rs rs tu"])
+        m1 = bpe_train(docs, n_merges=1, batch=1).collect()[0]
+        m8 = bpe_train(docs, n_merges=4, batch=8).collect()[0]
+        assert (m8["a"], m8["b"], m8["n"]) == (m1["a"], m1["b"], m1["n"])
+
+    def test_batch_rejects_nonpositive(self, spark):
+        import pytest as _pytest
+
+        docs = _docs(spark, ["ab"])
+        with _pytest.raises(ValueError):
+            bpe_train(docs, n_merges=1, batch=0)
+
+
+class TestCountMinNonDefaultDepth:
+    def test_probe_report_forwards_depth(self, spark):
+        # regression (r04 advisory): probe_report built the sketch with
+        # `depth` but estimated at the default 4 — depth<4 probed
+        # nonexistent hash rows and min() returned 0, violating the
+        # never-under guarantee
+        from scylla_cdc_java_spark.pipeline.sketches import countmin_probe_report
+
+        docs = _docs(spark, ["a a a b", "b c", "a d"] * 5)
+        for depth in (1, 2, 6):
+            rows = {
+                r["term"]: r
+                for r in countmin_probe_report(docs, ["a", "b", "zz"], depth=depth).collect()
+            }
+            assert rows["a"]["exact_cnt"] == 20 and rows["a"]["never_under"]
+            assert rows["b"]["exact_cnt"] == 10 and rows["b"]["never_under"]
+            assert rows["zz"]["exact_cnt"] == 0 and rows["zz"]["never_under"]
+
+
+class TestIntervalJoinDegenerate:
+    def test_inverted_and_empty_intervals_emit_nothing(self, spark):
+        # regression (r04 advisory): F.sequence steps DOWNWARD when
+        # stop < start, so an inverted interval row used to emit spurious
+        # buckets (and a huge inverted gap could abort on the
+        # sequence-length cap)
+        from scylla_cdc_java_spark.operators.interval import interval_join
+
+        pts = spark.createDataFrame([(1, 50), (2, 150)], "pid long, ts long")
+        ivs = spark.createDataFrame(
+            [(10, 0, 100), (11, 100, 100), (12, 10_000_000_000, 0)],
+            "iv long, start long, end long",
+        )
+        out = interval_join(pts, ivs, "ts", bucket_width=10).collect()
+        assert [(r["pid"], r["iv"]) for r in out] == [(1, 10)]
+        left = interval_join(pts, ivs, "ts", bucket_width=10, how="left")
+        got = sorted((r["pid"], r["iv"]) for r in left.collect())
+        assert got == [(1, 10), (2, None)]
+
+
+class TestIncrementalDedupStringIds:
+    def test_string_doc_ids_tiebreak_ascending(self, spark):
+        # regression (r04 advisory): the old tie-break negated match_id
+        # arithmetically, failing analysis on string ids
+        base = "the quick brown fox jumps over the lazy dog today again"
+        corpus = spark.createDataFrame(
+            [("c-b", base), ("c-a", base)], "doc_id string, text string"
+        )
+        incoming = spark.createDataFrame(
+            [("i-1", base), ("i-2", "totally unrelated novel words here now")],
+            "doc_id string, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in incremental_dedup(corpus, incoming, threshold=0.2).collect()
+        }
+        # both corpus twins tie at est 1.0 -> smallest id string wins
+        assert rows["i-1"]["is_dup"] and rows["i-1"]["match_id"] == "c-a"
+        assert not rows["i-2"]["is_dup"]
+
+
+class TestStreamShortDocAdmission:
+    def test_short_exact_dups_rejected_on_replay_and_within_batch(self, spark, tmp_path):
+        # sub-n-token docs produce no shingles -> the banded path cannot
+        # see them; the exact content-hash stages must catch them
+        import os
+
+        from scylla_cdc_java_spark.pipeline.dedup import stream_incremental_dedup
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "index")
+        os.makedirs(src)
+        rows1 = [(1, "hi"), (2, "the quick brown fox jumps over the lazy dog")]
+        rows2 = [(3, "hi"), (4, "ok go"), (5, "ok go"), (6, "fresh new words")]
+        for rows in (rows1, rows2):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        q = stream_incremental_dedup(spark, src, idx, str(tmp_path / "ckpt"))
+        q.awaitTermination()
+        admitted = sorted(
+            r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").collect()
+        )
+        # 3 is a short exact dup of indexed 1 (rejected); 5 is a short
+        # within-batch twin of 4 (rejected); 4 and 6 admitted
+        assert admitted == [1, 2, 4, 6]
+
+
+class TestExportSaltParallelism:
+    def test_salt_not_constant_when_first_column_is_partition_key(self, spark, tmp_path):
+        # regression (r04 advisory): the salt used to hash df.columns[0];
+        # with that column AS the partition key the salt was constant per
+        # directory and files_per_partition silently degraded to 1
+        import glob
+
+        from scylla_cdc_java_spark.pipeline.export import export_corpus
+
+        df = spark.createDataFrame(
+            [("s%d" % (i % 2), i, "text %d" % i) for i in range(200)],
+            "source string, doc_id long, text string",
+        )
+        out = str(tmp_path / "corpus")
+        export_corpus(df, out, partition_by=["source"], files_per_partition=4)
+        for d in ("source=s0", "source=s1"):
+            files = glob.glob(f"{out}/{d}/*.parquet")
+            assert len(files) > 1, f"{d}: salt collapsed to one writer file"
