@@ -280,9 +280,15 @@ def pack_sequences(
        runs as a ``Window.partitionBy(bucket)`` — every bucket is an
        independent task, so the plan scales with the cluster.
 
-    Non-numeric id columns (no quantile support) fall back to the single
-    global window — correct, but single-task; all shipped callers use
-    bigint ids.
+    Non-numeric id columns (no quantile support) take the same two-pass
+    shape with boundaries from a deterministic hash-thinned sample of the
+    ids (keep ids where ``xxhash64(id) % p == 0`` — a pure function of
+    the value, so retries/recomputes agree; ~32 candidates per bucket
+    reach the driver, every k-th becomes a boundary). Boundary *balance*
+    is approximate but bucket order is exact for any boundary choice:
+    ``bucket(id) = |{b : b <= id}|`` is monotone in the engine's own
+    ordering. Only an (effectively empty) input still uses the single
+    global window.
 
     Output: ``(doc_id, n_tokens, bin_id, bin_offset)`` where bin_offset is
     the token offset of the doc inside its bin.
@@ -299,24 +305,45 @@ def pack_sequences(
 
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32") or 32)
-    bounds: list[float] = []
+    bkt = None
     if n_buckets > 1:
         try:
             qs = [i / n_buckets for i in range(1, n_buckets)]
             bounds = sorted(set(base.stat.approxQuantile(id_col, qs, 0.001)))
-        except Exception:  # non-numeric id: keep the (correct) global window
-            bounds = []
+            if bounds:
+                barr = F.array(*[F.lit(float(b)) for b in bounds])
+                idd = F.col(id_col).cast("double")
+                # cast→double is monotone in the id, so bucket order == id
+                # order; ties at a boundary land in one bucket and sort by
+                # id inside it.
+                bkt = F.size(F.filter(barr, lambda b: b <= idd))
+        except Exception:
+            # non-numeric id: boundaries from a deterministic hash-thinned
+            # sample (pure function of the value — no RNG state, retries
+            # agree), every k-th candidate becomes a boundary. Any
+            # boundary choice keeps bucket order exact (see docstring).
+            n = base.count()
+            if n > n_buckets:
+                p = max(1, n // (n_buckets * 32))
+                cand = sorted(
+                    r[0]
+                    for r in base.where(
+                        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(p)) == 0
+                    )
+                    .select(id_col)
+                    .collect()
+                )
+                step = max(1, len(cand) // n_buckets)
+                gbounds = sorted(set(cand[step::step]))[: n_buckets - 1]
+                if gbounds:
+                    garr = F.array(*[F.lit(b) for b in gbounds])
+                    bkt = F.size(F.filter(garr, lambda b: b <= F.col(id_col)))
 
-    if not bounds:
+    if bkt is None:
         w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
         prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
         bucketed = base
     else:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        idd = F.col(id_col).cast("double")
-        # cast→double is monotone in the id, so bucket order == id order;
-        # ties at a boundary land in one bucket and sort by id inside it.
-        bkt = F.size(F.filter(barr, lambda b: b <= idd)).alias("__bkt")
         bucketed = base.withColumn("__bkt", bkt)
 
         # pass 1: per-bucket totals (partial-agg shuffle of n_buckets rows)

@@ -805,3 +805,25 @@ class TestExportSaltParallelism:
         for d in ("source=s0", "source=s1"):
             files = glob.glob(f"{out}/{d}/*.parquet")
             assert len(files) > 1, f"{d}: salt collapsed to one writer file"
+
+
+class TestPackSequencesStringIds:
+    def test_string_id_path_is_distributed_and_correct(self, spark):
+        # round-5: non-numeric ids now bucket via deterministic
+        # hash-thinned boundary sampling instead of the single global
+        # window fallback
+        from scylla_cdc_java_spark.pipeline.text import pack_sequences
+
+        rows = [("d%03d" % i, "w " * (i % 7 + 1)) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        out = pack_sequences(df, budget=16, n_buckets=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, "string-id pack fell back to global window"
+        got = sorted(
+            (r["doc_id"], r["n_tokens"], r["bin_id"], r["bin_offset"])
+            for r in out.collect()
+        )
+        acc = 0
+        for _did, nt, b, off in got:
+            assert b == acc // 16 and off == acc % 16
+            acc += nt
