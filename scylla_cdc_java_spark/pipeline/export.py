@@ -53,7 +53,15 @@ def export_corpus(
         # files_per_partition back to one writer task per partition
         salt_cols = [c for c in df.columns if c not in set(partition_by)] or df.columns
         salt = F.pmod(F.xxhash64(*salt_cols), F.lit(files_per_partition))
-        out = df.repartition(*[F.col(c) for c in partition_by], salt)
+        # explicit partition count: a bare expression-repartition is an
+        # AQE-coalescible shuffle, and on a small frame AQE merges it to
+        # ONE task — silently undoing the salt. A user-specified number
+        # (REPARTITION_BY_NUM) is exempt from coalescing; files per
+        # directory stay bounded by the salt key space either way
+        n_shuffle = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200") or 200
+        )
+        out = df.repartition(n_shuffle, *[F.col(c) for c in partition_by], salt)
         writer = out.write.partitionBy(*partition_by)
     else:
         writer = df.write

@@ -1026,6 +1026,16 @@ def bpe_train(
         .select("syms", "cnt")
         .localCheckpoint()
     )
+    # size the vocab layout to the vocab, not to the corpus shuffle
+    # setting: every round re-reads this frame twice, and a 32-partition
+    # layout around a few-thousand-row vocab makes each round pay 2x32
+    # task launches of scheduler overhead (measured ~4x the trainer's
+    # wall-clock at gate sizes). ~64k rows per partition keeps a
+    # million-word vocab parallel while tiny vocabs run single-task.
+    n_vocab = wc.count()
+    target = max(1, min(wc.rdd.getNumPartitions(), int(n_vocab // 65536) + 1))
+    if target < wc.rdd.getNumPartitions():
+        wc = wc.coalesce(target)
     merges: list[tuple[int, str, str, int]] = []
     while len(merges) < n_merges:
         want = min(batch, n_merges - len(merges))
@@ -1041,14 +1051,29 @@ def bpe_train(
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
         # one aggregate serves the whole round; oversample so the greedy
         # compatibility filter below can still fill the batch
-        top = (
+        pair_counts = (
             wc.select("cnt", F.explode(pairs).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.col("n").desc(), "a", "b")
-            .limit(4 * want + 8)
-            .collect()
         )
+        if want == 1:
+            # the argmax under (n desc, a, b) is min(struct(-n, a, b)) —
+            # one partial-aggregatable agg to a single row instead of a
+            # sort-limit stage (same tiebreak, ~half the per-round time)
+            row = pair_counts.select(
+                F.min(F.struct((-F.col("n")).alias("negn"), "a", "b")).alias("m")
+            ).collect()[0]["m"]
+            top = (
+                [{"a": row["a"], "b": row["b"], "n": -row["negn"]}]
+                if row is not None
+                else []
+            )
+        else:
+            top = (
+                pair_counts.orderBy(F.col("n").desc(), "a", "b")
+                .limit(4 * want + 8)
+                .collect()
+            )
         if not top:
             break
         # greedy selection in (n desc, a, b) order: a candidate joins the

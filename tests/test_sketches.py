@@ -743,6 +743,8 @@ class TestIncrementalDedupStringIds:
     def test_string_doc_ids_tiebreak_ascending(self, spark):
         # regression (r04 advisory): the old tie-break negated match_id
         # arithmetically, failing analysis on string ids
+        from scylla_cdc_java_spark.pipeline.dedup import incremental_dedup
+
         base = "the quick brown fox jumps over the lazy dog today again"
         corpus = spark.createDataFrame(
             [("c-b", base), ("c-a", base)], "doc_id string, text string"
