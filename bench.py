@@ -65,6 +65,10 @@ HEADLINE = [
     "set_ops_customers",
     "dedup_incremental",
     "dedup_embedding_clusters",
+    # round-5 additions (newly hash-gated / newly bench-visible surfaces)
+    "events_interval_join",
+    "ann_pq_topk",
+    "text_bpe_train",
 ]
 
 
