@@ -302,3 +302,15 @@ def test_containment_no_forced_broadcast(spark):
     fn, _, _ = QUERIES["dedup_containment"]
     analyzed = str(fn(spark, SF)._jdf.queryExecution().analyzed())
     assert analyzed.count("ResolvedHint") == 0
+
+
+def test_ann_pq_topk_kernel_path_no_cartesian_no_single_partition(spark):
+    """PQ: corpus assignment/encode run as Arrow GEMM argmin kernels
+    against the driver-collected codebook (the expression-tree argmin put
+    |codebook| nested folds through codegen — measured ~7x the query);
+    no stage may cartesian-join or funnel through one partition (the
+    only window is the per-query top-k, partitioned on query_id)."""
+    plan = _plan(spark, "ann_pq_topk")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "mapInPandas" in plan
