@@ -3431,9 +3431,11 @@ ORACLE_BPE_TRAIN = "WITH " + _bpe_cte_chain() + "\n" + "\nUNION ALL ".join(
 
 # encode reuses the trainer's final state: a word's symbolization after
 # all 8 merges IS wc8's row for it (identical fold, identical order), so
-# per-doc token counts are a word-level join + sum; words absent from the
-# vocab ('' from double spaces) tokenize to [] in Spark and NULL-sum to
-# the same 0 here
+# per-doc token counts are a word-level join + sum. The one word outside
+# the vocab is '' (from empty/multi-space text — the trainer filters it):
+# Spark's split('', '') is [''] — ONE empty-string symbol no merge can
+# touch — so every empty word contributes exactly 1 token, not 0
+# (caught by the hostile-input sweep on '' / 'a  b' docs)
 ORACLE_BPE_ENCODE = f"""WITH {_bpe_cte_chain()},
 wlen AS (
   SELECT v.w, len(wc.syms) AS n_toks
@@ -3442,7 +3444,9 @@ wlen AS (
 doc_words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
 )
-SELECT d.doc_id, CAST(coalesce(sum(wl.n_toks), 0) AS INT) AS n_bpe_tokens
+SELECT d.doc_id,
+       CAST(coalesce(sum(CASE WHEN d.w = '' THEN 1 ELSE wl.n_toks END), 0) AS INT)
+         AS n_bpe_tokens
 FROM doc_words d LEFT JOIN wlen wl ON wl.w = d.w
 GROUP BY d.doc_id
 """

@@ -58,6 +58,8 @@ EMB_QUERIES = ",".join(
         "ann_ivf_trained_topk", "dedup_embedding_pairs",
         "dedup_embedding_pairs_exact", "dedup_embedding_clusters",
         "dedup_keep_best",
+        # round-5 hash-gated additions (oracles unroll the Lloyd rounds)
+        "ann_pq_topk", "ann_ivf_pq_topk",
     ]
 )
 
@@ -74,6 +76,8 @@ DOC_QUERIES = ",".join(
         "dedup_simhash", "dedup_simhash_hamming", "dedup_containment",
         "dedup_exact_substring", "dedup_line_spans", "dedup_winnow",
         "dedup_incremental",
+        # round-5 hash-gated additions (oracles unroll the merge rounds)
+        "text_bpe_train", "text_bpe_encode", "text_pack_sequences",
     ]
 )
 
