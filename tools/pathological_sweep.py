@@ -18,9 +18,12 @@ where unstable sort ties and null handling break hash equality.
 A third section covers EMBEDDINGS: a zero vector, exact duplicates,
 a negated pair, and one-hot axis vectors (tie storms in every top-k).
 
-Round-4 recorded results: documents 33/33, events 30/30, embeddings 9/9
-MATCH — tokenization, hashing, length semantics, float rounding, and
-every ordering tie-break agree across engines on all of it.
+Round-5 recorded results: documents 36/36, events 30/30, embeddings
+11/11 MATCH — tokenization, hashing, length semantics, float rounding,
+and every ordering tie-break agree across engines on all of it. The
+round-5 additions earned their place immediately: the first hostile run
+caught the BPE-encode oracle counting empty words as 0 tokens where
+Spark's split('','') yields one empty symbol (fixed in queries.py).
 
 Usage: PYTHONPATH=/root/repo python tools/pathological_sweep.py
 """
