@@ -541,16 +541,34 @@ def incremental_dedup(
     """
     # a real deployment signs the corpus ONCE and persists the signature
     # table next to the index; pass it via corpus_signatures so only the
-    # (small) batch is signed per call
-    sig_c = (
-        corpus_signatures
-        if corpus_signatures is not None
-        else minhash_signatures(corpus, k=k, n=n, id_col=id_col).cache()
-    )
-    sig_i = minhash_signatures(incoming, k=k, n=n, id_col=id_col).cache()
+    # (small) batch is signed per call. Without a pre-signed index both
+    # sides sign in ONE union pass (per-doc signatures are independent,
+    # so tagging and splitting changes no value) instead of two serial
+    # jobs over the same shingle machinery — measured ~0.7s off the
+    # in-call gate shape at sf0.1
     if corpus_signatures is None:
-        sig_c.count()
-    sig_i.count()
+        both = corpus.select(F.lit(0).alias("__side"), id_col, "text").unionByName(
+            incoming.select(F.lit(1).alias("__side"), id_col, "text")
+        )
+        sig_all = minhash_signatures(
+            both.withColumn(
+                "__sid", F.struct(F.col("__side"), F.col(id_col)).alias("__sid")
+            ).select(F.col("__sid").alias("__sid"), "text"),
+            k=k, n=n, id_col="__sid",
+        ).cache()
+        sig_c = sig_all.where(F.col("__sid.__side") == 0).select(
+            F.col(f"__sid.{id_col}").alias(id_col),
+            *[F.col(f"mh_{i}") for i in range(k)],
+        )
+        sig_i = sig_all.where(F.col("__sid.__side") == 1).select(
+            F.col(f"__sid.{id_col}").alias(id_col),
+            *[F.col(f"mh_{i}") for i in range(k)],
+        )
+        sig_all.count()
+    else:
+        sig_c = corpus_signatures
+        sig_i = minhash_signatures(incoming, k=k, n=n, id_col=id_col).cache()
+        sig_i.count()
     n_bands = k // band_rows
     band_keys = [
         F.xxhash64(
