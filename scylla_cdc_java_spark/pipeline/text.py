@@ -1037,6 +1037,7 @@ def bpe_train(
     if target < wc.rdd.getNumPartitions():
         wc = wc.coalesce(target)
     merges: list[tuple[int, str, str, int]] = []
+    folds_pending = 0
     while len(merges) < n_merges:
         want = min(batch, n_merges - len(merges))
         pairs = F.when(
@@ -1099,7 +1100,16 @@ def bpe_train(
         for a, b, n in selected:
             merges.append((len(merges), a, b, n))
             syms = _merge_fold(syms, a, b)
-        wc = wc.select(syms.alias("syms"), "cnt").localCheckpoint()
+        wc = wc.select(syms.alias("syms"), "cnt")
+        # checkpoint every few rounds, not every round: the fold layers
+        # between checkpoints are a bounded-depth lazy chain (each argmax
+        # re-runs at most 3 of them over the tiny vocab), which halves the
+        # per-round job count; unbounded nesting would instead grow the
+        # expression tree linearly with the merge count
+        folds_pending += len(selected)
+        if folds_pending >= 4:
+            wc = wc.localCheckpoint()
+            folds_pending = 0
     spark = df.sparkSession
     return spark.createDataFrame(merges, "step int, a string, b string, n long")
 
