@@ -829,3 +829,34 @@ class TestPackSequencesStringIds:
         for _did, nt, b, off in got:
             assert b == acc // 16 and off == acc % 16
             acc += nt
+
+
+def test_pack_sequences_string_ids_match_python_reference(spark):
+    """Differential property test: the hash-thinned-boundary string-id
+    path must equal a sequential python cumsum packer for ANY id set
+    (boundary choice may be unbalanced but never reorders buckets)."""
+    from hypothesis import given, settings, strategies as st
+
+    from scylla_cdc_java_spark.pipeline.text import pack_sequences
+
+    ids = st.lists(
+        st.text(alphabet="abcxyz0189-", min_size=1, max_size=8),
+        min_size=1, max_size=40, unique=True,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(ids)
+    def check(idlist):
+        rows = [(i, "w " * ((len(i) * 7) % 5 + 1)) for i in idlist]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["bin_id"], r["bin_offset"])
+            for r in pack_sequences(df, budget=8, n_buckets=4).collect()
+        }
+        acc = 0
+        for did in sorted(idlist):
+            nt, b, off = out[did]
+            assert b == acc // 8 and off == acc % 8, (did, nt, b, off, acc)
+            acc += nt
+
+    check()
