@@ -69,6 +69,7 @@ HEADLINE = [
     "events_interval_join",
     "ann_pq_topk",
     "text_bpe_train",
+    "pipeline_embeddings_index",
 ]
 
 

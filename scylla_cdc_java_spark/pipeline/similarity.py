@@ -864,3 +864,69 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc")
     )
+
+
+def build_embedding_index(
+    corpus: DataFrame,
+    threshold: int = 450_000,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    dim: int = 64,
+    centroid_mod: int = 40,
+    m: int = 8,
+    seed_mod: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed ANN **index build** end-to-end: LSH-bucketed near-dup
+    pairs → large/small-star connected components → keep one vector per
+    cluster (smallest id) → IVF coarse assignment + PQ codes over the
+    SURVIVORS. Returns the persisted-index artifact long-form
+    ``(vec_id, cid, sub, code)``.
+
+    Every stage is the at-scale default path — banded LSH candidates,
+    O(log n) star contraction, Arrow GEMM coarse/codebook assignment;
+    nothing all-pairs, nothing single-task. An empty corpus yields an
+    empty index.
+    """
+    import numpy as np
+
+    from .dedup import dedup_clusters
+
+    pairs = quantized_pairs_lsh(
+        corpus, threshold=threshold, n_tables=n_tables, n_planes=n_planes,
+        dim=dim, id_col=id_col, vec_col=vec_col,
+    )
+    clusters = dedup_clusters(
+        corpus.select(id_col), pairs, id_col=id_col, a_col="vec_a", b_col="vec_b"
+    )
+    surv = corpus.join(
+        clusters.where(F.col(id_col) == F.col("cluster_id")).select(id_col), id_col
+    )
+    cent_rows = sorted(
+        surv.where(F.col(id_col) % centroid_mod == 0)
+        .select(F.col(id_col).alias("cid"), quantize_embedding(vec_col).alias("cv"))
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    cent_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cent_mat = (
+        np.array([r["cv"] for r in cent_rows], dtype=np.int64)
+        if cent_rows
+        else np.zeros((0, dim), dtype=np.int64)
+    )
+    assigned = (
+        surv.select(
+            F.col(id_col).alias("vid"), quantize_embedding(vec_col).alias("qv")
+        )
+        .mapInPandas(
+            _coarse_probe_kernel(cent_ids, cent_mat, 1),
+            schema="vid long, qv array<long>, cid long",
+        )
+        .select("vid", "cid")
+    )
+    cb = pq_codebooks(surv, m=m, seed_mod=seed_mod, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(surv, cb, m=m, id_col=id_col, vec_col=vec_col)
+    return codes.join(assigned, "vid").select(
+        F.col("vid").alias(id_col), "cid", "sub", "code"
+    )

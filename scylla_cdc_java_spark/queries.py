@@ -852,6 +852,32 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
 """
 
 
+def q_pipeline_embeddings_index(spark, sf_dir):
+    """The composed 100 TB ANN **index build** end-to-end — the embedding-
+    side counterpart of pipeline_end_to_end: LSH-bucketed near-dup pairs →
+    large/small-star connected components → keep one vector per cluster
+    (the smallest id) → IVF coarse assignment + PQ codes over the
+    SURVIVORS. Output is the persisted index artifact long-form:
+    ``(vec_id, cid, sub, code)`` — coarse bucket plus the m=8 PQ code ids
+    per surviving vector. Every stage is the at-scale default path
+    (banded LSH candidates, O(log n) star contraction, Arrow GEMM coarse/
+    codebook assignment); nothing all-pairs, nothing single-task."""
+    from .pipeline.similarity import build_embedding_index
+
+    return build_embedding_index(
+        _emb(spark, sf_dir),
+        threshold=450_000,
+        n_tables=_EMB_LSH_TABLES,
+        n_planes=_EMB_LSH_PLANES,
+        dim=_EMB_DIM,
+        centroid_mod=40,
+        m=8,
+        seed_mod=8,
+    )
+
+
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force exact top-k similarity search (quantized metric)."""
     emb = _emb(spark, sf_dir)
@@ -3543,7 +3569,14 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(emb, qs, k=5, m=8, seed_mod=8)
 
 
-def _pq_cte_chain(m: int = 8, sw: int = 8, seed_mod: int = 8, n_iter: int = 2) -> str:
+def _pq_cte_chain(
+    m: int = 8,
+    sw: int = 8,
+    seed_mod: int = 8,
+    n_iter: int = 2,
+    q_cte: str | None = None,
+    with_queries: bool = True,
+) -> str:
     """DuckDB mirror of the deterministic PQ build behind ann_pq_topk /
     ann_ivf_pq_topk (pipeline/similarity.py: pq_codebooks, pq_encode):
     the ``n_iter`` Lloyd rounds UNROLL as chained CTEs — same seeded
@@ -3552,17 +3585,25 @@ def _pq_cte_chain(m: int = 8, sw: int = 8, seed_mod: int = 8, n_iter: int = 2) -
     at these magnitudes), same floor-division integer mean
     ``(s − pmod(s,n)) div n`` — so code assignments and ADC scores match
     Spark bit-for-bit. Produces CTEs: q, subs, cb0..cb{n_iter}, codes
-    (corpus PQ codes) and lut (per-query (sub, code) → partial dot)."""
-    parts = [f"""q AS (
+    (corpus PQ codes) and lut (per-query (sub, code) → partial dot).
+    ``q_cte`` substitutes an existing (vid, qv) CTE as the corpus source
+    (used by the composite index-build oracle, which trains on dedup
+    survivors); ``with_queries=False`` omits the qsubs/lut CTEs."""
+    parts = []
+    if q_cte is None:
+        parts.append("""q AS (
   SELECT vec_id AS vid,
          list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
   FROM embeddings
-),
-subs AS (
+)""")
+        qname = "q"
+    else:
+        qname = q_cte
+    parts.append(f"""subs AS (
   SELECT vid, s.sub, qv[s.sub*{sw}+1 : s.sub*{sw}+{sw}] AS sv
-  FROM q, (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+  FROM {qname}, (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
 ),
-cb0 AS (SELECT sub, vid AS code, sv AS cw FROM subs WHERE vid % {seed_mod} = 0)"""]
+cb0 AS (SELECT sub, vid AS code, sv AS cw FROM subs WHERE vid % {seed_mod} = 0)""")
     for r in range(1, n_iter + 1):
         parts.append(f"""d{r} AS (
   SELECT s.vid, s.sub, s.sv, c.code,
@@ -3596,8 +3637,9 @@ codes AS (
     SELECT *, row_number() OVER (PARTITION BY vid, sub ORDER BY l2, code) AS rn
     FROM dz
   ) WHERE rn = 1
-),
-qsubs AS (SELECT vid AS query_id, sub, sv FROM subs WHERE vid < 5),
+)""")
+    if with_queries:
+        parts.append(f"""qsubs AS (SELECT vid AS query_id, sub, sv FROM subs WHERE vid < 5),
 lut AS (
   SELECT qs.query_id, qs.sub, c.code,
          CAST(list_dot_product(qs.sv, c.cw) AS BIGINT) AS part
@@ -3652,6 +3694,52 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
 FROM ranked WHERE rank <= 5
+"""
+
+
+ORACLE_EMB_INDEX = f"""
+WITH RECURSIVE q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+b AS (
+  {_emb_lsh_buckets_sql()}
+),
+prs AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id
+  JOIN q qa ON qa.vec_id = x.vec_id
+  JOIN q qb ON qb.vec_id = y.vec_id
+  WHERE CAST(list_dot_product(qa.qv, qb.qv) AS BIGINT) >= 450000
+),
+edges AS (
+  SELECT vec_a AS s, vec_b AS d FROM prs
+  UNION ALL SELECT vec_b, vec_a FROM prs
+),
+walk(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+),
+clus AS (SELECT node, min(label) AS cluster FROM walk GROUP BY node),
+sq AS (
+  SELECT q.vec_id AS vid, q.qv
+  FROM q JOIN clus ON clus.node = q.vec_id AND clus.cluster = q.vec_id
+),
+{_pq_cte_chain(q_cte="sq", with_queries=False)},
+cent AS (SELECT vid AS cid, qv AS cv FROM sq WHERE vid % 40 = 0),
+coarse AS (
+  SELECT sq.vid, cent.cid,
+         row_number() OVER (
+           PARTITION BY sq.vid
+           ORDER BY CAST(list_dot_product(sq.qv, cent.cv) AS BIGINT) DESC, cent.cid
+         ) AS rn
+  FROM sq CROSS JOIN cent
+),
+ca AS (SELECT vid, cid FROM coarse WHERE rn = 1)
+SELECT co.vid AS vec_id, ca.cid, co.sub, co.code
+FROM codes co JOIN ca ON ca.vid = co.vid
 """
 
 
@@ -4143,6 +4231,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_KEEP_BEST,
         "keep-one-per-cluster canonical selection",
     ),
+    "pipeline_embeddings_index": (
+        q_pipeline_embeddings_index,
+        ORACLE_EMB_INDEX,
+        "composed ANN index build: LSH dedup -> components -> keep-one -> IVF+PQ over survivors",
+    ),
     "dedup_embedding_clusters": (
         q_dedup_embedding_clusters,
         ORACLE_EMB_CLUSTERS,
@@ -4369,6 +4462,8 @@ _GATE_FRONT: list[str] = [
     # interval-join degenerate guard already covered above)
     "dedup_incremental",
     "text_countmin_probe",
+    # round-5 new composite (needs its first driver row):
+    "pipeline_embeddings_index",
     # --- previously verified rows fill the remaining slots -----------
     "t9_schema_evolution",
     "text_repetition",

@@ -860,3 +860,31 @@ def test_pack_sequences_string_ids_match_python_reference(spark):
             acc += nt
 
     check()
+
+
+class TestBuildEmbeddingIndex:
+    def test_empty_and_singleton(self, spark):
+        from scylla_cdc_java_spark.pipeline.similarity import build_embedding_index
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+        assert build_embedding_index(empty).count() == 0
+        one = spark.createDataFrame(
+            [(0, [1.0] * 64, 0)], "vec_id long, embedding array<float>, label int"
+        )
+        rows = build_embedding_index(one).collect()
+        # one survivor x m=8 subspaces; it is its own centroid and codeword
+        assert len(rows) == 8
+        assert all(r["vec_id"] == 0 and r["cid"] == 0 and r["code"] == 0 for r in rows)
+
+    def test_near_dups_collapse_before_indexing(self, spark):
+        from scylla_cdc_java_spark.pipeline.similarity import build_embedding_index
+
+        base = [1.0] * 32 + [0.0] * 32
+        other = [0.0] * 32 + [1.0] * 32
+        rows = [(0, base, 0), (7, base, 0), (40, other, 1)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        out = build_embedding_index(df, seed_mod=1)
+        surv = {r["vec_id"] for r in out.select("vec_id").distinct().collect()}
+        # 0 and 7 are exact twins -> only the smaller id survives; 40 is
+        # orthogonal (dot 0 < threshold) and survives independently
+        assert surv == {0, 40}

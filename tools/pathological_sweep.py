@@ -62,7 +62,7 @@ EMB_QUERIES = ",".join(
         "dedup_embedding_pairs_exact", "dedup_embedding_clusters",
         "dedup_keep_best",
         # round-5 hash-gated additions (oracles unroll the Lloyd rounds)
-        "ann_pq_topk", "ann_ivf_pq_topk",
+        "ann_pq_topk", "ann_ivf_pq_topk", "pipeline_embeddings_index",
     ]
 )
 
