@@ -636,6 +636,7 @@ def stream_incremental_dedup(
     threshold: float = 0.25,
     id_col: str = "doc_id",
     available_now: bool = True,
+    sig_dir: str | None = None,
 ):
     """Streaming ingest admission: a file stream of document batches is
     near-dup-checked against a PERSISTED, growing corpus index and only
@@ -650,9 +651,17 @@ def stream_incremental_dedup(
        within the batch, keep the smallest id — twins arriving together
        must not both pass);
     2. survivors run :func:`incremental_dedup` against the current index
-       parquet (batch-side signatures only; the index side is the
-       persisted artifact a real deployment would sign once and store);
-    3. admitted docs append to ``index_dir``.
+       parquet, with the index side's signatures coming from a PERSISTED
+       signature store (``sig_dir``, default ``{index_dir}__sigs``): at
+       batch start any index rows missing a stored signature (exactly
+       the previous batch's admissions, or a crash-torn tail) are signed
+       and appended — so per-batch signing work is O(batch), never
+       O(corpus), and the store self-heals under partial writes (the
+       anti-join recomputes what is missing from disk each batch, so
+       replays cannot duplicate signature rows);
+    3. admitted docs append to ``index_dir`` and their signatures to the
+       store (index first — a crash between the writes leaves unsigned
+       rows for (2) to re-sign, never orphan signatures).
 
     Restart safety: the checkpoint replays an in-flight batch after a
     crash *before* its append was recorded... append-then-checkpoint
@@ -670,6 +679,8 @@ def stream_incremental_dedup(
     import os
 
     os.makedirs(index_dir, exist_ok=True)
+    if sig_dir is None:
+        sig_dir = index_dir.rstrip("/") + "__sigs"
 
     def admit(batch: DataFrame, batch_id: int) -> None:
         b = batch.persist()
@@ -710,18 +721,47 @@ def stream_incremental_dedup(
                 # sub-n-token exact dups the banded path can never see
                 idx_hashes = index.select(F.xxhash64(F.col("text")).alias("__ch"))
                 survivors = survivors.join(idx_hashes, ["__ch"], "left_anti")
-                # (2b) banded near-dup check for everything else
+                # (2b) reconcile the persisted signature store: sign ONLY
+                # index rows not yet in it (last batch's admissions or a
+                # crash-torn tail) — per-batch signing is O(batch), not
+                # O(corpus), and the store self-heals from disk state
+                try:
+                    stored = spark_l.read.parquet(sig_dir)
+                    have_sigs = stored.limit(1).count() > 0
+                except Exception:
+                    have_sigs = False
+                if have_sigs:
+                    unsigned = index.join(
+                        stored.select(id_col), [id_col], "left_anti"
+                    )
+                else:
+                    stored, unsigned = None, index
+                fresh = minhash_signatures(unsigned, k=k, n=n, id_col=id_col)
+                fresh.write.mode("append").parquet(sig_dir)
+                corpus_sigs = spark_l.read.parquet(sig_dir)
+                # (2c) banded near-dup check against the stored signatures
                 verdict = incremental_dedup(
                     index, survivors.drop("__ch"), k=k, band_rows=band_rows, n=n,
                     threshold=threshold, id_col=id_col,
+                    corpus_signatures=corpus_sigs,
                 )
                 admitted = survivors.drop("__ch").join(
                     verdict.where(~F.col("is_dup")).select(id_col), [id_col]
                 )
             else:
                 admitted = survivors.drop("__ch")
-            # (3) grow the index
-            admitted.write.mode("append").parquet(index_dir)
+            # (3) grow the index AND its signature store (index first: a
+            # crash between the writes leaves unsigned index rows, which
+            # the (2b) reconcile re-signs next batch; the reverse order
+            # would leave signatures whose documents were never admitted)
+            admitted = admitted.persist()
+            try:
+                admitted.write.mode("append").parquet(index_dir)
+                minhash_signatures(
+                    admitted, k=k, n=n, id_col=id_col
+                ).write.mode("append").parquet(sig_dir)
+            finally:
+                admitted.unpersist()
         finally:
             b.unpersist()
 

@@ -888,3 +888,44 @@ class TestBuildEmbeddingIndex:
         # 0 and 7 are exact twins -> only the smaller id survives; 40 is
         # orthogonal (dot 0 < threshold) and survives independently
         assert surv == {0, 40}
+
+
+class TestStreamSignatureStore:
+    def test_signature_store_grows_with_index(self, spark, tmp_path):
+        """The persisted signature store must cover every signable index
+        row after the stream drains (per-batch signing is O(batch), and
+        the anti-join reconcile never duplicates rows)."""
+        import os
+
+        from scylla_cdc_java_spark.pipeline.dedup import (
+            minhash_signatures,
+            stream_incremental_dedup,
+        )
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "index")
+        os.makedirs(src)
+        batches = [
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            [(2, "completely different words about spark engines here now")],
+            [(3, "a third novel document with yet more unique content")],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        q = stream_incremental_dedup(spark, src, idx, str(tmp_path / "ckpt"))
+        q.awaitTermination()
+        index = spark.read.parquet(idx)
+        assert index.count() == 3
+        sigs = spark.read.parquet(idx + "__sigs")
+        # store holds exactly one signature row per signable index doc
+        signed_ids = sorted(r["doc_id"] for r in sigs.select("doc_id").collect())
+        assert signed_ids == [1, 2, 3]
+        # stored signatures equal freshly-computed ones (no staleness)
+        fresh = {
+            r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(32))
+            for r in minhash_signatures(index).collect()
+        }
+        for r in sigs.collect():
+            assert tuple(r[f"mh_{i}"] for i in range(32)) == fresh[r["doc_id"]]
