@@ -173,6 +173,14 @@ def _coarse_probe_kernel(cent_ids, cent_mat, n_out: int):
         import numpy as np
         import pandas as pd
 
+        # zero centroids (empty corpus / no seeds): nothing can be
+        # assigned or probed — consume the input and emit nothing (a
+        # (0,)-shaped centroid matrix would otherwise fail the matmul)
+        if len(cent_ids) == 0 or n_out <= 0:
+            for _ in batches:
+                pass
+            return
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
