@@ -18,8 +18,14 @@ where unstable sort ties and null handling break hash equality.
 A third section covers EMBEDDINGS: a zero vector, exact duplicates,
 a negated pair, and one-hot axis vectors (tie storms in every top-k).
 
+A fourth section covers the RELATIONAL anchors: hostile lineitem/orders/
+customer/part/supplier with decimal-cast rounding edges (x.005 prices and
+discounts, 2.675), zero/negative amounts, discount=1.0, duplicate
+(orderkey, linenumber) rows, orphan foreign keys, timestamps exactly on
+every gate filter boundary, and unicode/quote/empty part types.
+
 Round-5 recorded results: documents 36/36, events 30/30, embeddings
-11/11 MATCH — tokenization, hashing, length semantics, float rounding,
+11/11, relational 10/10 MATCH — tokenization, hashing, length semantics, float rounding,
 and every ordering tie-break agree across engines on all of it. The
 round-5 additions earned their place immediately: the first hostile run
 caught the BPE-encode oracle counting empty words as 0 tokens where
@@ -207,6 +213,126 @@ def build_emb_dir() -> None:
     con.execute(f"COPY e TO '{EMB_OUT}/embeddings.parquet' (FORMAT PARQUET)")
 
 
+
+
+REL_OUT = "/tmp/pathological_rel_sf"
+
+REL_QUERIES = ",".join(
+    [
+        "agg_lineitem_pushdown", "agg_cube_revenue", "agg_rollup_revenue",
+        "join_broadcast_revenue", "join_shipping_priority",
+        "join_region_volume", "join_salted_revenue", "join_bucketed_revenue",
+        "join_promo_revenue", "set_ops_customers",
+    ]
+)
+
+
+def build_rel_dir() -> None:
+    """Hostile relational tables: decimal-cast rounding edges (x.005
+    prices/discounts), zero and negative amounts (returns), discount=1.0
+    (zero revenue), duplicate (orderkey, linenumber) rows, timestamps
+    EXACTLY on every gate query's filter boundary (strict vs inclusive
+    must agree across engines), orphan foreign keys (inner joins drop
+    them identically), unicode/quote/empty part types, revenue ties
+    across groups, and customers straddling the 96/97 cohort boundary."""
+    import datetime as dt
+
+    import duckdb
+
+    shutil.rmtree(REL_OUT, ignore_errors=True)
+    os.makedirs(REL_OUT)
+    for t in ("region", "nation", "documents", "events", "embeddings"):
+        shutil.copy(f"{SRC_SF}/{t}.parquet", f"{REL_OUT}/{t}.parquet")
+
+    con = duckdb.connect()
+
+    def ts(s_):
+        return dt.datetime.fromisoformat(s_)
+
+    # customers: BUILDING segment (Q3 filter), dup names, extreme balances
+    cust = [
+        # nationkey 2 is in ASIA in the fixture nation/region tables —
+        # keeps the Q5 snowflake (incl. the local-supplier constraint)
+        # non-empty so the hostile decimal arithmetic is value-checked
+        (1, "alpha", 2, 0.005, "BUILDING"),
+        (2, "alpha", 1, -999999.99, "BUILDING"),
+        (3, "beta", 2, 1e9, "AUTOMOBILE"),
+        (4, "gamma", 3, 0.0, "BUILDING"),
+        (5, "delta", 0, 1.005, "MACHINERY"),
+        (6, "epsilon", 1, 2.675, "BUILDING"),  # classic float-rounding edge
+    ]
+    # orders: boundary timestamps for the 96/97 cohorts and Q3's < 1998
+    odates = [
+        "1996-01-01 00:00:00", "1996-06-30 23:59:59.999999",
+        "1996-07-01 00:00:00", "1996-12-31 23:59:59.999999",
+        "1997-01-01 00:00:00", "1997-12-31 23:59:59.999999",
+        "1998-01-01 00:00:00", "1995-12-31 23:59:59.999999",
+    ]
+    orders = []
+    for i, d in enumerate(odates):
+        orders.append((100 + i, cust[i % len(cust)][0], "O", 0.005 + i, ts(d), "1-URGENT"))
+    # customer 1 in both years (retained), customer 2 only 96 (churned),
+    # customer 4 only 97
+    orders += [
+        (200, 1, "F", 1.0, ts("1996-03-03 00:00:00"), "2-HIGH"),
+        (201, 1, "F", 1.0, ts("1997-03-03 00:00:00"), "2-HIGH"),
+        (202, 2, "F", 1.0, ts("1996-05-05 00:00:00"), "3-MEDIUM"),
+        (203, 4, "F", 1.0, ts("1997-05-05 00:00:00"), "3-MEDIUM"),
+    ]
+    # parts: hostile type strings (promo gate groups by p_type)
+    parts = [
+        (1, "p one", "Brand#1", "PROMO BURNISHED 'COPPER'", 1, 0.005),
+        (2, "p two", "Brand#2", "", 2, 1.005),
+        (3, "p thr", "Brand#3", "ünïcødé tÿpe", 3, 2.675),
+        (4, "p fou", "Brand#4", "STANDARD\tTABBED", 4, 0.0),
+        (5, "p fiv", "Brand#5", "PROMO BURNISHED 'COPPER'", 5, -1.0),
+    ]
+    sups = [(1, "s one", 2, 0.0), (2, "s two", 1, -5.5)]
+    # lineitems: shipdates straddle every boundary used by the gates
+    ldates = [
+        "1996-01-01 00:00:00", "1996-06-30 23:59:59.999999",
+        "1996-07-01 00:00:00", "1995-06-01 00:00:00",
+        "1998-01-01 00:00:00", "1998-01-01 00:00:00.000001",
+        "1998-06-06 00:00:00",
+    ]
+    li = []
+    for ok in range(100, 108):
+        for ln, d in enumerate(ldates):
+            price = [0.005, 1.005, 2.675, 9e9, 0.01, 0.0, -42.42][ln % 7]
+            disc = [0.0, 1.0, 0.5, 0.005, 0.045, -0.05, 0.055][ln % 7]
+            qty = [1.0, 0.0, -3.0, 2.5, 1e6, 7.0, 0.1][ln % 7]
+            li.append((ok, (ok + ln) % 7, sups[ln % 2][0], ln, qty, price, disc,
+                       0.05, "ARN"[ln % 3], "OF"[ln % 2], ts(d)))
+    # duplicate (orderkey, linenumber) rows + orphan part/supp keys
+    li.append(li[0])
+    li.append((999, 424242, 777, 0, 1.0, 10.0, 0.1, 0.0, "A", "O", ts("1996-02-02 00:00:00")))
+
+    con.execute("CREATE TABLE x (c_custkey BIGINT, c_name VARCHAR, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment VARCHAR)")
+    for r in cust:
+        con.execute("INSERT INTO x VALUES (?,?,?,?,?)", list(r))
+    con.execute(f"COPY x TO '{REL_OUT}/customer.parquet' (FORMAT PARQUET)"); con.execute("DROP TABLE x")
+
+    con.execute("CREATE TABLE x (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR, o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority VARCHAR)")
+    for r in orders:
+        con.execute("INSERT INTO x VALUES (?,?,?,?,?,?)", list(r))
+    con.execute(f"COPY x TO '{REL_OUT}/orders.parquet' (FORMAT PARQUET)"); con.execute("DROP TABLE x")
+
+    con.execute("CREATE TABLE x (p_partkey BIGINT, p_name VARCHAR, p_brand VARCHAR, p_type VARCHAR, p_size INT, p_retailprice DOUBLE)")
+    for r in parts:
+        con.execute("INSERT INTO x VALUES (?,?,?,?,?,?)", list(r))
+    con.execute(f"COPY x TO '{REL_OUT}/part.parquet' (FORMAT PARQUET)"); con.execute("DROP TABLE x")
+
+    con.execute("CREATE TABLE x (s_suppkey BIGINT, s_name VARCHAR, s_nationkey INT, s_acctbal DOUBLE)")
+    for r in sups:
+        con.execute("INSERT INTO x VALUES (?,?,?,?)", list(r))
+    con.execute(f"COPY x TO '{REL_OUT}/supplier.parquet' (FORMAT PARQUET)"); con.execute("DROP TABLE x")
+
+    con.execute("CREATE TABLE x (l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, l_returnflag VARCHAR, l_linestatus VARCHAR, l_shipdate TIMESTAMP)")
+    for r in li:
+        con.execute("INSERT INTO x VALUES (?,?,?,?,?,?,?,?,?,?,?)", list(r))
+    con.execute(f"COPY x TO '{REL_OUT}/lineitem.parquet' (FORMAT PARQUET)"); con.execute("DROP TABLE x")
+
+
 def main() -> int:
     env = dict(os.environ, PYTHONPATH=REPO)
     check = os.path.join(REPO, "tools", "check_contract.py")
@@ -222,7 +348,11 @@ def main() -> int:
     rc3 = subprocess.call(
         [sys.executable, check, "--sf-dir", EMB_OUT, "--only", EMB_QUERIES], env=env
     )
-    return rc1 or rc2 or rc3
+    build_rel_dir()
+    rc4 = subprocess.call(
+        [sys.executable, check, "--sf-dir", REL_OUT, "--only", REL_QUERIES], env=env
+    )
+    return rc1 or rc2 or rc3 or rc4
 
 
 if __name__ == "__main__":
