@@ -25,7 +25,7 @@ discounts, 2.675), zero/negative amounts, discount=1.0, duplicate
 every gate filter boundary, and unicode/quote/empty part types.
 
 Round-5 recorded results: documents 36/36, events 30/30, embeddings
-11/11, relational 10/10 MATCH — tokenization, hashing, length semantics, float rounding,
+12/12 (incl. the composite index build), relational 10/10 MATCH — tokenization, hashing, length semantics, float rounding,
 and every ordering tie-break agree across engines on all of it. The
 round-5 additions earned their place immediately: the first hostile run
 caught the BPE-encode oracle counting empty words as 0 tokens where
