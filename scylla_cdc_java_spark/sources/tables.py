@@ -33,6 +33,86 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
+# Canonical fixture schemas, used to load CSV/JSON exports of the tables
+# with exactly the parquet types (inference would mistype timestamps and
+# can't see array element types). Matches the driver fixture parquet.
+TABLE_SCHEMAS: dict[str, str] = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ),
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    "part": (
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    ),
+    "orders": (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ),
+    "lineitem": (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    ),
+    "events": (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ),
+    "documents": "doc_id bigint, text string, source string",
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
+
+def _load_text_format(spark: SparkSession, path: str, fmt: str, name: str) -> DataFrame:
+    """Load a CSV or JSON-lines export of a fixture table with the
+    canonical schema. Timestamps parse under the UTC session timezone
+    (same instants as the parquet path's naive-as-UTC reading); array
+    columns ride CSV as JSON strings and decode with ``from_json``.
+    Text formats have no row-group statistics, so there is no ``__ns``/
+    ``__ntz`` raw column — ``ts_filter``/``epoch_micros`` fall back to
+    the plain timestamp column, which is correct (just unprunable), and
+    at scale the answer is "convert to parquet", not a faster CSV scan.
+    """
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    # accept second-precision and microsecond-precision fractions, with
+    # or without a zone offset (Spark's DEFAULT format stops at millis —
+    # round-tripping instants through it silently truncates to .SSS)
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]"
+    ddl = TABLE_SCHEMAS.get(name)
+    if fmt == "json":
+        reader = spark.read.option("timestampFormat", ts_fmt)
+        if ddl:
+            reader = reader.schema(ddl)
+        return reader.json(path)
+    if not ddl:
+        return (
+            spark.read.option("header", "true")
+            .option("inferSchema", "true")
+            .option("timestampFormat", ts_fmt)
+            .csv(path)
+        )
+    st = StructType.fromDDL(ddl)
+    arr_cols = {f.name: f.dataType for f in st.fields if isinstance(f.dataType, ArrayType)}
+    csv_schema = StructType(
+        [
+            StructField(f.name, StringType() if f.name in arr_cols else f.dataType, True)
+            for f in st.fields
+        ]
+    )
+    df = (
+        spark.read.schema(csv_schema)
+        .option("header", "true")
+        .option("timestampFormat", ts_fmt)
+        .csv(path)
+    )
+    for c, t in arr_cols.items():
+        df = df.withColumn(c, F.from_json(F.col(c), t))
+    return df
+
 
 @lru_cache(maxsize=256)
 def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
@@ -47,7 +127,18 @@ def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a fixture table from ``sf_dir`` — parquet preferred (raw
+    ns/NTZ columns preserved for pushdown), falling back to JSON-lines
+    (``.jsonl``/``.json``) or CSV (``.csv``) exports of the same table so
+    every gate query runs unchanged against text-format data."""
+    import os as _os
+
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if not _os.path.exists(path):
+        base = f"{sf_dir.rstrip('/')}/{name}"
+        for ext, fmt in ((".jsonl", "json"), (".json", "json"), (".csv", "csv")):
+            if _os.path.exists(base + ext):
+                return _load_text_format(spark, base + ext, fmt, name)
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

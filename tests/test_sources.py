@@ -10,6 +10,7 @@ the file encoding or the ambient session timezone.
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from scylla_cdc_java_spark.sources.tables import epoch_micros, load_table
@@ -64,3 +65,58 @@ def test_time_range_filter_matches_duckdb(spark):
         "WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-04 00:00:00'"
     ).fetchone()[0]
     assert df.count() == want
+
+
+class TestTextFormatSources:
+    """CSV/JSON-lines exports of the fixture tables load through the same
+    load_table and run the SAME gate queries with identical results —
+    the "another source format" surface (text formats lose pushdown, not
+    correctness; at scale the answer is converting to parquet)."""
+
+    def _export(self, spark, tmp_path, tables, fmt):
+        out = str(tmp_path / f"{fmt}_sf")
+        for t in tables:
+            df = load_table(spark, SF, t)
+            df = df.drop(*[c for c in df.columns if c.endswith("__ns") or c.endswith("__ntz")])
+            w = df.coalesce(1).write.mode("overwrite").option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+            )
+            if fmt == "csv":
+                w.option("header", "true").csv(f"{out}/{t}.csv")
+            else:
+                w.json(f"{out}/{t}.jsonl")
+        return out
+
+    def _rows(self, df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_json_gates_match_parquet(self, spark, tmp_path):
+        from scylla_cdc_java_spark.queries import QUERIES
+
+        out = self._export(spark, tmp_path, ["events", "documents", "embeddings"], "json")
+        for gate in ("events_sessionize", "dedup_exact", "ann_cosine_topk"):
+            fn = QUERIES[gate][0]
+            assert self._rows(fn(spark, out)) == self._rows(fn(spark, SF)), gate
+
+    def test_csv_gates_match_parquet(self, spark, tmp_path):
+        from scylla_cdc_java_spark.queries import QUERIES
+
+        out = self._export(spark, tmp_path, ["lineitem", "orders", "customer"], "csv")
+        for gate in ("agg_lineitem_pushdown", "join_shipping_priority"):
+            fn = QUERIES[gate][0]
+            assert self._rows(fn(spark, out)) == self._rows(fn(spark, SF)), gate
+
+    def test_csv_array_column_roundtrip(self, spark, tmp_path):
+        import json as _json
+
+        out = str(tmp_path / "csvarr_sf")
+        emb = load_table(spark, SF, "embeddings").limit(20).collect()
+        rows = [(r["vec_id"], _json.dumps([float(x) for x in r["embedding"]]), r["label"]) for r in emb]
+        spark.createDataFrame(rows, "vec_id long, embedding string, label int").coalesce(
+            1
+        ).write.option("header", "true").mode("overwrite").csv(f"{out}/embeddings.csv")
+        back = load_table(spark, out, "embeddings")
+        assert dict(back.dtypes)["embedding"] == "array<float>"
+        got = {r["vec_id"]: r["embedding"] for r in back.collect()}
+        for r in emb:
+            assert got[r["vec_id"]] == pytest.approx(list(r["embedding"]), rel=1e-6)
