@@ -651,14 +651,18 @@ def stream_incremental_dedup(
        within the batch, keep the smallest id — twins arriving together
        must not both pass);
     2. survivors run :func:`incremental_dedup` against the current index
-       parquet, with the index side's signatures coming from a PERSISTED
-       signature store (``sig_dir``, default ``{index_dir}__sigs``): at
-       batch start any index rows missing a stored signature (exactly
-       the previous batch's admissions, or a crash-torn tail) are signed
-       and appended — so per-batch signing work is O(batch), never
-       O(corpus), and the store self-heals under partial writes (the
-       anti-join recomputes what is missing from disk each batch, so
-       replays cannot duplicate signature rows);
+       parquet, with the index side's signatures AND content hashes
+       coming from a PERSISTED signature store (``sig_dir``, default
+       ``{index_dir}__sigs``; one row per indexed doc — sub-n-token docs
+       get a sentinel row with null ``mh_*``, so nothing is ever
+       re-shingled batch after batch, and the exact stage probes the
+       stored ``__ch`` hashes without rescanning index text): at batch
+       start any index rows missing a store row (a crash-torn tail only
+       — steady-state batches sign themselves in step 3) are signed and
+       appended — per-batch signing work is O(batch), never O(corpus),
+       and the store self-heals under partial writes (the anti-join
+       recomputes what is missing from disk each batch, so replays
+       cannot duplicate signature rows);
     3. admitted docs append to ``index_dir`` and their signatures to the
        store (index first — a crash between the writes leaves unsigned
        rows for (2) to re-sign, never orphan signatures).
@@ -681,6 +685,19 @@ def stream_incremental_dedup(
     os.makedirs(index_dir, exist_ok=True)
     if sig_dir is None:
         sig_dir = index_dir.rstrip("/") + "__sigs"
+
+    def sign_with_hash(df: DataFrame) -> DataFrame:
+        """One store row PER DOC: the content hash always, ``mh_*`` null
+        for sub-n-token docs (they yield no shingles, hence no signature
+        row from minhash_signatures). The sentinel rows matter twice:
+        the store's ``__ch`` column serves the exact stage without ever
+        rescanning index text, and the reconcile anti-join sees every
+        indexed doc as signed — without them, short admitted docs would
+        be "unsigned" forever and re-shingled on every batch."""
+        sigs = minhash_signatures(df, k=k, n=n, id_col=id_col)
+        return df.select(
+            F.col(id_col), F.xxhash64(F.col("text")).alias("__ch")
+        ).join(sigs, [id_col], "left")
 
     def admit(batch: DataFrame, batch_id: int) -> None:
         b = batch.persist()
@@ -716,30 +733,40 @@ def stream_incremental_dedup(
             except Exception:
                 have_index = False
             if have_index:
-                # (2a) exact content-hash anti-join against the index —
-                # the cheap first admission stage that also catches the
-                # sub-n-token exact dups the banded path can never see
-                idx_hashes = index.select(F.xxhash64(F.col("text")).alias("__ch"))
-                survivors = survivors.join(idx_hashes, ["__ch"], "left_anti")
-                # (2b) reconcile the persisted signature store: sign ONLY
-                # index rows not yet in it (last batch's admissions or a
-                # crash-torn tail) — per-batch signing is O(batch), not
-                # O(corpus), and the store self-heals from disk state
+                # (2b) reconcile the persisted signature store FIRST:
+                # sign only index rows missing a store row (a crash-torn
+                # tail — steady-state batches write their own signatures
+                # in (3), so this is usually empty). Per-batch signing is
+                # O(batch), never O(corpus); a legacy store without the
+                # __ch column triggers a one-time overwrite migration.
                 try:
                     stored = spark_l.read.parquet(sig_dir)
                     have_sigs = stored.limit(1).count() > 0
+                    migrate = have_sigs and "__ch" not in stored.columns
                 except Exception:
-                    have_sigs = False
-                if have_sigs:
+                    have_sigs, migrate = False, False
+                if have_sigs and not migrate:
                     unsigned = index.join(
                         stored.select(id_col), [id_col], "left_anti"
                     )
                 else:
-                    stored, unsigned = None, index
-                fresh = minhash_signatures(unsigned, k=k, n=n, id_col=id_col)
-                fresh.write.mode("append").parquet(sig_dir)
-                corpus_sigs = spark_l.read.parquet(sig_dir)
-                # (2c) banded near-dup check against the stored signatures
+                    unsigned = index
+                if not unsigned.isEmpty():  # no empty part-file appends
+                    sign_with_hash(unsigned).write.mode(
+                        "overwrite" if migrate else "append"
+                    ).parquet(sig_dir)
+                store = spark_l.read.parquet(sig_dir)
+                # (2a) exact stage against the store's PERSISTED content
+                # hashes — the index text is never rescanned (catches the
+                # sub-n-token exact dups the banded path can never see)
+                survivors = survivors.join(
+                    store.select("__ch"), ["__ch"], "left_anti"
+                )
+                # (2c) banded near-dup check against stored signatures;
+                # sentinel rows (short docs, null mh_*) must not reach
+                # the band keys — xxhash64 over nulls would still
+                # produce a key and bogusly collide all short docs
+                corpus_sigs = store.where(F.col("mh_0").isNotNull())
                 verdict = incremental_dedup(
                     index, survivors.drop("__ch"), k=k, band_rows=band_rows, n=n,
                     threshold=threshold, id_col=id_col,
@@ -756,10 +783,9 @@ def stream_incremental_dedup(
             # would leave signatures whose documents were never admitted)
             admitted = admitted.persist()
             try:
-                admitted.write.mode("append").parquet(index_dir)
-                minhash_signatures(
-                    admitted, k=k, n=n, id_col=id_col
-                ).write.mode("append").parquet(sig_dir)
+                if not admitted.isEmpty():
+                    admitted.write.mode("append").parquet(index_dir)
+                    sign_with_hash(admitted).write.mode("append").parquet(sig_dir)
             finally:
                 admitted.unpersist()
         finally:

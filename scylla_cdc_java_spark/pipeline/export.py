@@ -58,9 +58,15 @@ def export_corpus(
         # ONE task — silently undoing the salt. A user-specified number
         # (REPARTITION_BY_NUM) is exempt from coalescing; files per
         # directory stay bounded by the salt key space either way
-        n_shuffle = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200") or 200
-        )
+        try:
+            n_shuffle = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200") or 200
+            )
+        except ValueError:
+            # some deployments hold a non-numeric value here (e.g. "auto"
+            # under auto-optimized shuffle) — any fixed fan-out works,
+            # the salt key space bounds files per directory either way
+            n_shuffle = 200
         out = df.repartition(n_shuffle, *[F.col(c) for c in partition_by], salt)
         writer = out.write.partitionBy(*partition_by)
     else:

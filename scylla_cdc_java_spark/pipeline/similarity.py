@@ -29,6 +29,39 @@ def quantize_embedding(c: Column | str, scale: int = 1000) -> Column:
     return F.transform(c, lambda x: F.round(x * F.lit(scale)).cast("long"))
 
 
+# Deterministic seed-selection hash: a multiplicative mix mod a 31-bit
+# prime, exact int64 arithmetic at every step (the pmod keeps the product
+# under 1.1e18, far from int64 overflow for ANY input id). Chosen over
+# xxhash64 because the SQL oracles must replay it verbatim — DuckDB has
+# no Spark-compatible xxhash64, but (id % P * A + B) % P is dialect-free.
+_SEED_P = 1_000_000_007
+_SEED_A = 1_103_515_245
+_SEED_B = 12_345
+
+
+def seed_hash(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.pmod(
+        F.pmod(c, F.lit(_SEED_P)) * F.lit(_SEED_A) + F.lit(_SEED_B), F.lit(_SEED_P)
+    )
+
+
+def select_seeds(df: DataFrame, n: int, id_col: str) -> DataFrame:
+    """The ``n`` rows with the smallest ``(seed_hash(id), id)`` — the
+    fixed-k deterministic seed/centroid selector behind every ANN default.
+
+    k is a constant, NOT a function of corpus size: at 100x the data the
+    driver-collected centroid/codebook state and the broadcast to every
+    task stay exactly the same bytes, and per-row assignment stays O(k)
+    (the r05-flagged failure of ``id % mod == 0`` selection, whose k grew
+    with n). ``orderBy().limit(n)`` compiles to TakeOrderedAndProject —
+    a per-partition top-n with an O(n x partitions) driver merge, no
+    global sort. Pure function of the id set, so the DuckDB oracles
+    replay it as ``ORDER BY hash, id LIMIT n``.
+    """
+    return df.orderBy(seed_hash(F.col(id_col)), F.col(id_col)).limit(int(n))
+
+
 def quantized_dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
@@ -200,41 +233,68 @@ def _coarse_probe_kernel(cent_ids, cent_mat, n_out: int):
     return kernel
 
 
+def _collect_centroid_rows(
+    q: DataFrame,
+    n_centroids: int,
+    centroid_mod: int | None,
+):
+    """Collect the coarse-centroid table from a ``(cid, cv)`` frame,
+    sorted by cid. Default: fixed-k :func:`select_seeds` — the collected
+    state is O(n_centroids) regardless of corpus size. ``centroid_mod``
+    is the legacy modulus escape hatch; if it selects NOTHING on a
+    non-empty corpus (sparse/non-contiguous id spaces — r05 advisory),
+    fall back to fixed-k instead of silently building an empty index.
+    """
+    if centroid_mod is not None:
+        rows = q.where(F.col("cid") % centroid_mod == 0).collect()
+        if rows:
+            return sorted(rows, key=lambda r: r["cid"])
+    return sorted(
+        select_seeds(q, n_centroids, "cid").collect(), key=lambda r: r["cid"]
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 3,
     nprobe: int = 2,
-    centroid_mod: int = 40,
+    n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
     centroids: DataFrame | None = None,
+    centroid_mod: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the partitioned scale path.
 
-    Coarse quantizer: a deterministic subset of the corpus acts as the
-    centroid table (``id % centroid_mod == 0``; pass ``centroids=`` a
-    ``kmeans_train`` output ``(cid, cv)`` frame to use trained centroids
-    instead — the plumbing is identical). Every corpus vector is
-    assigned to its nearest centroid in ONE pass (blocked numpy GEMM against
-    the broadcast centroid matrix, no shuffle); queries probe their
-    ``nprobe`` nearest centroids; candidates are only the probed buckets'
-    members, so the expensive exact scoring touches ~nprobe/C of the corpus.
-    Tie-breaks everywhere: (dot desc, id asc) — bit-stable vs the SQL oracle.
-    At 100 TB the corpus pass stays embarrassingly parallel; only the
-    (small) candidate set shuffles on the bucket key.
+    Coarse quantizer: a fixed-size deterministic subset of the corpus acts
+    as the centroid table (the ``n_centroids`` smallest ``(seed_hash(id),
+    id)`` rows — k NEVER grows with the corpus, see :func:`select_seeds`;
+    pass ``centroids=`` a ``kmeans_train`` output ``(cid, cv)`` frame to
+    use trained centroids instead — the plumbing is identical;
+    ``centroid_mod=`` keeps the legacy modulus selection). Every corpus
+    vector is assigned to its nearest centroid in ONE pass (blocked numpy
+    GEMM against the broadcast centroid matrix, no shuffle); queries probe
+    their ``nprobe`` nearest centroids; candidates are only the probed
+    buckets' members, so the expensive exact scoring touches ~nprobe/C of
+    the corpus. Tie-breaks everywhere: (dot desc, id asc) — bit-stable vs
+    the SQL oracle. At 100 TB the corpus pass stays embarrassingly
+    parallel; only the (small) candidate set shuffles on the bucket key.
     """
     import numpy as np
 
-    cent_src = (
+    cent_q = (
         centroids.select("cid", "cv")
         if centroids is not None
-        else corpus.where(F.col(id_col) % centroid_mod == 0).select(
+        else corpus.select(
             F.col(id_col).alias("cid"), quantize_embedding(vec_col, scale).alias("cv")
         )
     )
-    cent_rows = sorted(cent_src.collect(), key=lambda r: r["cid"])
+    if centroids is not None:
+        cent_rows = sorted(cent_q.collect(), key=lambda r: r["cid"])
+    else:
+        cent_rows = _collect_centroid_rows(cent_q, n_centroids, centroid_mod)
     cent_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     cent_mat = np.array([r["cv"] for r in cent_rows], dtype=np.int64)
 
@@ -270,18 +330,21 @@ def ivf_topk(
 
 def kmeans_train(
     emb: DataFrame,
-    centroid_mod: int = 40,
+    n_centroids: int = 16,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    centroid_mod: int | None = None,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over the quantized corpus — the real
     trainer behind ``ivf_topk``'s coarse quantizer (whose docstring promises
     exactly this). Fully deterministic, so the DuckDB oracle can replay it:
 
-    * init: seeds are the corpus vectors with ``id % centroid_mod == 0``
-      (k-means|| at real scale; the iteration plumbing is identical);
+    * init: seeds are the ``n_centroids`` corpus vectors with the smallest
+      ``(seed_hash(id), id)`` (:func:`select_seeds` — fixed k, decoupled
+      from corpus size; ``centroid_mod=`` keeps the legacy modulus
+      selection whose k grew ∝ n);
     * assign: nearest centroid by **max quantized dot** (== min L2 on the
       unit-norm fixture vectors), ties to the smaller centroid id. The k
       centroids collapse to ONE broadcast row holding an array of
@@ -302,9 +365,11 @@ def kmeans_train(
     q = emb.select(
         F.col(id_col).alias("vid"), quantize_embedding(vec_col, scale).alias("qv")
     )
-    cent = q.where(F.col("vid") % centroid_mod == 0).select(
-        F.col("vid").alias("cid"), F.col("qv").alias("cv")
-    )
+    if centroid_mod is not None:
+        cent = q.where(F.col("vid") % centroid_mod == 0)
+    else:
+        cent = select_seeds(q, n_centroids, "vid")
+    cent = cent.select(F.col("vid").alias("cid"), F.col("qv").alias("cv"))
     assign = None
     for _ in range(n_iter):
         cents = cent.agg(
@@ -579,11 +644,12 @@ _PQ_ASSIGN_SCHEMA = "vid long, sub int, sv array<long>, code long"
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 4,
-    seed_mod: int = 16,
+    n_codes: int = 32,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    seed_mod: int | None = None,
 ) -> DataFrame:
     """Train per-subspace product-quantization codebooks (Jégou et al.
     2011): the embedding splits into ``m`` contiguous subvectors and each
@@ -591,14 +657,20 @@ def pq_codebooks(
     ``(sub, code, cw)`` — subspace index, code id, integer codeword.
 
     Fully deterministic (same discipline as :func:`kmeans_train`): seeds
-    are the subvectors of corpus rows with ``id % seed_mod == 0``; Lloyd
-    rounds assign by **min integer L2** (ties to the smaller code id) and
-    update with the floor-division integer mean. All m subspaces train in
-    ONE set of jobs — the subspace index is just another grouping key, so
-    adding subspaces widens no shuffle. Per round: one Arrow GEMM argmin
-    map pass over |corpus| x m rows against the collected (k×m-row)
-    codebook — the corpus never shuffles for assignment — plus one
-    (sub, code, pos)-keyed partial aggregation of k x m x (dim/m) rows.
+    are the subvectors of the ``n_codes`` corpus rows with the smallest
+    ``(seed_hash(id), id)`` (:func:`select_seeds` — the codebook is
+    k = n_codes codewords per subspace NO MATTER the corpus size, so the
+    driver-collected ``cb_map`` and the per-row argmin stay O(k·m) at
+    100x the data; ``seed_mod=`` keeps the legacy modulus selection, with
+    a fixed-k fallback when it matches nothing on a non-empty corpus);
+    Lloyd rounds assign by **min integer L2** (ties to the smaller code
+    id) and update with the floor-division integer mean. All m subspaces
+    train in ONE set of jobs — the subspace index is just another grouping
+    key, so adding subspaces widens no shuffle. Per round: one Arrow GEMM
+    argmin map pass over |corpus| x m rows against the collected
+    (k×m-row) codebook — the corpus never shuffles for assignment — plus
+    one (sub, code, pos)-keyed partial aggregation of k x m x (dim/m)
+    rows.
     """
     sub_w = F.floor(F.size(quantize_embedding(vec_col, scale)) / F.lit(m))
     q = corpus.select(
@@ -622,11 +694,24 @@ def pq_codebooks(
     # the codebook itself is k×m rows of driver-size metadata: carry it as
     # the collected map between rounds (one job per round — the corpus-
     # sized assign+update pipeline — instead of checkpoint+collect pairs)
+    if seed_mod is not None:
+        seed_ids = q.select("vid").where(F.col("vid") % seed_mod == 0)
+    else:
+        seed_ids = select_seeds(q.select("vid"), n_codes, "vid")
     cb_map = _collect_codebooks(
-        subs.where(F.col("vid") % seed_mod == 0).select(
+        subs.join(F.broadcast(seed_ids), "vid").select(
             "sub", F.col("vid").alias("code"), F.col("sv").alias("cw")
         )
     )
+    if not cb_map and seed_mod is not None:
+        # legacy modulus matched no id (sparse/non-contiguous id space):
+        # fall back to fixed-k instead of training an empty codebook
+        seed_ids = select_seeds(q.select("vid"), n_codes, "vid")
+        cb_map = _collect_codebooks(
+            subs.join(F.broadcast(seed_ids), "vid").select(
+                "sub", F.col("vid").alias("code"), F.col("sv").alias("cw")
+            )
+        )
     for _ in range(n_iter):
         assign = subs.mapInPandas(
             _pq_argmin_kernel(cb_map), schema=_PQ_ASSIGN_SCHEMA
@@ -701,10 +786,11 @@ def pq_topk(
     queries: DataFrame,
     k: int = 3,
     m: int = 4,
-    seed_mod: int = 16,
+    n_codes: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    seed_mod: int | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k by inner product: corpus vectors live only
     as code ids; each query builds an m x |codebook| lookup table of
@@ -720,8 +806,8 @@ def pq_topk(
     same ADC loop. Approximate by construction: gate rows bound recall
     against the exact scan instead of value-matching ranks.
     """
-    cb = pq_codebooks(corpus, m=m, seed_mod=seed_mod, id_col=id_col,
-                      vec_col=vec_col, scale=scale)
+    cb = pq_codebooks(corpus, m=m, n_codes=n_codes, seed_mod=seed_mod,
+                      id_col=id_col, vec_col=vec_col, scale=scale)
     codes = pq_encode(corpus, cb, m=m, id_col=id_col, vec_col=vec_col, scale=scale)
     sub_w = F.floor(F.size(quantize_embedding(vec_col, scale)) / F.lit(m))
     qsubs = (
@@ -771,12 +857,14 @@ def ivf_pq_topk(
     queries: DataFrame,
     k: int = 3,
     nprobe: int = 2,
-    centroid_mod: int = 40,
+    n_centroids: int = 16,
     m: int = 4,
-    seed_mod: int = 16,
+    n_codes: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    centroid_mod: int | None = None,
+    seed_mod: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed 100 TB ANN architecture (coarse inverted file
     restricts candidates, product-quantization ADC scores them) — exactly
@@ -797,10 +885,10 @@ def ivf_pq_topk(
     """
     import numpy as np
 
-    cent_src = corpus.where(F.col(id_col) % centroid_mod == 0).select(
+    cent_q = corpus.select(
         F.col(id_col).alias("cid"), quantize_embedding(vec_col, scale).alias("cv")
     )
-    cent_rows = sorted(cent_src.collect(), key=lambda r: r["cid"])
+    cent_rows = _collect_centroid_rows(cent_q, n_centroids, centroid_mod)
     cent_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     cent_mat = np.array([r["cv"] for r in cent_rows], dtype=np.int64)
 
@@ -816,7 +904,8 @@ def ivf_pq_topk(
         .select("vid", "cid")
     )
     cb = pq_codebooks(
-        corpus, m=m, seed_mod=seed_mod, id_col=id_col, vec_col=vec_col, scale=scale
+        corpus, m=m, n_codes=n_codes, seed_mod=seed_mod,
+        id_col=id_col, vec_col=vec_col, scale=scale,
     )
     codes = pq_encode(corpus, cb, m=m, id_col=id_col, vec_col=vec_col, scale=scale)
     indexed = codes.join(assigned, "vid")
@@ -880,11 +969,13 @@ def build_embedding_index(
     n_tables: int = 16,
     n_planes: int = 4,
     dim: int = 64,
-    centroid_mod: int = 40,
+    n_centroids: int = 16,
     m: int = 8,
-    seed_mod: int = 8,
+    n_codes: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_mod: int | None = None,
+    seed_mod: int | None = None,
 ) -> DataFrame:
     """The composed ANN **index build** end-to-end: LSH-bucketed near-dup
     pairs → large/small-star connected components → keep one vector per
@@ -911,11 +1002,12 @@ def build_embedding_index(
     surv = corpus.join(
         clusters.where(F.col(id_col) == F.col("cluster_id")).select(id_col), id_col
     )
-    cent_rows = sorted(
-        surv.where(F.col(id_col) % centroid_mod == 0)
-        .select(F.col(id_col).alias("cid"), quantize_embedding(vec_col).alias("cv"))
-        .collect(),
-        key=lambda r: r["cid"],
+    cent_rows = _collect_centroid_rows(
+        surv.select(
+            F.col(id_col).alias("cid"), quantize_embedding(vec_col).alias("cv")
+        ),
+        n_centroids,
+        centroid_mod,
     )
     cent_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     cent_mat = (
@@ -933,7 +1025,9 @@ def build_embedding_index(
         )
         .select("vid", "cid")
     )
-    cb = pq_codebooks(surv, m=m, seed_mod=seed_mod, id_col=id_col, vec_col=vec_col)
+    cb = pq_codebooks(
+        surv, m=m, n_codes=n_codes, seed_mod=seed_mod, id_col=id_col, vec_col=vec_col
+    )
     codes = pq_encode(surv, cb, m=m, id_col=id_col, vec_col=vec_col)
     return codes.join(assigned, "vid").select(
         F.col("vid").alias(id_col), "cid", "sub", "code"

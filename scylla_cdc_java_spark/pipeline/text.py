@@ -1136,7 +1136,16 @@ def temperature_weights(
     )
     total = F.sum("n_tokens").over(Window.partitionBy())
     f = F.col("n_tokens").cast("double") / total.cast("double")
-    pw = F.pow(f, F.lit(float(tau)))
+    # tau=0.5 routes through sqrt, NOT pow: IEEE-754 requires sqrt to be
+    # correctly rounded, so the JVM and any C libm produce bit-identical
+    # doubles — pow(x, 0.5) carries no such guarantee, and a last-ulp
+    # disagreement can straddle a 6-decimal rounding boundary that even a
+    # DECIMAL cast cannot repair (observed cross-engine on real fixtures).
+    # General tau keeps pow; cross-engine byte-exact gates should pin 0.5.
+    if float(tau) == 0.5:
+        pw = F.sqrt(f)
+    else:
+        pw = F.pow(f, F.lit(float(tau)))
     z = F.sum(pw).over(Window.partitionBy())
     p = pw / z
     # DECIMAL(18,6), not round(double): pow() in two engines can differ in

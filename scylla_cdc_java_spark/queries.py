@@ -870,9 +870,7 @@ def q_pipeline_embeddings_index(spark, sf_dir):
         n_tables=_EMB_LSH_TABLES,
         n_planes=_EMB_LSH_PLANES,
         dim=_EMB_DIM,
-        centroid_mod=40,
         m=8,
-        seed_mod=8,
     )
 
 
@@ -973,18 +971,31 @@ FROM documents
 """
 
 
+def _seed_hash_sql(col: str) -> str:
+    """DuckDB mirror of pipeline.similarity.seed_hash: the fixed-k seed
+    selector's multiplicative mix mod a 31-bit prime, exact int64 at every
+    step (inner pmod mirrors Spark's sign convention). Seeds are then
+    ``ORDER BY _seed_hash_sql(id), id LIMIT k`` — byte-identical to
+    select_seeds()."""
+    return (
+        f"(((({col}) % 1000000007 + 1000000007) % 1000000007)"
+        f" * 1103515245 + 12345) % 1000000007"
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-partitioned approximate top-k (the ANN scale path)."""
     emb = _emb(spark, sf_dir)
-    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=3, nprobe=2, centroid_mod=40)
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=3, nprobe=2)
 
 
-ORACLE_ANN_IVF = """
+ORACLE_ANN_IVF = f"""
 WITH q AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
-cent AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id % 40 = 0),
+cent AS (SELECT vec_id AS cid, qv AS cv FROM q
+         ORDER BY {_seed_hash_sql("vec_id")}, vec_id LIMIT 16),
 assign AS (
   SELECT q.vec_id, cent.cid,
          row_number() OVER (
@@ -1829,7 +1840,7 @@ def q_ann_kmeans_train(spark, sf_dir):
     integer arithmetic) — the real IVF coarse-quantizer trainer."""
     from .pipeline.similarity import kmeans_train
 
-    cent = kmeans_train(_emb(spark, sf_dir), centroid_mod=40, n_iter=2)
+    cent = kmeans_train(_emb(spark, sf_dir), n_iter=2)
     return cent.select(
         "cid",
         "n_members",
@@ -1837,13 +1848,14 @@ def q_ann_kmeans_train(spark, sf_dir):
     )
 
 
-ORACLE_KMEANS = """
+ORACLE_KMEANS = f"""
 WITH q AS (
   SELECT vec_id AS vid,
          list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
-c0 AS (SELECT vid AS cid, qv AS cv FROM q WHERE vid % 40 = 0),
+c0 AS (SELECT vid AS cid, qv AS cv FROM q
+       ORDER BY {_seed_hash_sql("vid")}, vid LIMIT 16),
 a1 AS (
   SELECT vid, qv, cid FROM (
     SELECT q.vid, q.qv, c0.cid,
@@ -1891,7 +1903,7 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
     from .pipeline.similarity import ivf_topk, kmeans_train
 
     emb = _emb(spark, sf_dir)
-    cent = kmeans_train(emb, centroid_mod=40, n_iter=2)
+    cent = kmeans_train(emb, n_iter=2)
     return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=3, nprobe=2, centroids=cent)
 
 
@@ -3566,21 +3578,22 @@ def q_ann_pq_topk(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     qs = emb.where(F.col("vec_id") < 5)
-    return pq_topk(emb, qs, k=5, m=8, seed_mod=8)
+    return pq_topk(emb, qs, k=5, m=8)
 
 
 def _pq_cte_chain(
     m: int = 8,
     sw: int = 8,
-    seed_mod: int = 8,
+    n_codes: int = 32,
     n_iter: int = 2,
     q_cte: str | None = None,
     with_queries: bool = True,
 ) -> str:
     """DuckDB mirror of the deterministic PQ build behind ann_pq_topk /
     ann_ivf_pq_topk (pipeline/similarity.py: pq_codebooks, pq_encode):
-    the ``n_iter`` Lloyd rounds UNROLL as chained CTEs — same seeded
-    codebooks (vid % seed_mod), same min-integer-L2 assignment (ties to
+    the ``n_iter`` Lloyd rounds UNROLL as chained CTEs — same fixed-k
+    seeded codebooks (the n_codes smallest (seed_hash(vid), vid) rows,
+    mirroring select_seeds), same min-integer-L2 assignment (ties to
     the smaller code; L2 expanded as a·a − 2a·b + b·b, exact in doubles
     at these magnitudes), same floor-division integer mean
     ``(s − pmod(s,n)) div n`` — so code assignments and ADC scores match
@@ -3603,7 +3616,12 @@ def _pq_cte_chain(
   SELECT vid, s.sub, qv[s.sub*{sw}+1 : s.sub*{sw}+{sw}] AS sv
   FROM {qname}, (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
 ),
-cb0 AS (SELECT sub, vid AS code, sv AS cw FROM subs WHERE vid % {seed_mod} = 0)""")
+seeds AS (
+  SELECT vid FROM {qname}
+  ORDER BY {_seed_hash_sql("vid")}, vid LIMIT {n_codes}
+),
+cb0 AS (SELECT s2.sub, s2.vid AS code, s2.sv AS cw
+        FROM subs s2 JOIN seeds USING (vid))""")
     for r in range(1, n_iter + 1):
         parts.append(f"""d{r} AS (
   SELECT s.vid, s.sub, s.sv, c.code,
@@ -3667,7 +3685,8 @@ FROM ranked WHERE rank <= 5
 
 ORACLE_IVF_PQ_TOPK = f"""
 WITH {_pq_cte_chain()},
-cent AS (SELECT vid AS cid, qv AS cv FROM q WHERE vid % 40 = 0),
+cent AS (SELECT vid AS cid, qv AS cv FROM q
+         ORDER BY {_seed_hash_sql("vid")}, vid LIMIT 16),
 coarse AS (
   SELECT q.vid, cent.cid,
          row_number() OVER (
@@ -3728,7 +3747,8 @@ sq AS (
   FROM q JOIN clus ON clus.node = q.vec_id AND clus.cluster = q.vec_id
 ),
 {_pq_cte_chain(q_cte="sq", with_queries=False)},
-cent AS (SELECT vid AS cid, qv AS cv FROM sq WHERE vid % 40 = 0),
+cent AS (SELECT vid AS cid, qv AS cv FROM sq
+         ORDER BY {_seed_hash_sql("vid")}, vid LIMIT 16),
 coarse AS (
   SELECT sq.vid, cent.cid,
          row_number() OVER (
@@ -3807,11 +3827,15 @@ LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
 
 
 def q_text_temperature_weights(spark, sf_dir):
-    """Temperature mixture sampling (p_i ∝ f_i^0.7): the multilingual
-    upsampling standard, next to the explicit-target mixture_weights."""
+    """Temperature mixture sampling (p_i ∝ f_i^tau): the multilingual
+    upsampling standard, next to the explicit-target mixture_weights.
+    The gate pins tau=0.5 so the anneal runs through sqrt — IEEE-754
+    correctly-rounded in both engines, hence byte-identical; pow(x, 0.7)
+    is not correctly-rounded and its last-ulp cross-engine drift can
+    straddle a 6-decimal boundary (the r04/r05 red-row root cause)."""
     from .pipeline.text import temperature_weights
 
-    return temperature_weights(_docs(spark, sf_dir), tau=0.7)
+    return temperature_weights(_docs(spark, sf_dir), tau=0.5)
 
 
 ORACLE_TEMPERATURE = """
@@ -3824,7 +3848,7 @@ t AS (SELECT sum(n_tokens) AS total FROM agg),
 p AS (
   SELECT source, n_docs, n_tokens,
          n_tokens / CAST(t.total AS DOUBLE) AS f,
-         power(n_tokens / CAST(t.total AS DOUBLE), 0.7) AS pw
+         sqrt(n_tokens / CAST(t.total AS DOUBLE)) AS pw
   FROM agg, t
 ),
 z AS (SELECT sum(pw) AS z FROM p)
@@ -3887,7 +3911,7 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     qs = emb.where(F.col("vec_id") < 5)
-    return ivf_pq_topk(emb, qs, k=5, nprobe=4, centroid_mod=40, m=8, seed_mod=8)
+    return ivf_pq_topk(emb, qs, k=5, nprobe=4, m=8)
 
 
 

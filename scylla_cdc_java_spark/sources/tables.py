@@ -88,11 +88,21 @@ def _load_text_format(spark: SparkSession, path: str, fmt: str, name: str) -> Da
         if ddl:
             reader = reader.schema(ddl)
         return reader.json(path)
+    # emptyValue: a quoted empty field decodes as '' (Spark's own writer
+    # quotes them, and external exporters should too). An UNQUOTED empty
+    # field still matches the default nullValue and loads as NULL — CSV
+    # cannot distinguish the two without a writer-side convention; that
+    # residual ambiguity is inherent to the format (documented, not
+    # papered over). FAILFAST makes malformed rows (e.g. unparseable
+    # timestamps) raise instead of silently becoming NULLs under
+    # PERMISSIVE — a text export that diverges from parquet should fail
+    # loudly, not drift.
     if not ddl:
         return (
             spark.read.option("header", "true")
             .option("inferSchema", "true")
             .option("timestampFormat", ts_fmt)
+            .option("emptyValue", "")
             .csv(path)
         )
     st = StructType.fromDDL(ddl)
@@ -107,6 +117,8 @@ def _load_text_format(spark: SparkSession, path: str, fmt: str, name: str) -> Da
         spark.read.schema(csv_schema)
         .option("header", "true")
         .option("timestampFormat", ts_fmt)
+        .option("emptyValue", "")
+        .option("mode", "FAILFAST")
         .csv(path)
     )
     for c, t in arr_cols.items():

@@ -314,3 +314,44 @@ def test_ann_pq_topk_kernel_path_no_cartesian_no_single_partition(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "mapInPandas" in plan
+
+
+def test_ann_seed_state_is_fixed_k(spark):
+    """The r05 scale defect: modulus-selected centroids/seeds made the
+    driver-collected ANN state grow with the corpus (k ∝ n/mod ⇒ O(n·k)
+    assignment at 100x). The fixed-k selector must collect EXACTLY
+    n_centroids / n_codes rows regardless of corpus size — same state
+    bytes at 4x the data, by construction at any scale."""
+    from scylla_cdc_java_spark.pipeline.similarity import (
+        kmeans_train,
+        pq_codebooks,
+        select_seeds,
+    )
+
+    def emb(n):
+        return spark.range(n).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 8),"
+            " j -> CAST(pmod(xxhash64(id, j), 2001) - 1000 AS FLOAT) / 1000.0)"
+            " AS embedding",
+        )
+
+    for n in (200, 800):
+        assert select_seeds(emb(n), 16, "vec_id").count() == 16
+        # Lloyd may retire empty centroids, but state never EXCEEDS the
+        # seed count — the defect was k growing with n (n/mod: 5 -> 20)
+        cent = kmeans_train(emb(n), n_iter=1)
+        assert 0 < cent.count() <= 16
+        cb = pq_codebooks(emb(n), m=4, n_iter=1)
+        n_codes = cb.select("code").distinct().count()
+        assert 0 < n_codes <= 32
+        assert cb.count() <= 4 * 32
+
+    # seed selection is a pure function of the id set: same ids -> same
+    # seeds, regardless of partitioning
+    a = sorted(r["vec_id"] for r in select_seeds(emb(800), 16, "vec_id").collect())
+    b = sorted(
+        r["vec_id"]
+        for r in select_seeds(emb(800).repartition(13), 16, "vec_id").collect()
+    )
+    assert a == b
