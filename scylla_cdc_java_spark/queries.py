@@ -4174,6 +4174,46 @@ WHERE c.common / CAST(s.sz AS DOUBLE) >= 0.5
 """
 
 
+def q_source_jsonl_documents(spark, sf_dir):
+    """Text-format source parity under the EXTERNAL gate (the r05 CSV/JSON
+    loader was pytest-only evidence): export the documents table to
+    JSON-lines, reload it through load_table's text-format fallback, and
+    aggregate over the reload — the result must hash-match an oracle that
+    reads the original PARQUET, so any fidelity loss in the round-trip
+    (whitespace, encoding, null handling) breaks the gate. max(md5(text))
+    per stratum is the canary: a single byte of drift in any document
+    changes it."""
+    import os
+    import tempfile
+
+    from .sources.tables import load_table as _lt
+
+    export = os.path.join(
+        tempfile.gettempdir(),
+        "sg_jsonl_gate",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    _docs(spark, sf_dir).coalesce(1).write.mode("overwrite").json(
+        f"{export}/documents.jsonl"
+    )
+    d = _lt(spark, export, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max(F.md5(F.col("text"))).alias("max_md5"),
+    )
+
+
+ORACLE_SOURCE_JSONL = """
+SELECT source, count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS n_tokens,
+       min(doc_id) AS min_doc,
+       max(md5(text)) AS max_md5
+FROM documents GROUP BY source
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "s1_window_scan": (q_s1_window_scan, ORACLE_S1, "S1/P1 windowed stream scan"),
     "s4_ordered_stream_read": (q_s4_ordered_stream_read, ORACLE_S4, "S4/O1 per-stream order"),
@@ -4448,6 +4488,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         q_dedup_containment,
         ORACLE_CONTAINMENT,
         "asymmetric n-gram containment pairs",
+    ),
+    "source_jsonl_documents": (
+        q_source_jsonl_documents,
+        ORACLE_SOURCE_JSONL,
+        "JSON-lines source round-trip parity vs parquet oracle",
     ),
 }
 

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Empirical scaling run: the heaviest gate queries at sf0.1 AND the 10x
+sf1 fixture (tools/make_scale_data.py), reporting per-query wall-clock
+and the 10x scaling factor. A hidden superlinear shape (the thing plan
+inspection can miss) shows up as factor >> 10·(1 + log-ish slack).
+
+Same protocol as bench.py: noop-sink materialization, min of 2 cold-plan
+runs, warmup pass first. Prints one JSON line; paste the table into
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("PYTHONPATH", REPO)
+
+from scylla_cdc_java_spark.session import get_spark  # noqa: E402
+from scylla_cdc_java_spark.queries import QUERIES  # noqa: E402
+from scylla_cdc_java_spark.sources.tables import load_table  # noqa: E402
+
+HEAVY = [
+    "pipeline_embeddings_index",
+    "dedup_minhash_lsh",
+    "pipeline_end_to_end",
+    "ann_pq_topk",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+]
+
+SF_DIRS = {
+    "sf0.1": os.environ.get("SCALE_BASE", "/root/testdata/sf0.1"),
+    "sf1": os.environ.get("SCALE_DST", "/root/repo/.scale/sf1"),
+}
+
+
+def main() -> None:
+    only = os.environ.get("SCALE_QUERIES")
+    heavy = [q for q in only.split(",") if q] if only else HEAVY
+    spark = get_spark(app_name="scylla_cdc_java_spark-scaling")
+    for t in ("documents", "embeddings"):
+        for d in SF_DIRS.values():
+            load_table(spark, d, t).count()
+    spark.range(1000).mapInPandas(lambda it: it, schema="id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    out: dict[str, dict[str, float]] = {}
+    for name in heavy:
+        fn, _, _ = QUERIES[name]
+        row: dict[str, float] = {}
+        for label, d in SF_DIRS.items():
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            row[label] = round(best, 3)
+        row["factor_10x"] = round(row["sf1"] / row["sf0.1"], 2)
+        out[name] = row
+        print(f"# {name}: {row}", file=sys.stderr, flush=True)
+
+    print(json.dumps({"metric": "scaling_10x", "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
