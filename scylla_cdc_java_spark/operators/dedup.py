@@ -23,11 +23,20 @@ CHANGE_ID_COLS = ["cdc$stream_id", "cdc$time", "cdc$batch_seq_no"]
 
 
 def dedup_changes(df: DataFrame) -> DataFrame:
-    """Exact dedup on change identity; falls back to the derived event time
-    for sources that don't carry the raw timeuuid string."""
-    cols = [c if c != "cdc$time" or c in df.columns else TIME_MICROS for c in CHANGE_ID_COLS]
-    if "cdc$time" not in df.columns:
-        df = normalize_changes(df)
+    """Exact dedup on change identity, keyed on the DERIVED event time
+    (``cdc$time_micros``) — the same (time, seq) ChangeId the apply
+    kernel's in-fold dedup uses, so the layers agree.
+
+    Never key on the raw ``cdc$time`` string: a frame read under the
+    descriptor's wire schema null-fills envelope columns its files lack,
+    and an all-NULL ``cdc$time`` would collapse every change in a stream
+    that shares a ``batch_seq_no`` into one "duplicate" (found by the
+    round-6 composed streaming gate, where a synthetic log with seq=0
+    lost 97% of its rows; the events-based gates masked it because their
+    seq is the unique event id). ``normalize_changes`` derives the micros
+    column from ``cdc$time_ts`` when present, else from the timeuuid."""
+    df = normalize_changes(df)
+    cols = [TIME_MICROS if c == "cdc$time" else c for c in CHANGE_ID_COLS]
     return df.dropDuplicates(cols)
 
 

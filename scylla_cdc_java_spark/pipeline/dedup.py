@@ -50,6 +50,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     max_df: int | None = None,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard via inverted index.
 
@@ -62,6 +63,12 @@ def ngram_jaccard_pairs(
     shuffle). Sizes are still computed over ALL shingles, so the estimate
     only loses the capped shingles' intersection contribution — the
     standard recall/cost trade; ``None`` keeps exact semantics.
+
+    ``n_salts`` salts the exact-mode self-join (probe side salted, build
+    side replicated) so a hot shingle's d² candidate rows spread over
+    ``n_salts`` reducers instead of one — row-identical results; use it
+    when exact semantics are required AND the corpus has boilerplate
+    shingles too hot for a single reducer.
     """
     # the shingle set feeds three plan branches (a-side, b-side, sizes);
     # cache it so the split/explode work runs once. The inverted index
@@ -88,9 +95,22 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh_join.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh_join.select(F.col(id_col).alias("doc_b"), "sh")
+    if n_salts:
+        # hot-shingle hardening for the EXACT mode (max_df=None keeps
+        # every shingle, so a d-doc shingle is d² rows on ONE reducer):
+        # salt the probe side, replicate the build side n_salts-fold —
+        # row-identical result, the hot key spread over n_salts reducers
+        # (operators/salted.py). The capped primary mode drops hot
+        # shingles outright, which is the cheaper answer when the
+        # recall trade is acceptable; AQE skew-join split (pinned on in
+        # session.py) remains the runtime backstop for both.
+        from ..operators.salted import salted_join
+
+        joined = salted_join(a, b, ["sh"], n_salts=n_salts, salt_cols=["doc_a"])
+    else:
+        joined = a.join(b, "sh")
     common = (
-        a.join(b, "sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        joined.where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

@@ -4214,6 +4214,205 @@ FROM documents GROUP BY source
 """
 
 
+def q_pipeline_stream_cdc_dedup(spark, sf_dir):
+    """The composed STREAMING story end-to-end — what a CDC user actually
+    runs (the batch-side counterpart is pipeline_end_to_end, the
+    embedding-side pipeline_embeddings_index): a multi-epoch CDC log over
+    a documents table is replicated THROUGH a mid-stream schema evolution
+    (epoch 1 written pre-ALTER without the ``source`` column; epoch 2
+    post-ALTER) with a full engine STOP/RESTART between the epochs — the
+    second pass resumes from the shared checkpoint, detects the widened
+    footer signature, evolves the persisted descriptor, and processes
+    only the new files. The materialized LWW state then flows into the
+    streaming ingest-admission dedup (two arrival batches split by id
+    parity, again with a stop/restart between them — the second run's
+    admission reads the PERSISTED index + signature store): within-batch
+    exact + banded-MinHash collapse, then exact-hash + banded near-dup
+    checks against the index. Returns the final admitted index. The
+    oracle replays every stage in SQL: evolution-aware LWW (source only
+    from post-ALTER writes), per-batch exact collapse (keep smallest id),
+    within-batch LSH losers, cross-batch exact + near-dup rejection."""
+    import os
+
+    from .model.schema import CdcTableDescriptor
+    from .pipeline.dedup import stream_incremental_dedup
+    from .sources.events_cdc import stream_id_expr
+    from .streaming.evolution import replicate_with_schema_evolution
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+
+    def envelope(op: int, t_base: int):
+        t = F.lit(t_base) + F.col("doc_id")
+        return [
+            stream_id_expr("doc_id", 16).alias("cdc$stream_id"),
+            F.timestamp_micros(t).alias("cdc$time_ts"),
+            F.lit(0).cast("int").alias("cdc$batch_seq_no"),
+            F.lit(op).cast("byte").alias("cdc$operation"),
+            F.lit(True).alias("cdc$end_of_batch"),
+            F.lit(None).cast("long").alias("cdc$ttl"),
+        ]
+
+    ep1 = docs.select(*envelope(2, 1_600_000_000_000_000), "doc_id", "text")
+    ep2 = docs.where(F.col("doc_id") % 7 == 0).select(
+        *envelope(1, 1_700_000_000_000_000),
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        "source",
+    )
+    tmp = _evo_tmpdir()
+    src = os.path.join(tmp, "cdc")
+    work = os.path.join(tmp, "work")
+    v1_desc = CdcTableDescriptor(
+        name="doc_state_v1",
+        base_schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        partition_keys=["doc_id"],
+        clustering_keys=[],
+    )
+    # epoch 1 replicates, then the engine STOPS (simulated shutdown)
+    ep1.write.parquet(src)
+    replicate_with_schema_evolution(spark, src, v1_desc, work, n_buckets=8)
+    # epoch 2 lands post-ALTER; the restarted engine is handed the SAME
+    # stale v1 descriptor and must resume + evolve on its own
+    _evo_mtime_gap()
+    ep2.write.mode("append").parquet(src)
+    state, desc = replicate_with_schema_evolution(
+        spark, src, v1_desc, work, n_buckets=8
+    )
+    if desc.regular_columns != ["text", "source"]:
+        raise ValueError(f"descriptor failed to evolve: {desc.regular_columns}")
+
+    # admission: the materialized corpus arrives in two batches (even ids
+    # first), with an engine restart between them — run 2 must resume
+    # from the checkpoint and probe the PERSISTED index/signature store
+    final = state.select("doc_id", "text", "source")
+    dsrc = os.path.join(tmp, "ingest")
+    idx = os.path.join(tmp, "index")
+    ckpt = os.path.join(tmp, "ckpt")
+    dedup_schema = "doc_id long, text string, source string"
+    final.where(F.col("doc_id") % 2 == 0).write.parquet(dsrc)
+    stream_incremental_dedup(
+        spark, dsrc, idx, ckpt, schema=dedup_schema
+    ).awaitTermination()
+    _evo_mtime_gap()
+    final.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(dsrc)
+    stream_incremental_dedup(
+        spark, dsrc, idx, ckpt, schema=dedup_schema
+    ).awaitTermination()
+    return spark.read.parquet(idx).select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5"), "source"
+    )
+
+
+ORACLE_STREAM_CDC_DEDUP = """
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+         CASE WHEN doc_id % 7 = 0 THEN source ELSE NULL END AS source
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM final),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h FROM sh
+),
+perms AS (SELECT unnest(generate_series(0, 31)) AS i),
+sig AS (
+  SELECT doc_id, i, min(((2*i + 1) * h + 7919 * i) % 2147483647) AS mh
+  FROM hashed, perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+b1x AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM final WHERE doc_id % 2 = 0
+  ) WHERE rn = 1
+),
+b1est AS (
+  SELECT p.doc_a, p.doc_b,
+         sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est
+  FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    JOIN b1x xa ON xa.doc_id = a.doc_id
+    JOIN b1x xb ON xb.doc_id = b.doc_id
+  ) p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+  GROUP BY 1, 2
+),
+idx1 AS (
+  SELECT doc_id FROM b1x
+  WHERE doc_id NOT IN (SELECT doc_b FROM b1est WHERE est >= 0.25)
+),
+b2x AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM final WHERE doc_id % 2 = 1
+  ) WHERE rn = 1
+),
+b2est AS (
+  SELECT p.doc_a, p.doc_b,
+         sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 AS est
+  FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    JOIN b2x xa ON xa.doc_id = a.doc_id
+    JOIN b2x xb ON xb.doc_id = b.doc_id
+  ) p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+  GROUP BY 1, 2
+),
+b2surv AS (
+  SELECT doc_id FROM b2x
+  WHERE doc_id NOT IN (SELECT doc_b FROM b2est WHERE est >= 0.25)
+),
+b2ex AS (
+  SELECT s.doc_id FROM b2surv s JOIN final f USING (doc_id)
+  WHERE f.text NOT IN (SELECT fi.text FROM idx1 JOIN final fi USING (doc_id))
+),
+b2dup AS (
+  SELECT DISTINCT c.doc_a AS doc_id
+  FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+    JOIN b2ex xa ON xa.doc_id = a.doc_id
+    JOIN idx1 xi ON xi.doc_id = b.doc_id
+  ) c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+  GROUP BY c.doc_a, c.doc_b
+  HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0 >= 0.25
+),
+admitted AS (
+  SELECT doc_id FROM idx1
+  UNION ALL
+  SELECT doc_id FROM b2ex WHERE doc_id NOT IN (SELECT doc_id FROM b2dup)
+)
+SELECT f.doc_id, md5(f.text) AS text_md5, f.source
+FROM admitted a JOIN final f USING (doc_id)
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "s1_window_scan": (q_s1_window_scan, ORACLE_S1, "S1/P1 windowed stream scan"),
     "s4_ordered_stream_read": (q_s4_ordered_stream_read, ORACLE_S4, "S4/O1 per-stream order"),
@@ -4494,6 +4693,12 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_SOURCE_JSONL,
         "JSON-lines source round-trip parity vs parquet oracle",
     ),
+    "pipeline_stream_cdc_dedup": (
+        q_pipeline_stream_cdc_dedup,
+        ORACLE_STREAM_CDC_DEDUP,
+        "composed streaming: multi-epoch CDC replication through mid-stream"
+        " evolution + restart, into restart-spanning ingest-admission dedup",
+    ),
 }
 
 # --- Driver-gate window rotation -------------------------------------------
@@ -4508,89 +4713,29 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
 # CORRECTNESS_r03.json) move to the back.  New queries added in round 4+ are
 # appended to _GATE_FRONT so they are verified in the round that adds them.
 _GATE_FRONT: list[str] = [
-    # --- round-5 window head -----------------------------------------
-    # the 11 queries that have never received a driver correctness row
-    # (they overflowed the 50-row window in r04) plus the one r04 red row
-    # (text_temperature_weights, re-fixed with DECIMAL canonicalization);
-    # green rows here complete the ledger: every registered query then
-    # has a green driver row across r01-r05
+    # --- round-6 window head -----------------------------------------
+    # (1) the one never-green row, re-gated IEEE-deterministic this round
+    # (tau=0.5 via sqrt — bit-identical across engines by construction)
     "text_temperature_weights",
-    "ann_pq_topk",
-    "ann_ivf_pq_topk",
-    "text_bpe_train",
-    "text_bpe_encode",
-    "text_weighted_sample",
-    "join_promo_revenue",
-    "dedup_simhash_hamming",
-    "dedup_containment",
-    "events_interval_join",
-    "dedup_ngram_jaccard_exact",
-    "dedup_embedding_pairs_exact",
-    # round-5 re-verification: implementations touched this round
-    # (incremental_dedup tie-break rewrite, countmin depth forwarding,
-    # interval-join degenerate guard already covered above)
-    "dedup_incremental",
-    "text_countmin_probe",
-    # round-5 new composite (needs its first driver row):
-    "pipeline_embeddings_index",
-    # --- previously verified rows fill the remaining slots -----------
-    "t9_schema_evolution",
-    "text_repetition",
-    "text_contamination",
-    "text_stratified_sample",
-    "text_pack_sequences",
-    "text_stratified_take",
-    "text_quality_filter",
-    "text_mixture_weights",
-    "text_redact",
-    "dedup_exact_substring",
-    "dedup_exact_substring_capped",
-    "dedup_line_spans",
-    "dedup_winnow",
-    "dedup_winnow_pairs",
-    "events_retention_cohorts",
-    "events_sessionize",
-    "events_sliding_topk",
-    "events_anomaly_zscore",
-    "events_asof_join",
-    "events_funnel",
-    "join_salted_revenue",
-    "join_bucketed_revenue",
-    "agg_rollup_revenue",
-    "events_pivot_types",
-    "text_vocab_by_source",
-    "text_lm_score",
-    "text_bpe_pairs",
-    "text_bm25",
-    "text_train_order",
-    "pipeline_end_to_end",
-    "text_length_quantiles",
-    "text_stratified_take_exact",
-    "text_length_quantiles_approx",
+    # (2) new round-6 gates needing their first driver row
+    "source_jsonl_documents",
+    "pipeline_stream_cdc_dedup",
+    # (3) the ANN family re-gated under fixed-k seed selection (oracles
+    # mirror the new ORDER BY seed_hash LIMIT k selection)
+    "ann_ivf_topk",
     "ann_kmeans_train",
     "ann_ivf_trained_topk",
-    "join_shipping_priority",
-    "join_region_volume",
-    # round-4 changes that need a fresh driver row: the jaccard primary
-    # swapped to the capped form and embedding dedup switched to
-    # LSH-bucketed candidates
-    "dedup_ngram_jaccard",
-    "dedup_embedding_pairs",
-    "dedup_embedding_clusters",
-    # round-4: nested UDT-field mid-stream evolution (new query)
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "pipeline_embeddings_index",
+    # (4) queries whose path crosses the round-6 dedup-key fix (ChangeId
+    # dedup now keys on derived event time, never raw cdc$time)
+    "p2_dedup_resume",
+    "k3_stream_replicate",
+    "t9_schema_evolution",
     "t9_udt_evolution",
-    # round-4 additions (need their first driver row):
-    "text_length_histogram",
-    "text_tfidf_topk",
-    "text_distinct_hll",
-    "agg_cube_revenue",
-    "set_ops_customers",
-    "events_lag_lead",
-    # exact-variant keys renamed in round 4; the computations behind them
-    # were driver-verified in r03 under the old primary keys
-    # 12 rows green in r01/r02 but evicted from the r03 window:
-    "p5_ttl_trim",
-    "j3_preimage_verify",
+    # --- backfill: refresh the OLDEST driver evidence ----------------
+    # r01-verified rows (last green four rounds ago)
     "f4_f5_renders",
     "o3_list_reconstruct",
     "text_token_count",
@@ -4601,6 +4746,35 @@ _GATE_FRONT: list[str] = [
     "text_split_assign",
     "agg_lineitem_pushdown",
     "join_broadcast_revenue",
+    # r02-verified rows
+    "p5_ttl_trim",
+    "j3_preimage_verify",
+    # r03-verified rows (oldest remaining evidence), core CDC surface
+    "s1_window_scan",
+    "s4_ordered_stream_read",
+    "p3_projection_split",
+    "p7_op_dispatch",
+    "a1_stream_task_grouping",
+    "a2_min_generation_after",
+    "a3_consumed_barrier",
+    "t1_tumbling_windows",
+    "t2_confidence_window",
+    "t6_generation_rollover",
+    "j1_range_delete_pairing",
+    "j2_postimage_pairing",
+    "f1_timeuuid_roundtrip",
+    "f3_vnode_extract",
+    "r1_apply_delta",
+    "r1_apply_lww_fast",
+    "r3_set_delta",
+    "r4_row_delete_effect",
+    "r5_partition_delete",
+    "r6_range_delete",
+    "r9_delta_full_mix",
+    "r8_postimage_apply",
+    "ttl_apply_visibility",
+    "dedup_exact",
+    "dedup_minhash_lsh",
 ]
 
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {

@@ -26,6 +26,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # skew-join split is the runtime backstop for hot join keys (the
+        # inverted-index self-joins are the exposed surface); default-on
+        # in Spark, pinned here so a deployment override can't silently
+        # remove it — plan-level salting (operators/salted.py,
+        # ngram_jaccard_pairs(n_salts=)) remains the explicit fix when a
+        # key is hot enough to dominate a single reducer anyway
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

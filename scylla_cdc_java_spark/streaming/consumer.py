@@ -73,10 +73,18 @@ def with_confidence_window(df: DataFrame, confidence_ms: int = 30_000) -> DataFr
 
 def dedup_within_watermark(df: DataFrame) -> DataFrame:
     """P2 on a stream: drop at-least-once redeliveries of the same ChangeId
-    arriving within the confidence window."""
-    cols = [c for c in CHANGE_ID_COLS if c in df.columns]
-    if "cdc$time" not in df.columns:
-        cols = [c if c != "cdc$time" else TIME_TS for c in CHANGE_ID_COLS]
+    arriving within the confidence window.
+
+    Keyed on the derived ``cdc$time_ts`` (always present post-
+    ``with_confidence_window``), NEVER the raw ``cdc$time`` string: a
+    stream read under the descriptor's wire schema null-fills envelope
+    columns its files lack, and an all-NULL time key would collapse every
+    change in a stream sharing a ``batch_seq_no`` (see
+    ``operators.dedup.dedup_changes``). Matches the fold kernel's
+    (time, seq) ChangeId identity."""
+    cols = [TIME_TS if c == "cdc$time" else c for c in CHANGE_ID_COLS]
+    if TIME_TS not in df.columns:  # un-normalized caller: raw-id fallback
+        cols = [c for c in CHANGE_ID_COLS if c in df.columns]
     return df.dropDuplicatesWithinWatermark(cols)
 
 

@@ -1,0 +1,160 @@
+"""The composed streaming story (gate: pipeline_stream_cdc_dedup) under
+failure injection: multi-epoch CDC replication through mid-stream schema
+evolution, into restart-spanning ingest-admission dedup — with a crash
+torn between the index append and the signature-store append, which the
+next run's reconcile must self-heal.
+
+Also pins the round-6 regression the composed gate caught on its first
+run: dedup keyed on a null-filled raw ``cdc$time`` column collapsed every
+change in a stream sharing a ``batch_seq_no``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from scylla_cdc_java_spark.model.schema import CdcTableDescriptor
+from scylla_cdc_java_spark.operators.dedup import dedup_changes
+from scylla_cdc_java_spark.pipeline.dedup import stream_incremental_dedup
+from scylla_cdc_java_spark.sources.events_cdc import stream_id_expr
+from scylla_cdc_java_spark.streaming.evolution import replicate_with_schema_evolution
+
+
+def _mtime_gap():
+    time.sleep(0.05)
+
+
+def _docs_df(spark):
+    """50 docs: unique texts, exact-dup pairs (cross parity), near-dup
+    pairs, and sub-3-token shorts (incl. short exact dups — the banded
+    path is structurally blind to them)."""
+    rows = []
+    for i in range(30):
+        # disjoint per-doc token sets: no accidental near-dups
+        rows.append((i, " ".join(f"tok{i}x{j}" for j in range(9)), "src0"))
+    # exact dups of doc 3's text at ids 31 (odd) and 40 (even)
+    rows.append((31, rows[3][1], "src1"))
+    rows.append((40, rows[3][1], "src1"))
+    # near dup of doc 5: one APPENDED token (shingle Jaccard 7/8 — high
+    # enough that a 4-row band collides deterministically on this text)
+    rows.append((33, rows[5][1] + " extra", "src1"))
+    # shorts: a pair of identical 2-token docs (no shingles) + a unique one
+    rows.append((44, "tiny doc", "src2"))
+    rows.append((45, "tiny doc", "src2"))
+    rows.append((47, "lone short", "src2"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def _envelope(op: int, t_base: int):
+    t = F.lit(t_base) + F.col("doc_id")
+    return [
+        stream_id_expr("doc_id", 16).alias("cdc$stream_id"),
+        F.timestamp_micros(t).alias("cdc$time_ts"),
+        F.lit(0).cast("int").alias("cdc$batch_seq_no"),
+        F.lit(op).cast("byte").alias("cdc$operation"),
+        F.lit(True).alias("cdc$end_of_batch"),
+        F.lit(None).cast("long").alias("cdc$ttl"),
+    ]
+
+
+V1_DESC = CdcTableDescriptor(
+    name="doc_state_v1",
+    base_schema=T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    ),
+    partition_keys=["doc_id"],
+    clustering_keys=[],
+)
+
+
+def _run_pipeline(spark, docs, root: str, crash_torn_sigs: bool):
+    """The full composed pipeline; with ``crash_torn_sigs`` the signature
+    store is destroyed between the admission runs (the worst torn-write
+    crash: index rows exist, no signature rows at all)."""
+    src = os.path.join(root, "cdc")
+    work = os.path.join(root, "work")
+    ep1 = docs.select(*_envelope(2, 1_600_000_000_000_000), "doc_id", "text")
+    ep2 = docs.where(F.col("doc_id") % 7 == 0).select(
+        *_envelope(1, 1_700_000_000_000_000),
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        "source",
+    )
+    ep1.write.parquet(src)
+    replicate_with_schema_evolution(spark, src, V1_DESC, work, n_buckets=8)
+    _mtime_gap()
+    ep2.write.mode("append").parquet(src)
+    state, desc = replicate_with_schema_evolution(spark, src, V1_DESC, work, n_buckets=8)
+    assert desc.regular_columns == ["text", "source"]
+
+    final = state.select("doc_id", "text", "source")
+    dsrc = os.path.join(root, "ingest")
+    idx = os.path.join(root, "index")
+    ckpt = os.path.join(root, "ckpt")
+    sig = idx.rstrip("/") + "__sigs"
+    schema = "doc_id long, text string, source string"
+    final.where(F.col("doc_id") % 2 == 0).write.parquet(dsrc)
+    stream_incremental_dedup(spark, dsrc, idx, ckpt, schema=schema).awaitTermination()
+    if crash_torn_sigs:
+        shutil.rmtree(sig, ignore_errors=True)
+    _mtime_gap()
+    final.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(dsrc)
+    stream_incremental_dedup(spark, dsrc, idx, ckpt, schema=schema).awaitTermination()
+    return sorted(
+        (r["doc_id"], r["text"], r["source"])
+        for r in spark.read.parquet(idx).collect()
+    )
+
+
+def test_composed_pipeline_crash_torn_signature_store(spark, tmp_path):
+    """A crash that lands the index append but loses the ENTIRE signature
+    store must not change what the restarted pipeline admits: the
+    reconcile stage re-signs every unsigned index row (sentinels for the
+    short docs included) before batch 2's admission probes it."""
+    docs = _docs_df(spark)
+    clean = _run_pipeline(spark, docs, str(tmp_path / "clean"), crash_torn_sigs=False)
+    torn = _run_pipeline(spark, docs, str(tmp_path / "torn"), crash_torn_sigs=True)
+    assert torn == clean
+    ids = [r[0] for r in clean]
+    # doc 40 (even, batch 1) admitted the shared text first; its exact
+    # twins 3 and 31 (odd, batch 2) must be rejected cross-batch via the
+    # persisted content hashes
+    assert 40 in ids and 3 not in ids and 31 not in ids
+    # short exact dups: 44 (even) admitted in batch 1; twin 45 (odd)
+    # must be rejected CROSS-batch by the stored content hash even though
+    # sub-3-token docs never produce a banded signature; 47 unique
+    assert 44 in ids and 45 not in ids and 47 in ids
+    # near-dup 33 of doc 5 (both odd): within-batch banded loser
+    assert 5 in ids and 33 not in ids
+    # evolution: only doc_id % 7 == 0 rows carry source (post-ALTER writes)
+    for doc_id, text, source in clean:
+        assert (source is not None) == (doc_id % 7 == 0)
+        assert text.endswith(" v2") == (doc_id % 7 == 0)
+
+
+def test_dedup_changes_ignores_null_raw_time_column(spark):
+    """Regression (round 6): a change frame read under the descriptor's
+    wire schema carries an all-NULL ``cdc$time`` string column; dedup
+    must key on the derived event time, not the null column — otherwise
+    every change in a stream sharing a batch_seq_no collapses to one."""
+    n = 40
+    df = spark.range(n).select(
+        F.lit(bytes(16)).alias("cdc$stream_id"),
+        F.lit(None).cast("string").alias("cdc$time"),
+        F.timestamp_micros(F.lit(1_600_000_000_000_000) + F.col("id")).alias(
+            "cdc$time_ts"
+        ),
+        F.lit(0).cast("int").alias("cdc$batch_seq_no"),
+        F.col("id").alias("doc_id"),
+    )
+    assert dedup_changes(df).count() == n
+    # true redeliveries (same stream, time, seq) still collapse
+    assert dedup_changes(df.unionAll(df)).count() == n

@@ -355,3 +355,118 @@ def test_ann_seed_state_is_fixed_k(spark):
         for r in select_seeds(emb(800).repartition(13), 16, "vec_id").collect()
     )
     assert a == b
+
+
+def test_skew_join_conf_pinned(spark):
+    """session.py pins AQE skew-join split on — the runtime backstop for
+    hot join keys in the inverted-index self-joins."""
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_jaccard_salted_exact_row_identical_and_salted_plan(spark):
+    """Exact-mode jaccard with n_salts must return row-identical results
+    on a hot-shingle corpus (one shingle shared by 40 docs — the d²-rows-
+    on-one-reducer shape) while the plan actually carries the salt
+    (replicated build side joined on (sh, __salt))."""
+    from scylla_cdc_java_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (i, f"hot shared shingle unique{i}a unique{i}b unique{i}c", "s")
+        for i in range(40)
+    ] + [(100 + i, f"cold{i}x cold{i}y cold{i}z cold{i}w", "s") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    from pyspark.sql import functions as F
+
+    plain = ngram_jaccard_pairs(docs, n=3, threshold=0.0)
+    salted = ngram_jaccard_pairs(docs, n=3, threshold=0.0, n_salts=8)
+    key = lambda r: (r["doc_a"], r["doc_b"], r["common"], r["jaccard"])
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+    # the hot shingle produced its full candidate set: C(40,2) pairs
+    assert plain.where(F.col("common") >= 1).count() >= 40 * 39 // 2
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
+# --- Universal plan audit over the whole registry (round 6) ----------------
+#
+# Per-query allowances: (max_hints, allow_bnlj). A hint allowance records
+# the decision that the hinted frame is BOUNDED (query vectors, probe
+# tables, k-row LUTs, 1-row stats); BNLJ allowances are the documented
+# crossJoins of 1-row aggregates. Any new hint/BNLJ/cartesian/
+# row-at-a-time-Python in ANY registered query fails here.
+_AUDIT_ALLOW: dict[str, tuple[int, bool]] = {
+    "ann_cosine_topk": (1, True),       # broadcast query set; 1-row dims probe
+    "ann_ivf_pq_topk": (2, False),      # broadcast probes + per-query LUT
+    "ann_ivf_topk": (1, False),         # broadcast query probes
+    "ann_ivf_trained_topk": (1, False),
+    "ann_kmeans_train": (1, True),      # 1-row collected-centroids crossJoin
+    "ann_lsh_topk": (1, False),         # broadcast bucketed queries
+    "ann_pq_topk": (1, False),          # broadcast per-query LUT
+    "dedup_ngram_jaccard": (2, False),  # broadcast hot-shingle list (<=df cap)
+    "events_anomaly_zscore": (1, False),
+    "events_retention_cohorts": (1, False),
+    "join_broadcast_revenue": (1, False),
+    "join_bucketed_revenue": (1, False),
+    "join_region_volume": (5, False),   # Q5 snowflake: every dim broadcast
+    "join_shipping_priority": (2, False),
+    "p5_ttl_trim": (1, True),           # 1-row min-TTL aggregate
+    "t2_confidence_window": (1, True),  # 1-row max-ts aggregate
+    "text_bm25": (1, True),             # 1-row corpus stats
+    "text_countmin_probe": (2, True),   # sketch rows + 1-row depth
+    "text_stratified_take": (1, False),
+    "text_tfidf_topk": (1, True),       # 1-row doc count
+}
+
+# These EXECUTE real work at query-construction time (streaming runs,
+# exports, driver-side train loops); the frames they return are plain
+# parquet scans / local relations with nothing to audit. Each is covered
+# by its oracle gate + dedicated tests instead.
+_AUDIT_SKIP = {
+    "k3_stream_replicate",
+    "t9_schema_evolution",
+    "t9_udt_evolution",
+    "pipeline_stream_cdc_dedup",
+    "source_jsonl_documents",
+    "text_bpe_train",
+}
+
+
+def test_plan_audit_whole_registry(spark):
+    """tools/plan_audit.py as CI: every registered query passes the
+    universal anti-pattern floor (no cartesian, no BatchEvalPython, BNLJ
+    and broadcast hints only within recorded allowances)."""
+    from scylla_cdc_java_spark.plans import audit_plan
+
+    failures = {}
+    for name, (fn, _, _) in QUERIES.items():
+        if name in _AUDIT_SKIP:
+            continue
+        max_hints, allow_bnlj = _AUDIT_ALLOW.get(name, (0, False))
+        problems = audit_plan(
+            fn(spark, SF), max_hints=max_hints, allow_bnlj=allow_bnlj
+        )
+        if problems:
+            failures[name] = problems
+    assert not failures, failures
+
+
+def test_plan_audit_catches_mutations(spark):
+    """The audit must actually fire: a hinted broadcast of a fact table
+    and an unconditioned cross join are both flagged (the mutation the
+    r04/r05 verdicts asked CI to catch)."""
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_java_spark.plans import audit_plan
+    from scylla_cdc_java_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, SF, "orders").select("o_orderkey")
+
+    hinted = od.join(F.broadcast(li), od.o_orderkey == li.l_orderkey)
+    assert any("hint" in p for p in audit_plan(hinted, max_hints=0))
+    assert audit_plan(hinted, max_hints=1) == []
+
+    crossed = od.limit(5).crossJoin(li.limit(5))
+    assert audit_plan(crossed) != []

@@ -87,6 +87,9 @@ DOC_QUERIES = ",".join(
         "dedup_incremental",
         # round-5 hash-gated additions (oracles unroll the merge rounds)
         "text_bpe_train", "text_bpe_encode", "text_pack_sequences",
+        # round-6 additions: text-format round-trip and the composed
+        # streaming pipeline (evolution + restart + admission dedup)
+        "source_jsonl_documents", "pipeline_stream_cdc_dedup",
     ]
 )
 
@@ -119,6 +122,18 @@ def build_dir() -> None:
     ] + [
         (100 + i, f"filler words number {i} for bulk volume in the corpus", f"src{i % 3}")
         for i in range(30)
+    ] + [
+        # hot-shingle skew case (round 6): one 3-gram ("boiler plate header")
+        # shared by 300 docs — the d²-candidate-rows-on-one-join-key shape.
+        # 300 keeps the oracle's all-pairs replay tractable (~45k pairs);
+        # the 10⁴-df mechanism itself is covered by the salted-join plan
+        # guard + row-identity test in tests/test_plans.py.
+        (
+            1000 + i,
+            f"boiler plate header unique{i}p unique{i}q unique{i}r unique{i}s",
+            f"src{i % 3}",
+        )
+        for i in range(300)
     ]
     con = duckdb.connect()
     con.execute(

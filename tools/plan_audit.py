@@ -4,6 +4,12 @@ matter at scale — exchange count, broadcast vs sort-merge joins, pushed
 filters, read schemas. PLANS.md records the reviewed state; re-run this
 after plan-affecting changes and update PLANS.md if shapes move.
 
+The ENFORCED version of this audit runs in CI: tests/test_plans.py::
+test_plan_audit_whole_registry sweeps every registered query through
+scylla_cdc_java_spark.plans.audit_plan (no cartesian, no row-at-a-time
+Python, hints/BNLJ only within recorded allowances). This CLI remains the
+human-readable inspection companion.
+
 Usage: PYTHONPATH=/root/repo python tools/plan_audit.py [--sf-dir DIR] [--only a,b]
 """
 
