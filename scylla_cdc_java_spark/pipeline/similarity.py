@@ -650,6 +650,7 @@ def pq_codebooks(
     vec_col: str = "embedding",
     scale: int = 1000,
     seed_mod: int | None = None,
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """Train per-subspace product-quantization codebooks (Jégou et al.
     2011): the embedding splits into ``m`` contiguous subvectors and each
@@ -672,10 +673,13 @@ def pq_codebooks(
     one (sub, code, pos)-keyed partial aggregation of k x m x (dim/m)
     rows.
     """
-    sub_w = F.floor(F.size(quantize_embedding(vec_col, scale)) / F.lit(m))
+    qexpr = (
+        F.col(vec_col) if pre_quantized else quantize_embedding(vec_col, scale)
+    )
+    sub_w = F.floor(F.size(qexpr) / F.lit(m))
     q = corpus.select(
         F.col(id_col).alias("vid"),
-        quantize_embedding(vec_col, scale).alias("qv"),
+        qexpr.alias("qv"),
         sub_w.alias("sw"),
     )
     # (vid, sub, sv): m rows per vector, sv the subvector
@@ -746,17 +750,21 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """Encode every corpus vector as ``m`` small code ids (nearest codeword
     per subspace, min integer L2, ties to the smaller code). Output
     ``(vid, sub, code)`` — the 100 TB-resident representation: m bytes-ish
     per vector instead of dim floats. One Arrow GEMM argmin map pass
     against the collected codebook, no corpus shuffle."""
-    sub_w = F.floor(F.size(quantize_embedding(vec_col, scale)) / F.lit(m))
+    qexpr = (
+        F.col(vec_col) if pre_quantized else quantize_embedding(vec_col, scale)
+    )
+    sub_w = F.floor(F.size(qexpr) / F.lit(m))
     subs = (
         corpus.select(
             F.col(id_col).alias("vid"),
-            quantize_embedding(vec_col, scale).alias("qv"),
+            qexpr.alias("qv"),
             sub_w.alias("sw"),
         )
         .select(
@@ -1031,4 +1039,151 @@ def build_embedding_index(
     codes = pq_encode(surv, cb, m=m, id_col=id_col, vec_col=vec_col)
     return codes.join(assigned, "vid").select(
         F.col("vid").alias(id_col), "cid", "sub", "code"
+    )
+
+
+def _coarse_residual_kernel(cent_ids, cent_mat, n_out: int):
+    """mapInPandas kernel: for each (vid, qv) row, its ``n_out`` nearest
+    coarse centroids by integer dot (stable ties to the smaller cid),
+    emitting per assignment the RESIDUAL ``qv − centroid`` and the coarse
+    dot ``qv · centroid`` — the building block of residual IVF-PQ (the
+    corpus pass uses n_out=1; queries use n_out=nprobe). One blocked
+    int64 GEMM per Arrow batch; the residual subtraction is exact integer
+    arithmetic, so the SQL oracle mirrors it element-wise."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        if len(cent_ids) == 0 or n_out <= 0:
+            for _ in batches:
+                pass
+            return
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids = pdf["vid"].to_numpy(dtype=np.int64)
+            block = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            dots = block @ cent_mat.T
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :n_out]
+            n, p = order.shape
+            res = block[:, None, :] - cent_mat[order]  # (n, p, dim)
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(vids, p),
+                    "rv": list(res.reshape(n * p, -1)),
+                    "cid": cent_ids[order].reshape(-1),
+                    "cdot": np.take_along_axis(dots, order, axis=1).reshape(-1),
+                }
+            )
+
+    return kernel
+
+
+_RESIDUAL_SCHEMA = "vid long, rv array<long>, cid long, cdot long"
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    n_centroids: int = 16,
+    m: int = 4,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the textbook IVF-ADC layout (Jégou
+    et al. 2011 §III): PQ codebooks train on ``x − centroid(x)`` instead
+    of raw vectors, which concentrates the quantizer's budget on the
+    within-cell distribution (plain-PQ codewords waste precision
+    re-describing the coarse structure the IVF already captured).
+
+    Under the integer-dot metric the decomposition is EXACT:
+    ``dot(q, x) = dot(q, c_x) + dot(q, r_x)`` — the score is the coarse
+    dot (computed exactly per probed cell) plus the ADC approximation of
+    the residual dot, so the only approximation left is the residual
+    quantization itself. Plan shape matches :func:`ivf_pq_topk`: one
+    residual-assign GEMM map pass over the corpus (no shuffle), PQ train/
+    encode over residuals (``pre_quantized`` path — residuals are already
+    integer), per-(query, probed-cell) residual LUT broadcast, candidates
+    only from probed cells, one (query, vid) partial-agg sum. Everything
+    is deterministic integer arithmetic, so the DuckDB oracle replays the
+    whole build bit-for-bit.
+    """
+    import numpy as np
+
+    cent_q = corpus.select(
+        F.col(id_col).alias("cid"), quantize_embedding(vec_col, scale).alias("cv")
+    )
+    cent_rows = _collect_centroid_rows(cent_q, n_centroids, None)
+    cent_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r["cv"] for r in cent_rows], dtype=np.int64)
+
+    def quantized(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("vid"), quantize_embedding(vec_col, scale).alias("qv")
+        )
+
+    # corpus: nearest cell + residual, one map pass
+    res = quantized(corpus).mapInPandas(
+        _coarse_residual_kernel(cent_ids, cent_mat, 1), schema=_RESIDUAL_SCHEMA
+    )
+    cb = pq_codebooks(
+        res, m=m, n_codes=n_codes, id_col="vid", vec_col="rv", pre_quantized=True
+    )
+    codes = pq_encode(res, cb, m=m, id_col="vid", vec_col="rv", pre_quantized=True)
+    assigned = res.select("vid", "cid")
+
+    # queries: nprobe cells, one residual (+ exact coarse dot) per probe
+    qres = quantized(queries).mapInPandas(
+        _coarse_residual_kernel(cent_ids, cent_mat, min(nprobe, len(cent_rows))),
+        schema=_RESIDUAL_SCHEMA,
+    ).withColumnRenamed("vid", "query_id")
+    sub_w = F.floor(F.size(F.col("rv")) / F.lit(m))
+    qsubs = (
+        qres.select("query_id", "cid", "rv", sub_w.alias("sw"))
+        .select(
+            "query_id",
+            "cid",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col("rv"),
+            "sw",
+        )
+        .select(
+            "query_id",
+            "cid",
+            "sub",
+            F.slice(
+                F.col("rv"),
+                (F.col("sub") * F.col("sw") + 1).cast("int"),
+                F.col("sw").cast("int"),
+            ).alias("sv"),
+        )
+    )
+    lut = qsubs.join(cb, "sub").select(
+        "query_id", "cid", "sub", "code",
+        quantized_dot(F.col("sv"), F.col("cw")).alias("part"),
+    )
+    probes = qres.select("query_id", "cid", "cdot")
+    scored = (
+        codes.join(assigned, "vid")
+        .join(F.broadcast(lut), ["cid", "sub", "code"])
+        .where(F.col("query_id") != F.col("vid"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"), "cid")
+        .agg(F.sum("part").alias("radc"), F.count(F.lit(1)).alias("__nsub"))
+        .where(F.col("__nsub") == m)
+        .join(F.broadcast(probes), ["query_id", "cid"])
+        .select(
+            "query_id", "neighbor_id", (F.col("cdot") + F.col("radc")).alias("adc")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
     )

@@ -3901,6 +3901,82 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 
 
 
+def q_ann_ivf_pq_residual_topk(spark, sf_dir):
+    """Residual IVF-PQ (the textbook IVF-ADC layout): PQ codebooks train
+    on x − centroid(x), and the score decomposes EXACTLY under the
+    integer-dot metric as dot(q,c) + ADC(residual). The oracle replays
+    the full build: fixed-k coarse centroids, per-vector residuals, the
+    seeded Lloyd chain over residual subvectors (_pq_cte_chain with the
+    residual CTE as corpus), per-(query, probed-cell) residual LUTs, and
+    the coarse-dot + residual-ADC sum."""
+    from .pipeline.similarity import ivf_pq_residual_topk
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 5)
+    return ivf_pq_residual_topk(emb, qs, k=5, nprobe=4, m=8)
+
+
+ORACLE_IVF_PQ_RESIDUAL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, qv AS cv FROM q
+         ORDER BY {_seed_hash_sql("vec_id")}, vec_id LIMIT 16),
+coarse AS (
+  SELECT q.vec_id AS vid, cent.cid,
+         CAST(list_dot_product(q.qv, cent.cv) AS BIGINT) AS cdot,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST(list_dot_product(q.qv, cent.cv) AS BIGINT) DESC, cent.cid
+         ) AS rn
+  FROM q CROSS JOIN cent
+),
+ca AS (SELECT vid, cid FROM coarse WHERE rn = 1),
+sq AS (
+  SELECT q.vec_id AS vid,
+         list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i] - c.cv[i]) AS qv
+  FROM q JOIN ca ON ca.vid = q.vec_id JOIN cent c ON c.cid = ca.cid
+),
+{_pq_cte_chain(q_cte="sq", with_queries=False)},
+probes AS (SELECT vid AS query_id, cid, cdot FROM coarse WHERE rn <= 4 AND vid < 5),
+qres AS (
+  SELECT p.query_id, p.cid, p.cdot,
+         list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i] - c.cv[i]) AS rv
+  FROM probes p JOIN q ON q.vec_id = p.query_id JOIN cent c ON c.cid = p.cid
+),
+qsubs AS (
+  SELECT query_id, cid, s.sub, rv[s.sub*8+1 : s.sub*8+8] AS sv
+  FROM qres, (SELECT unnest(generate_series(0, 7)) AS sub) s
+),
+lut AS (
+  SELECT qs.query_id, qs.cid, qs.sub, c.code,
+         CAST(list_dot_product(qs.sv, c.cw) AS BIGINT) AS part
+  FROM qsubs qs JOIN cb2 c ON c.sub = qs.sub
+),
+scored AS (
+  SELECT l.query_id, co.vid AS neighbor_id,
+         CAST(p.cdot + sum(l.part) AS BIGINT) AS adc
+  FROM codes co
+  JOIN ca ON ca.vid = co.vid
+  JOIN lut l ON l.cid = ca.cid AND l.sub = co.sub AND l.code = co.code
+  JOIN probes p ON p.query_id = l.query_id AND p.cid = ca.cid
+  WHERE l.query_id <> co.vid
+  GROUP BY 1, 2, p.cdot
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_ann_ivf_pq_topk(spark, sf_dir):
     """Composed IVF-PQ top-k — coarse inverted-file candidate restriction
     + PQ/ADC scoring, the billion-vector index layout. Hash-gated like
@@ -4647,6 +4723,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_IVF_PQ_TOPK,
         "composed IVF-PQ index layout (oracle mirrors coarse+PQ math)",
     ),
+    "ann_ivf_pq_residual_topk": (
+        q_ann_ivf_pq_residual_topk,
+        ORACLE_IVF_PQ_RESIDUAL,
+        "residual IVF-PQ (textbook IVF-ADC: coarse dot + residual ADC)",
+    ),
     "text_bpe_encode": (
         q_text_bpe_encode,
         ORACLE_BPE_ENCODE,
@@ -4774,7 +4855,8 @@ _GATE_FRONT: list[str] = [
     "r8_postimage_apply",
     "ttl_apply_visibility",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    # round-6 late addition (needs its first driver row)
+    "ann_ivf_pq_residual_topk",
 ]
 
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {

@@ -968,3 +968,74 @@ def test_bpe_batched_first_merge_is_strict_argmax_property(spark):
             created.add(a + b)
 
     check()
+
+
+class TestResidualIvfPq:
+    """Residual IVF-PQ (textbook IVF-ADC): score = exact coarse dot +
+    ADC over the residual quantization."""
+
+    @pytest.fixture()
+    def clustered(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        centers = rng.randn(4, 16) * 10
+        rows = []
+        for i in range(48):
+            c = i % 4
+            v = centers[c] + rng.randn(16) * 0.01
+            v = v / np.linalg.norm(v)
+            rows.append((i, [float(x) for x in v], c))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_recovers_cluster_neighbors(self, clustered, spark):
+        from scylla_cdc_java_spark.pipeline.similarity import ivf_pq_residual_topk
+
+        qs = clustered.where(F.col("vec_id") < 4)
+        got = ivf_pq_residual_topk(
+            clustered, qs, k=3, nprobe=2, n_centroids=4, m=4, n_codes=8
+        ).collect()
+        labels = {r["vec_id"]: r["label"] for r in clustered.collect()}
+        assert len(got) == 12
+        for r in got:
+            assert labels[r["neighbor_id"]] == labels[r["query_id"]], (
+                "residual IVF-PQ neighbor crossed clusters"
+            )
+
+    def test_score_decomposition_bound_vs_exact(self, clustered, spark):
+        """Each pick's TRUE similarity must be within a small epsilon of
+        the exact k-th best — the same score-quality contract as plain
+        PQ, which residual encoding should only tighten."""
+        import numpy as np
+
+        from scylla_cdc_java_spark.pipeline.similarity import ivf_pq_residual_topk
+
+        vecs = {r["vec_id"]: np.array(r["embedding"]) for r in clustered.collect()}
+        qs = clustered.where(F.col("vec_id") < 4)
+        exact = cosine_topk_bruteforce(clustered, qs, k=3).collect()
+        kth_best = {}
+        for r in exact:
+            kth_best[r["query_id"]] = min(
+                kth_best.get(r["query_id"], 1e18), r["dot_q"]
+            )
+        got = ivf_pq_residual_topk(
+            clustered, qs, k=3, nprobe=4, n_centroids=4, m=4, n_codes=8
+        ).collect()
+        for r in got:
+            true_dot = float(
+                np.round(vecs[r["query_id"]] * 1000)
+                @ np.round(vecs[r["neighbor_id"]] * 1000)
+            )
+            assert true_dot >= kth_best[r["query_id"]] - 0.01 * 1e6
+
+    def test_empty_and_single(self, spark):
+        from scylla_cdc_java_spark.pipeline.similarity import ivf_pq_residual_topk
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        one = spark.createDataFrame(
+            [(0, [1.0] * 8)], "vec_id long, embedding array<float>"
+        )
+        assert ivf_pq_residual_topk(empty, one).count() == 0
+        assert ivf_pq_residual_topk(one, one).count() == 0  # no non-self

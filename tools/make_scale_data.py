@@ -50,7 +50,65 @@ def main() -> None:
         ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
-    for t in ("documents", "embeddings"):
+    # events: replicate as NEW users with the same temporal pattern —
+    # sessionization / as-of / window state scales with users, which is
+    # how a real event stream grows (not by densifying one user's day)
+    n_ev, n_usr = con.sql(
+        f"SELECT max(event_id) + 1, max(user_id) + 1 FROM '{SRC}/events.parquet'"
+    ).fetchone()
+    con.sql(
+        f"""
+        COPY (
+          SELECT e.event_id + r.range * {n_ev} AS event_id, e.ts,
+                 e.user_id + r.range * {n_usr} AS user_id,
+                 e.event_type, e.value, e.props
+          FROM '{SRC}/events.parquet' e, range({REPLICAS}) r
+          ORDER BY event_id
+        ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    # relational fact chain, key-consistent across tables: orderkeys and
+    # custkeys offset by the same replica stride so joins stay valid
+    n_ord = con.sql(f"SELECT max(o_orderkey) + 1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+    n_cust = con.sql(f"SELECT max(c_custkey) + 1 FROM '{SRC}/customer.parquet'").fetchone()[0]
+    con.sql(
+        f"""
+        COPY (
+          SELECT l_orderkey + r.range * {n_ord} AS l_orderkey, l_partkey,
+                 l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+          FROM '{SRC}/lineitem.parquet', range({REPLICAS}) r
+          ORDER BY l_orderkey, l_linenumber
+        ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.sql(
+        f"""
+        COPY (
+          SELECT o_orderkey + r.range * {n_ord} AS o_orderkey,
+                 o_custkey + r.range * {n_cust} AS o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM '{SRC}/orders.parquet', range({REPLICAS}) r
+          ORDER BY o_orderkey
+        ) TO '{DST}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.sql(
+        f"""
+        COPY (
+          SELECT c_custkey + r.range * {n_cust} AS c_custkey, c_name,
+                 c_nationkey, c_acctbal, c_mktsegment
+          FROM '{SRC}/customer.parquet', range({REPLICAS}) r
+          ORDER BY c_custkey
+        ) TO '{DST}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    # dims don't scale: copy verbatim so snowflake joins resolve
+    import shutil
+
+    for t in ("region", "nation", "supplier", "part"):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    for t in ("documents", "embeddings", "events", "lineitem", "orders", "customer"):
         n = con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 

@@ -31,6 +31,19 @@ HEAVY = [
     "ann_pq_topk",
     "dedup_incremental",
     "dedup_ngram_jaccard",
+    # round-6 extension: CDC apply kernel, event-stream analytics, and
+    # the relational join/agg anchors (fixture now scales events +
+    # key-consistent lineitem/orders/customer too)
+    "r1_apply_delta",
+    "r9_delta_full_mix",
+    "events_sessionize",
+    "events_asof_join",
+    "events_sliding_topk",
+    "agg_lineitem_pushdown",
+    "join_broadcast_revenue",
+    "join_shipping_priority",
+    "text_bpe_train",
+    "dedup_winnow_pairs",
 ]
 
 SF_DIRS = {
@@ -43,7 +56,7 @@ def main() -> None:
     only = os.environ.get("SCALE_QUERIES")
     heavy = [q for q in only.split(",") if q] if only else HEAVY
     spark = get_spark(app_name="scylla_cdc_java_spark-scaling")
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events", "lineitem", "orders"):
         for d in SF_DIRS.values():
             load_table(spark, d, t).count()
     spark.range(1000).mapInPandas(lambda it: it, schema="id long").write.format(
