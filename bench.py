@@ -70,6 +70,8 @@ HEADLINE = [
     "ann_pq_topk",
     "text_bpe_train",
     "pipeline_embeddings_index",
+    # round-6 addition: residual IVF-PQ (textbook IVF-ADC layout)
+    "ann_ivf_pq_residual_topk",
 ]
 
 
@@ -109,6 +111,10 @@ def main() -> None:
         timings[name] = min(runs[name])
 
     total = round(sum(timings.values()), 3)
+    # ONE compact JSON line. The per-run detail goes to stderr only: the
+    # r05 driver artifact recorded parsed=null with a mid-line tail —
+    # its parser keeps a bounded tail of the line, so every byte on
+    # stdout risks truncating the record it exists to produce.
     print(
         json.dumps(
             {
@@ -116,15 +122,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                # individual run times: lets cross-round comparisons use
-                # any aggregation (r01/r02 artifacts were single-run)
-                "runs": runs,
                 "sf": sf,
                 "runs_per_query": 2,
                 "agg": "min",
-            }
+            },
+            separators=(",", ":"),
         )
     )
+    print(json.dumps({"runs": runs}), file=sys.stderr)
     spark.stop()
 
 

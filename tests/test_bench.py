@@ -43,6 +43,14 @@ def test_bench_emits_parseable_summary_line():
     assert doc["unit"] == "sec"
     assert set(doc["queries"]) == set(SMOKE_QUERIES)
     assert all(v > 0 for v in doc["queries"].values())
-    assert set(doc["runs"]) == set(SMOKE_QUERIES)
-    assert all(len(r) == doc["runs_per_query"] for r in doc["runs"].values())
     assert doc["value"] > 0
+    # per-run detail moved to stderr (r05's driver artifact recorded
+    # parsed=null: its parser keeps only a bounded tail of the stdout
+    # line, so the summary line must stay minimal)
+    runs_lines = [
+        ln for ln in proc.stderr.splitlines() if ln.startswith('{"runs"')
+    ]
+    assert runs_lines, "per-run detail line missing from stderr"
+    runs = json.loads(runs_lines[-1])["runs"]
+    assert set(runs) == set(SMOKE_QUERIES)
+    assert all(len(r) == doc["runs_per_query"] for r in runs.values())

@@ -43,7 +43,15 @@ HEAVY = [
     "join_broadcast_revenue",
     "join_shipping_priority",
     "text_bpe_train",
-    "dedup_winnow_pairs",
+    # dedup_winnow (per-doc fingerprints) and NOT dedup_winnow_pairs: the
+    # replica fixture gives every doc 9 near-copies, so pair ENUMERATION
+    # output grows ~45x per duplicate group (quadratic in group size —
+    # inherent to emitting all matching pairs, and a property of this
+    # synthetic dup-heavy corpus, not of the operator's plan). Measured:
+    # the sf1 pairs run exceeded 13 min where every other gate finished
+    # in seconds. At real scale the answer is clustering (keep-one per
+    # component) over capped pair lists, which dedup_clusters implements.
+    "dedup_winnow",
 ]
 
 SF_DIRS = {
