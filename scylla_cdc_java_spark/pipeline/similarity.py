@@ -1187,3 +1187,73 @@ def ivf_pq_residual_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc")
     )
+
+
+def pq_index_artifacts(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the persistable IVF-PQ index artifacts on a corpus snapshot:
+    ``(centroids (cid, cv), codebooks (sub, code, cw))`` — the two small
+    tables a deployment writes next to the encoded index. Fixed-k
+    everything (:func:`select_seeds`), so artifact size is independent of
+    corpus size."""
+    cent = select_seeds(
+        corpus.select(
+            F.col(id_col).alias("cid"), quantize_embedding(vec_col, scale).alias("cv")
+        ),
+        n_centroids,
+        "cid",
+    )
+    cb = pq_codebooks(
+        corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    return cent, cb
+
+
+def pq_index_encode(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Encode vectors against FROZEN index artifacts — the incremental
+    ingest path: new data arriving after the index build gets its coarse
+    cell + PQ codes from the persisted centroid/codebook tables, with NO
+    retraining and no touch of the already-encoded corpus. Returns
+    ``(vec_id, cid, sub, code)``, long-form like
+    :func:`build_embedding_index`.
+
+    Determinism matters here twice: encode(new | artifacts) must equal
+    what a full rebuild would have produced for those rows given the same
+    artifacts (replayable ingest), and both halves are exact integer
+    arithmetic, so the SQL oracle can replay train-on-snapshot +
+    encode-all bit-for-bit. One GEMM map pass per stage; the only
+    collected state is the O(k) artifacts themselves.
+    """
+    import numpy as np
+
+    cent_rows = sorted(centroids.select("cid", "cv").collect(), key=lambda r: r["cid"])
+    cent_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r["cv"] for r in cent_rows], dtype=np.int64)
+    q = vectors.select(
+        F.col(id_col).alias("vid"), quantize_embedding(vec_col, scale).alias("qv")
+    )
+    assigned = q.mapInPandas(
+        _coarse_probe_kernel(cent_ids, cent_mat, 1),
+        schema="vid long, qv array<long>, cid long",
+    ).select("vid", "cid")
+    codes = pq_encode(
+        vectors, codebooks, m=m, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    return codes.join(assigned, "vid").select(
+        F.col("vid").alias(id_col), "cid", "sub", "code"
+    )

@@ -3588,6 +3588,7 @@ def _pq_cte_chain(
     n_iter: int = 2,
     q_cte: str | None = None,
     with_queries: bool = True,
+    encode_subs: str | None = None,
 ) -> str:
     """DuckDB mirror of the deterministic PQ build behind ann_pq_topk /
     ann_ivf_pq_topk (pipeline/similarity.py: pq_codebooks, pq_encode):
@@ -3601,7 +3602,10 @@ def _pq_cte_chain(
     (corpus PQ codes) and lut (per-query (sub, code) → partial dot).
     ``q_cte`` substitutes an existing (vid, qv) CTE as the corpus source
     (used by the composite index-build oracle, which trains on dedup
-    survivors); ``with_queries=False`` omits the qsubs/lut CTEs."""
+    survivors); ``with_queries=False`` omits the qsubs/lut CTEs;
+    ``encode_subs`` names a caller-defined (vid, sub, sv) CTE to ENCODE
+    instead of the training subs — the frozen-artifact ingest oracle
+    trains on a snapshot and encodes the full corpus."""
     parts = []
     if q_cte is None:
         parts.append("""q AS (
@@ -3644,11 +3648,12 @@ cb{r} AS (
   SELECT sub, code, list((s - ((s % n) + n) % n) // n ORDER BY pos) AS cw
   FROM c{r} GROUP BY sub, code
 )""")
+    enc = encode_subs or "subs"
     parts.append(f"""dz AS (
   SELECT s.vid, s.sub, c.code,
          CAST(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cw)
               + list_dot_product(c.cw, c.cw) AS BIGINT) AS l2
-  FROM subs s JOIN cb{n_iter} c ON c.sub = s.sub
+  FROM {enc} s JOIN cb{n_iter} c ON c.sub = s.sub
 ),
 codes AS (
   SELECT vid, sub, code FROM (
@@ -3899,6 +3904,55 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 """
 
 
+
+
+def q_ann_index_extend(spark, sf_dir):
+    """Frozen-artifact incremental index encode — the index MAINTENANCE
+    path: centroids + PQ codebooks train on the even-id snapshot only,
+    then the ENTIRE corpus (snapshot + the odd-id "newly arrived" half)
+    encodes against those frozen artifacts with no retraining. The oracle
+    replays train-on-snapshot (seeds/Lloyd over even subvectors) and
+    encode-everything (the chain's encode corpus decoupled from its
+    training corpus), proving ingest determinism: encode(new | artifacts)
+    equals what a rebuild would emit for those rows."""
+    from .pipeline.similarity import pq_index_artifacts, pq_index_encode
+
+    emb = _emb(spark, sf_dir)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    cent, cb = pq_index_artifacts(base, n_centroids=16, m=8, n_codes=32)
+    return pq_index_encode(emb, cent, cb, m=8)
+
+
+ORACLE_INDEX_EXTEND = (
+    """
+WITH q AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qe AS (SELECT vid, qv FROM q WHERE vid % 2 = 0),
+all_subs AS (
+  SELECT vid, s.sub, qv[s.sub*8+1 : s.sub*8+8] AS sv
+  FROM q, (SELECT unnest(generate_series(0, 7)) AS sub) s
+),
+"""
+    + _pq_cte_chain(q_cte="qe", with_queries=False, encode_subs="all_subs")
+    + f""",
+cent AS (SELECT vid AS cid, qv AS cv FROM qe
+         ORDER BY {_seed_hash_sql("vid")}, vid LIMIT 16),
+coarse AS (
+  SELECT q.vid, cent.cid,
+         row_number() OVER (
+           PARTITION BY q.vid
+           ORDER BY CAST(list_dot_product(q.qv, cent.cv) AS BIGINT) DESC, cent.cid
+         ) AS rn
+  FROM q CROSS JOIN cent
+),
+ca AS (SELECT vid, cid FROM coarse WHERE rn = 1)
+SELECT co.vid AS vec_id, ca.cid, co.sub, co.code
+FROM codes co JOIN ca ON ca.vid = co.vid
+"""
+)
 
 
 def q_ann_ivf_pq_residual_topk(spark, sf_dir):
@@ -4728,6 +4782,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_IVF_PQ_RESIDUAL,
         "residual IVF-PQ (textbook IVF-ADC: coarse dot + residual ADC)",
     ),
+    "ann_index_extend": (
+        q_ann_index_extend,
+        ORACLE_INDEX_EXTEND,
+        "frozen-artifact incremental index encode (ingest without retrain)",
+    ),
     "text_bpe_encode": (
         q_text_bpe_encode,
         ORACLE_BPE_ENCODE,
@@ -4854,9 +4913,9 @@ _GATE_FRONT: list[str] = [
     "r9_delta_full_mix",
     "r8_postimage_apply",
     "ttl_apply_visibility",
-    "dedup_exact",
-    # round-6 late addition (needs its first driver row)
+    # round-6 late additions (need their first driver row)
     "ann_ivf_pq_residual_topk",
+    "ann_index_extend",
 ]
 
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {

@@ -1039,3 +1039,46 @@ class TestResidualIvfPq:
         )
         assert ivf_pq_residual_topk(empty, one).count() == 0
         assert ivf_pq_residual_topk(one, one).count() == 0  # no non-self
+
+
+class TestFrozenIndexEncode:
+    """pq_index_artifacts / pq_index_encode: the index-maintenance path —
+    new vectors encode against persisted artifacts without retraining."""
+
+    def test_incremental_equals_rebuild_encode(self, spark):
+        """encode(base) ∪ encode(new) against frozen artifacts must equal
+        encode(base ∪ new) — ingest is replayable and order-free."""
+        import numpy as np
+
+        from scylla_cdc_java_spark.pipeline.similarity import (
+            pq_index_artifacts,
+            pq_index_encode,
+        )
+
+        rng = np.random.RandomState(11)
+        rows = [
+            (i, [float(x) for x in rng.randn(16)]) for i in range(60)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        base = emb.where(F.col("vec_id") % 2 == 0)
+        new = emb.where(F.col("vec_id") % 2 == 1)
+        cent, cb = pq_index_artifacts(base, n_centroids=4, m=4, n_codes=8)
+
+        def rows_of(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        together = rows_of(pq_index_encode(emb, cent, cb, m=4))
+        split = rows_of(
+            pq_index_encode(base, cent, cb, m=4).unionByName(
+                pq_index_encode(new, cent, cb, m=4)
+            )
+        )
+        assert together == split
+        # every vector got m codes and a coarse cell from the artifact set
+        cent_ids = {r["cid"] for r in cent.collect()}
+        per = {}
+        for vec_id, cid, sub, code in together:
+            assert cid in cent_ids
+            per.setdefault(vec_id, set()).add(sub)
+        assert all(subs == {0, 1, 2, 3} for subs in per.values())
+        assert len(per) == 60

@@ -69,8 +69,9 @@ EMB_QUERIES = ",".join(
         "dedup_keep_best",
         # round-5 hash-gated additions (oracles unroll the Lloyd rounds)
         "ann_pq_topk", "ann_ivf_pq_topk", "pipeline_embeddings_index",
-        # round-6: residual IVF-PQ (textbook IVF-ADC)
-        "ann_ivf_pq_residual_topk",
+        # round-6: residual IVF-PQ (textbook IVF-ADC) + frozen-artifact
+        # incremental index encode
+        "ann_ivf_pq_residual_topk", "ann_index_extend",
     ]
 )
 
