@@ -29,6 +29,14 @@ def tokens_col(text: Column | str = "text") -> Column:
     return F.split(c, " ")
 
 
+# GPT-2-style pre-tokenizer classes, restricted to the regex subset that
+# Java (Spark) and RE2-ish engines (DuckDB) evaluate identically: letter
+# runs, digit runs, single non-alnum-non-space marks. No lookarounds, no
+# \p classes — dialect-portable by construction, so the oracle can count
+# the same matches.
+PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens_col(text_col)
     return df.withColumns(
@@ -38,6 +46,11 @@ def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             # BPE-ish subword estimate: ~1 token per 4 chars, floor at word count
             "n_tokens_bpe": F.greatest(
                 F.size(toks), (F.length(F.col(text_col)) / F.lit(4)).cast("int")
+            ),
+            # regex pre-tokenizer count (the BPE front-end's unit): letter
+            # runs / digit runs / punctuation marks, before subword merges
+            "n_pretokens": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE), F.lit(0))
             ),
         }
     )

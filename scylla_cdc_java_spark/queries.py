@@ -902,15 +902,20 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM ranked WHERE
 
 
 def q_text_token_count(spark, sf_dir):
+    """Token counting, three estimators: whitespace words, the chars/4
+    BPE budget heuristic, and the regex pre-tokenizer (letter runs /
+    digit runs / punctuation — the BPE front-end's unit, dialect-portable
+    regex so DuckDB counts the same matches)."""
     return add_token_stats(_docs(spark, sf_dir)).select(
-        "doc_id", "n_tokens", "n_chars_calc", "n_tokens_bpe"
+        "doc_id", "n_tokens", "n_chars_calc", "n_tokens_bpe", "n_pretokens"
     )
 
 
 ORACLE_TOKENS = """
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
        CAST(length(text) AS INT) AS n_chars_calc,
-       CAST(greatest(len(string_split(text, ' ')), length(text) // 4) AS INT) AS n_tokens_bpe
+       CAST(greatest(len(string_split(text, ' ')), length(text) // 4) AS INT) AS n_tokens_bpe,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_pretokens
 FROM documents
 """
 
