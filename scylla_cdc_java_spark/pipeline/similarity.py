@@ -1257,3 +1257,69 @@ def pq_index_encode(
     return codes.join(assigned, "vid").select(
         F.col("vid").alias(id_col), "cid", "sub", "code"
     )
+
+
+def stream_index_encode(
+    spark,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    schema: str = "vec_id long, embedding array<float>",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    available_now: bool = True,
+):
+    """Streaming ingest into a frozen-artifact PQ index: a file stream of
+    vector batches is coarse-assigned + PQ-encoded against the PERSISTED
+    centroid/codebook artifacts (``foreachBatch``; no retraining ever)
+    and appended to the index parquet — the continuous counterpart of
+    :func:`pq_index_encode`, completing the same batch/streaming pairing
+    the dedup side has (``incremental_dedup`` / ``stream_incremental_dedup``).
+
+    Restart safety: the checkpoint replays an in-flight batch after a
+    crash landed some rows; encoding is a pure function of (vector,
+    artifacts), so a replay would append byte-identical rows — the
+    anti-join on ``vec_id`` against the existing index makes the append
+    idempotent instead of duplicated. Per batch: one O(k) artifact
+    collect, two GEMM map passes over the batch, one id anti-join
+    against the index's id column (columnar scan of ids only).
+    """
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+
+    def encode_batch(batch: DataFrame, batch_id: int) -> None:
+        b = batch.persist()
+        try:
+            if b.isEmpty():
+                return
+            spark_l = b.sparkSession
+            enc = pq_index_encode(
+                b, centroids, codebooks, m=m,
+                id_col=id_col, vec_col=vec_col, scale=scale,
+            )
+            try:
+                existing = spark_l.read.parquet(index_dir).select(id_col).distinct()
+                enc = enc.join(existing, [id_col], "left_anti")
+            except Exception:
+                pass
+            enc = enc.persist()
+            try:
+                if not enc.isEmpty():
+                    enc.write.mode("append").parquet(index_dir)
+            finally:
+                enc.unpersist()
+        finally:
+            b.unpersist()
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(encode_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

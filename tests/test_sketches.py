@@ -1082,3 +1082,52 @@ class TestFrozenIndexEncode:
             per.setdefault(vec_id, set()).add(sub)
         assert all(subs == {0, 1, 2, 3} for subs in per.values())
         assert len(per) == 60
+
+
+class TestStreamIndexEncode:
+    """stream_index_encode: continuous ingest into a frozen-artifact PQ
+    index — restart-spanning, replay-idempotent."""
+
+    def test_two_batches_restart_and_replay(self, spark, tmp_path):
+        import numpy as np
+
+        from scylla_cdc_java_spark.pipeline.similarity import (
+            pq_index_artifacts,
+            pq_index_encode,
+            stream_index_encode,
+        )
+
+        rng = np.random.RandomState(3)
+        rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(40)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cent, cb = pq_index_artifacts(
+            emb.where(F.col("vec_id") < 20), n_centroids=4, m=4, n_codes=8
+        )
+        cent, cb = cent.cache(), cb.cache()
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "idx")
+        ckpt = str(tmp_path / "ckpt")
+        b1 = emb.where(F.col("vec_id") < 20)
+        b2 = emb.where(F.col("vec_id") >= 20)
+        b1.write.parquet(src)
+        stream_index_encode(spark, src, idx, ckpt, cent, cb, m=4).awaitTermination()
+        import time
+
+        time.sleep(0.05)
+        b2.write.mode("append").parquet(src)
+        # restart: run 2 resumes from the checkpoint, sees only batch 2
+        stream_index_encode(spark, src, idx, ckpt, cent, cb, m=4).awaitTermination()
+
+        def rows_of(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        want = rows_of(pq_index_encode(emb, cent, cb, m=4))
+        assert rows_of(spark.read.parquet(idx)) == want
+
+        # crash-replay: a FRESH checkpoint re-processes every file; the
+        # id anti-join must keep the index exactly unique
+        stream_index_encode(
+            spark, src, idx, str(tmp_path / "ckpt2"), cent, cb, m=4
+        ).awaitTermination()
+        assert rows_of(spark.read.parquet(idx)) == want
