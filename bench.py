@@ -70,8 +70,15 @@ HEADLINE = [
     "ann_pq_topk",
     "text_bpe_train",
     "pipeline_embeddings_index",
-    # round-6 addition: residual IVF-PQ (textbook IVF-ADC layout)
+    # round-6 additions: residual IVF-PQ (textbook IVF-ADC layout) and the
+    # frozen-artifact incremental index encode. The composed streaming gate
+    # (pipeline_stream_cdc_dedup) stays OUT of the headline on purpose: its
+    # ~21 s at sf0.1 is dominated by fixed Structured-Streaming machinery
+    # (4 checkpointed runs), which would drown the per-operator signal the
+    # headline exists to track — its wall-clock is covered by the driver's
+    # correctness run instead.
     "ann_ivf_pq_residual_topk",
+    "ann_index_extend",
 ]
 
 
