@@ -471,3 +471,28 @@ def test_plan_audit_catches_mutations(spark):
 
     crossed = od.limit(5).crossJoin(li.limit(5))
     assert audit_plan(crossed) != []
+
+
+def test_seed_hash_cross_engine_including_negative_ids(spark):
+    """The fixed-k selector's hash must agree BIT-FOR-BIT with the SQL
+    mirror for any int64 id — including negatives, where Spark's pmod and
+    SQL's % disagree unless the mirror wraps the sign explicitly."""
+    import duckdb
+
+    from scylla_cdc_java_spark.pipeline.similarity import seed_hash
+    from scylla_cdc_java_spark.queries import _seed_hash_sql
+
+    ids = list(range(-10, 11)) + [2**62, -(2**62), 999999937, -999999937]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", seed_hash("id").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    expr = _seed_hash_sql("id")
+    want = dict(
+        con.execute(
+            f"SELECT id, {expr} AS h FROM (SELECT unnest(?) AS id)", [ids]
+        ).fetchall()
+    )
+    assert got == {k: int(v) for k, v in want.items()}
