@@ -1010,6 +1010,12 @@ def build_embedding_index(
     surv = corpus.join(
         clusters.where(F.col(id_col) == F.col("cluster_id")).select(id_col), id_col
     )
+    # NOT cached on purpose, measured: dedup_clusters localCheckpoints its
+    # contraction rounds, so the three downstream consumers (centroid
+    # seeds, codebook training, encode) only re-run a cheap join over the
+    # checkpointed cluster frame — an explicit cache()+count() here was
+    # ~18% SLOWER at sf0.1 (the materialization job costs more than the
+    # recompute it saves).
     cent_rows = _collect_centroid_rows(
         surv.select(
             F.col(id_col).alias("cid"), quantize_embedding(vec_col).alias("cv")
