@@ -34,8 +34,28 @@ def dedup_changes(df: DataFrame) -> DataFrame:
     round-6 composed streaming gate, where a synthetic log with seq=0
     lost 97% of its rows; the events-based gates masked it because their
     seq is the unique event id). ``normalize_changes`` derives the micros
-    column from ``cdc$time_ts`` when present, else from the timeuuid."""
+    column from ``cdc$time_ts`` when present, else from the timeuuid.
+
+    A row whose derived time is STILL null (both ``cdc$time`` and
+    ``cdc$time_ts`` absent/null) has no ChangeId identity at all, and
+    ``dropDuplicates`` groups NULL keys together — so rather than
+    silently collapsing such rows we fail the job with a per-row
+    ``raise_error`` guard (lazy, distributed; no driver-side count)."""
     df = normalize_changes(df)
+    df = df.withColumn(
+        TIME_MICROS,
+        F.when(
+            F.col(TIME_MICROS).isNull(),
+            F.raise_error(
+                F.lit(
+                    "dedup_changes: row with no derivable change time "
+                    "(cdc$time and cdc$time_ts both null) — refusing to "
+                    "dedup on a NULL ChangeId key, which would collapse "
+                    "distinct changes into one"
+                )
+            ).cast("long"),
+        ).otherwise(F.col(TIME_MICROS)),
+    )
     cols = [TIME_MICROS if c == "cdc$time" else c for c in CHANGE_ID_COLS]
     return df.dropDuplicates(cols)
 

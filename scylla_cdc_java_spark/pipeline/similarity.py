@@ -20,6 +20,7 @@ Everything is native (``zip_with``/``aggregate``); no UDF.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1111,14 +1112,21 @@ def ivf_pq_residual_topk(
     Under the integer-dot metric the decomposition is EXACT:
     ``dot(q, x) = dot(q, c_x) + dot(q, r_x)`` — the score is the coarse
     dot (computed exactly per probed cell) plus the ADC approximation of
-    the residual dot, so the only approximation left is the residual
-    quantization itself. Plan shape matches :func:`ivf_pq_topk`: one
+    ``dot(q, r_x)``, so the only approximation left is the residual
+    quantization itself. Crucially the ADC lookup table is built from the
+    RAW quantized query (``part = dot(q_sub, codeword)``), NOT from the
+    per-cell query residual: subtracting the probed centroid from the
+    query is only valid for L2 ADC, and under inner product it injects a
+    per-neighbor bias ``−c·r_x`` that distorts within-cell ranking (when
+    residual quantization is exact the score below equals the exact
+    integer dot — pinned by a test). A bonus of the correct math: the LUT
+    is per-query instead of per-(query, probed-cell), shrinking the
+    broadcast by ``nprobe×``. Plan shape matches :func:`ivf_pq_topk`: one
     residual-assign GEMM map pass over the corpus (no shuffle), PQ train/
     encode over residuals (``pre_quantized`` path — residuals are already
-    integer), per-(query, probed-cell) residual LUT broadcast, candidates
-    only from probed cells, one (query, vid) partial-agg sum. Everything
-    is deterministic integer arithmetic, so the DuckDB oracle replays the
-    whole build bit-for-bit.
+    integer), per-query LUT broadcast, candidates only from probed cells,
+    one (query, vid) partial-agg sum. Everything is deterministic integer
+    arithmetic, so the DuckDB oracle replays the whole build bit-for-bit.
     """
     import numpy as np
 
@@ -1144,40 +1152,41 @@ def ivf_pq_residual_topk(
     codes = pq_encode(res, cb, m=m, id_col="vid", vec_col="rv", pre_quantized=True)
     assigned = res.select("vid", "cid")
 
-    # queries: nprobe cells, one residual (+ exact coarse dot) per probe
+    # queries: nprobe cells with the exact coarse dot per probe; the ADC
+    # LUT comes from the RAW quantized query (per-query, not per-probe)
     qres = quantized(queries).mapInPandas(
         _coarse_residual_kernel(cent_ids, cent_mat, min(nprobe, len(cent_rows))),
         schema=_RESIDUAL_SCHEMA,
     ).withColumnRenamed("vid", "query_id")
-    sub_w = F.floor(F.size(F.col("rv")) / F.lit(m))
+    qv_df = quantized(queries).withColumnRenamed("vid", "query_id")
+    sub_w = F.floor(F.size(F.col("qv")) / F.lit(m))
     qsubs = (
-        qres.select("query_id", "cid", "rv", sub_w.alias("sw"))
+        qv_df.select("query_id", "qv", sub_w.alias("sw"))
         .select(
             "query_id",
-            "cid",
             F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-            F.col("rv"),
+            F.col("qv"),
             "sw",
         )
         .select(
             "query_id",
-            "cid",
             "sub",
             F.slice(
-                F.col("rv"),
+                F.col("qv"),
                 (F.col("sub") * F.col("sw") + 1).cast("int"),
                 F.col("sw").cast("int"),
             ).alias("sv"),
         )
     )
     lut = qsubs.join(cb, "sub").select(
-        "query_id", "cid", "sub", "code",
+        "query_id", "sub", "code",
         quantized_dot(F.col("sv"), F.col("cw")).alias("part"),
     )
     probes = qres.select("query_id", "cid", "cdot")
     scored = (
         codes.join(assigned, "vid")
-        .join(F.broadcast(lut), ["cid", "sub", "code"])
+        .join(F.broadcast(probes.select("query_id", "cid")), "cid")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
         .where(F.col("query_id") != F.col("vid"))
         .groupBy("query_id", F.col("vid").alias("neighbor_id"), "cid")
         .agg(F.sum("part").alias("radc"), F.count(F.lit(1)).alias("__nsub"))
@@ -1308,11 +1317,18 @@ def stream_index_encode(
                 b, centroids, codebooks, m=m,
                 id_col=id_col, vec_col=vec_col, scale=scale,
             )
+            # Only a missing/not-yet-created index may skip the anti-join
+            # (AnalysisException: path absent or no parquet files to infer
+            # a schema from). Any OTHER read failure — corrupt footer,
+            # permissions, FS hiccup — must fail the batch so the
+            # checkpoint retries it; swallowing those would silently
+            # disable dedup exactly during crash replay.
             try:
                 existing = spark_l.read.parquet(index_dir).select(id_col).distinct()
+            except AnalysisException:
+                existing = None
+            if existing is not None:
                 enc = enc.join(existing, [id_col], "left_anti")
-            except Exception:
-                pass
             enc = enc.persist()
             try:
                 if not enc.isEmpty():

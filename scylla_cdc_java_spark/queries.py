@@ -3963,11 +3963,13 @@ FROM codes co JOIN ca ON ca.vid = co.vid
 def q_ann_ivf_pq_residual_topk(spark, sf_dir):
     """Residual IVF-PQ (the textbook IVF-ADC layout): PQ codebooks train
     on x − centroid(x), and the score decomposes EXACTLY under the
-    integer-dot metric as dot(q,c) + ADC(residual). The oracle replays
+    integer-dot metric as dot(q,c) + ADC(residual), with the LUT built
+    from the RAW quantized query (per-query; query-residual LUTs are an
+    L2-only trick and bias inner-product ranking). The oracle replays
     the full build: fixed-k coarse centroids, per-vector residuals, the
     seeded Lloyd chain over residual subvectors (_pq_cte_chain with the
-    residual CTE as corpus), per-(query, probed-cell) residual LUTs, and
-    the coarse-dot + residual-ADC sum."""
+    residual CTE as corpus), per-query raw-query LUTs, and the
+    coarse-dot + residual-ADC sum."""
     from .pipeline.similarity import ivf_pq_residual_topk
 
     emb = _emb(spark, sf_dir)
@@ -4001,18 +4003,13 @@ sq AS (
 ),
 {_pq_cte_chain(q_cte="sq", with_queries=False)},
 probes AS (SELECT vid AS query_id, cid, cdot FROM coarse WHERE rn <= 4 AND vid < 5),
-qres AS (
-  SELECT p.query_id, p.cid, p.cdot,
-         list_transform(generate_series(1, len(q.qv)),
-                        i -> q.qv[i] - c.cv[i]) AS rv
-  FROM probes p JOIN q ON q.vec_id = p.query_id JOIN cent c ON c.cid = p.cid
-),
 qsubs AS (
-  SELECT query_id, cid, s.sub, rv[s.sub*8+1 : s.sub*8+8] AS sv
-  FROM qres, (SELECT unnest(generate_series(0, 7)) AS sub) s
+  SELECT q.vec_id AS query_id, s.sub, q.qv[s.sub*8+1 : s.sub*8+8] AS sv
+  FROM q, (SELECT unnest(generate_series(0, 7)) AS sub) s
+  WHERE q.vec_id < 5
 ),
 lut AS (
-  SELECT qs.query_id, qs.cid, qs.sub, c.code,
+  SELECT qs.query_id, qs.sub, c.code,
          CAST(list_dot_product(qs.sv, c.cw) AS BIGINT) AS part
   FROM qsubs qs JOIN cb2 c ON c.sub = qs.sub
 ),
@@ -4021,8 +4018,8 @@ scored AS (
          CAST(p.cdot + sum(l.part) AS BIGINT) AS adc
   FROM codes co
   JOIN ca ON ca.vid = co.vid
-  JOIN lut l ON l.cid = ca.cid AND l.sub = co.sub AND l.code = co.code
-  JOIN probes p ON p.query_id = l.query_id AND p.cid = ca.cid
+  JOIN probes p ON p.cid = ca.cid
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = co.sub AND l.code = co.code
   WHERE l.query_id <> co.vid
   GROUP BY 1, 2, p.cdot
 ),

@@ -158,3 +158,22 @@ def test_dedup_changes_ignores_null_raw_time_column(spark):
     assert dedup_changes(df).count() == n
     # true redeliveries (same stream, time, seq) still collapse
     assert dedup_changes(df.unionAll(df)).count() == n
+
+
+def test_dedup_changes_refuses_underivable_change_time(spark):
+    """Regression (round-6 advisory): a frame with NEITHER a usable
+    ``cdc$time`` NOR a ``cdc$time_ts`` has no ChangeId identity;
+    ``dropDuplicates`` on the all-NULL derived key would silently
+    collapse every change sharing (stream, seq) into one. The guard must
+    fail the job instead."""
+    import pytest
+
+    n = 5
+    df = spark.range(n).select(
+        F.lit(bytes(16)).alias("cdc$stream_id"),
+        F.lit(None).cast("string").alias("cdc$time"),
+        F.lit(0).cast("int").alias("cdc$batch_seq_no"),
+        F.col("id").alias("doc_id"),
+    )
+    with pytest.raises(Exception, match="NULL ChangeId"):
+        dedup_changes(df).count()

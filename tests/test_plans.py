@@ -399,7 +399,7 @@ def test_jaccard_salted_exact_row_identical_and_salted_plan(spark):
 _AUDIT_ALLOW: dict[str, tuple[int, bool]] = {
     "ann_cosine_topk": (1, True),       # broadcast query set; 1-row dims probe
     "ann_ivf_pq_topk": (2, False),      # broadcast probes + per-query LUT
-    "ann_ivf_pq_residual_topk": (2, False),  # broadcast LUT + probe cdots
+    "ann_ivf_pq_residual_topk": (3, False),  # probe cids + per-query LUT + probe cdots
     "ann_ivf_topk": (1, False),         # broadcast query probes
     "ann_ivf_trained_topk": (1, False),
     "ann_kmeans_train": (1, True),      # 1-row collected-centroids crossJoin

@@ -1040,6 +1040,52 @@ class TestResidualIvfPq:
         assert ivf_pq_residual_topk(empty, one).count() == 0
         assert ivf_pq_residual_topk(one, one).count() == 0  # no non-self
 
+    def test_adc_equals_exact_dot_when_quantization_exact(self, spark):
+        """With n_codes >= corpus size every residual subvector becomes
+        its own codeword (min-L2 assignment hits distance 0; singleton
+        integer means are exact), so residual quantization is EXACT — and
+        then q·x = q·c_x + q·r_x means adc must EQUAL the exact integer
+        dot for every candidate, and the per-query ranking must match the
+        exact scan. The round-6 defect (ADC LUT built from the per-cell
+        query residual q−c, an L2-only trick) scores q·x − c_x·r_x
+        instead — a per-neighbor bias this test catches on any
+        non-degenerate data."""
+        import numpy as np
+
+        from scylla_cdc_java_spark.pipeline.similarity import ivf_pq_residual_topk
+
+        rng = np.random.RandomState(23)
+        rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(12)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qs = emb.where(F.col("vec_id") < 3)
+        got = ivf_pq_residual_topk(
+            emb, qs, k=12, nprobe=3, n_centroids=3, m=2, n_codes=16
+        ).collect()
+        qv = {
+            r["vec_id"]: np.round(
+                np.asarray(r["embedding"], dtype=np.float64) * 1000
+            ).astype(np.int64)
+            for r in emb.collect()
+        }
+        assert len(got) == 3 * 11  # all cells probed -> all non-self pairs
+        for r in got:
+            exact = int(qv[r["query_id"]] @ qv[r["neighbor_id"]])
+            assert r["adc"] == exact, (r, exact)
+        # rank order equals the exact integer-dot order (ties by id)
+        for q in range(3):
+            mine = [
+                r["neighbor_id"]
+                for r in sorted(
+                    (r for r in got if r["query_id"] == q),
+                    key=lambda r: r["rank"],
+                )
+            ]
+            want = sorted(
+                (v for v in qv if v != q),
+                key=lambda v: (-(qv[q] @ qv[v]), v),
+            )
+            assert mine == want
+
 
 class TestFrozenIndexEncode:
     """pq_index_artifacts / pq_index_encode: the index-maintenance path —
@@ -1131,3 +1177,41 @@ class TestStreamIndexEncode:
             spark, src, idx, str(tmp_path / "ckpt2"), cent, cb, m=4
         ).awaitTermination()
         assert rows_of(spark.read.parquet(idx)) == want
+
+    def test_unreadable_index_fails_batch_instead_of_duplicating(
+        self, spark, tmp_path
+    ):
+        """Regression (round-6 advisory): if the existing index can't be
+        READ (corrupt footer etc.), the batch must FAIL so the checkpoint
+        retries — the old bare ``except Exception`` silently skipped the
+        idempotency anti-join, which is exactly the crash-replay moment
+        dedup exists for. Only 'index missing/empty' may skip it."""
+        import numpy as np
+        import pytest
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        from scylla_cdc_java_spark.pipeline.similarity import (
+            pq_index_artifacts,
+            stream_index_encode,
+        )
+
+        rng = np.random.RandomState(5)
+        rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(10)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cent, cb = pq_index_artifacts(emb, n_centroids=2, m=4, n_codes=4)
+        cent, cb = cent.cache(), cb.cache()
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "idx")
+        emb.write.parquet(src)
+        # an index directory that EXISTS but whose sole file has a garbage
+        # parquet footer — reads must raise, not be treated as "no index"
+        import os
+
+        os.makedirs(idx)
+        with open(os.path.join(idx, "part-corrupt.parquet"), "wb") as f:
+            f.write(b"PAR1 this is not a parquet file")
+        with pytest.raises(StreamingQueryException):
+            stream_index_encode(
+                spark, src, idx, str(tmp_path / "ckpt"), cent, cb, m=4
+            ).awaitTermination()
