@@ -79,6 +79,14 @@ HEADLINE = [
     # correctness run instead.
     "ann_ivf_pq_residual_topk",
     "ann_index_extend",
+    # round-7 additions: SQ8 scalar quantization, perceptual-hash media
+    # dedup, and the two heaviest new TPC-H shapes (the other four are
+    # sub-second dim-join variations the existing relational rows already
+    # represent)
+    "ann_sq8_topk",
+    "mm_phash_pairs",
+    "agg_large_orders",
+    "join_volume_shipping",
 ]
 
 

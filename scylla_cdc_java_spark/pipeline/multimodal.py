@@ -130,6 +130,134 @@ def extract_features(
     return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+def perceptual_hash(
+    df: DataFrame, n_bits: int = 64, decode: str = "deterministic_fake"
+) -> DataFrame:
+    """64-bit perceptual-hash per media row (``media_id, phash``) — the
+    image-dedup primitive (pHash-style: a compact content fingerprint
+    whose Hamming distance tracks visual similarity). The decode step is
+    the stubbed one: the payload's utf-32 codepoint stream stands in for
+    the decoded pixel/sample stream (``decode='strict'`` raises where a
+    real image decoder would plug in); bit j is an FNV-1a fold of the
+    j-th codepoint stride — same lockstep-vectorized kernel shape as
+    :func:`extract_features`, and exact integer arithmetic end-to-end so
+    the DuckDB oracle replays every bit.
+
+    One Arrow map pass, no shuffle; at 100 TB the hash is what you
+    persist (8 bytes/image) and the payload never moves again."""
+    if decode not in ("deterministic_fake", "strict"):
+        raise ValueError(decode)
+    if n_bits != 64:
+        raise ValueError("phash is a packed int64: n_bits must be 64")
+    strict = decode == "strict"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real image decoding requires PIL; plug a decoder in here"
+                )
+            n = len(pdf)
+            if n == 0:
+                continue
+            cps = [
+                None
+                if p is None
+                else np.frombuffer(
+                    bytes(p).decode("utf-8").encode("utf-32-le"), dtype=np.uint32
+                )
+                for p in pdf["payload"]
+            ]
+            bits = np.zeros((n, 64), dtype=np.uint64)
+            for j in range(64):
+                strides = [
+                    a[j::64]
+                    if (a is not None and len(a) > j)
+                    else np.zeros(1, np.uint32)
+                    for a in cps
+                ]
+                slens = np.array([len(s) for s in strides])
+                m = int(slens.max())
+                stacked = np.zeros((n, m), dtype=np.uint32)
+                for i, s in enumerate(strides):
+                    stacked[i, : len(s)] = s
+                acc = np.full(n, 2166136261, dtype=np.uint32)
+                for k in range(m):
+                    mask = k < slens
+                    upd = (acc ^ stacked[:, k]) * np.uint32(16777619)
+                    acc = np.where(mask, upd, acc)
+                bits[:, j] = (acc % np.uint32(1000)) >= 500
+            packed = (bits << np.arange(64, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64
+            ).view(np.int64)
+            valid = np.array([a is not None for a in cps], dtype=bool)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        int(packed[i]) if valid[i] else None for i in range(n)
+                    ],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema="media_id long, phash long")
+
+
+def phash_pairs(df: DataFrame, radius: int = 3) -> DataFrame:
+    """Near-duplicate media pairs within Hamming distance ``radius`` of
+    their perceptual hashes — banded exactly like the SimHash text path
+    (Manku et al. 2007): the 64-bit hash splits into ``radius+1`` 16-bit
+    bands; by pigeonhole any pair within the radius agrees on at least
+    one band, so the equi-join candidate generation is EXACT, never
+    all-pairs. ``df`` is ``(media_id, phash)``; output
+    ``(media_a, media_b, hamming)`` with ``media_a < media_b``.
+
+    ``(phash >> s) & 0xFFFF`` reads the same 16 bits under arithmetic or
+    logical shift (the mask discards the filled high bits), so negative
+    packed hashes band identically in Spark and the SQL oracle."""
+    n_bands = radius + 1
+    if n_bands * 16 != 64:
+        raise ValueError("radius must be 3 (4 x 16-bit bands) for int64 hashes")
+    ph = df.where(F.col("phash").isNotNull())
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("phash"), 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("bv"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "phash", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    a = bands.select(
+        F.col("media_id").alias("media_a"), F.col("phash").alias("ph_a"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"), F.col("phash").alias("ph_b"), "band", "bv"
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .select(
+            "media_a",
+            "media_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= radius)
+        .distinct()
+    )
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sample plan for video rows: one output row per sampled frame
     offset (native explode over a computed sequence — the decode itself is

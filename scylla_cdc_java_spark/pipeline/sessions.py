@@ -96,3 +96,64 @@ def funnel(
         )
         cur = cur.join(nxt, user_col, "left")
     return cur
+
+
+def stream_sessionize(
+    spark,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    available_now: bool = True,
+):
+    """STREAMING gap sessions: native ``session_window`` aggregation with
+    a watermark, appended to parquet as sessions finalize — the
+    continuous counterpart of :func:`sessionize`/:func:`session_stats`,
+    with the SAME boundary convention: session windows merge when they
+    overlap OR touch, so an event exactly ``gap`` after its predecessor
+    still extends the session (split only on strictly-greater gaps —
+    pinned by a pytest against a crafted ==gap event).
+
+    Restart-safe: session state lives in the checkpointed state store, so
+    a stop/restart mid-stream resumes half-open sessions and merges new
+    events into them. Append mode emits each session exactly once, when
+    the watermark passes its close; an end-of-feed sentinel event (far
+    future, excluded downstream) is the standard way to flush the tail.
+    Scale posture: state is keyed (user, window) and evicted at the
+    watermark — memory is bounded by OPEN sessions, not history; the only
+    shuffle is the session-window partial agg."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = (
+        stream.withWatermark(ts_col, "0 seconds")
+        .withColumn("__us", F.unix_micros(F.col(ts_col)))
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), f"{gap_s} seconds"),
+        )
+        .agg(
+            F.min("__us").alias("start_us"),
+            F.max("__us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__tv"),
+        )
+        .select(
+            user_col,
+            "start_us",
+            "end_us",
+            "n_events",
+            F.col("__tv").cast("double").alias("total_value"),
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

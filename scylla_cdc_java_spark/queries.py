@@ -4545,6 +4545,520 @@ FROM admitted a JOIN final f USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# Round 7: SQ8 scalar quantization, multimodal pHash dedup, and the
+# remaining TPC-H shapes expressible on this schema (no partsupp table)
+# --------------------------------------------------------------------------
+
+
+def q_ann_sq8_topk(spark, sf_dir):
+    """SQ8 (scalar-quantized) brute-force top-k — the cheapest ANN index
+    tier: per-dimension byte codes, asymmetric scoring against the
+    full-precision query. Hash-gated: every step is integer arithmetic
+    (per-dim lo/step stats, dequant = x − pmod(x−lo, step), integer dot)
+    so the oracle replays scores exactly, not just a recall bound."""
+    from .pipeline.similarity import sq8_topk
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 5)
+    return sq8_topk(emb, qs, k=5)
+
+
+ORACLE_ANN_SQ8 = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+pe AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(qv))) AS pos,
+         unnest(list_transform(generate_series(1, len(qv)), i -> qv[i])) AS val
+  FROM q
+),
+st AS (
+  SELECT pos, min(val) AS lo,
+         greatest(1, ((max(val) - min(val)) + 254) // 255) AS step
+  FROM pe GROUP BY pos
+),
+dq AS (
+  SELECT pe.vec_id, pe.pos, pe.val - ((pe.val - st.lo) % st.step) AS dv
+  FROM pe JOIN st USING (pos)
+),
+scored AS (
+  SELECT qe.vec_id AS query_id, dq.vec_id AS neighbor_id,
+         CAST(sum(qe.val * dq.dv) AS BIGINT) AS adc
+  FROM pe qe JOIN dq ON dq.pos = qe.pos
+  WHERE qe.vec_id < 5 AND dq.vec_id <> qe.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_mm_phash_pairs(spark, sf_dir):
+    """Multimodal near-dup: 64-bit perceptual hash per image payload
+    (stubbed decode: the payload's codepoint stream stands in for pixels;
+    FNV-1a per bit-stride — pipeline/multimodal.py), then banded Hamming
+    pairs at radius 3 (4 x 16-bit bands, pigeonhole-exact like the
+    SimHash text path). Unlike mm_feature_extract's metadata-only gate,
+    this one verifies the fake-decode kernel's VALUES bit-for-bit: the
+    oracle replays all 64 FNV chains per doc in SQL."""
+    from .pipeline.multimodal import documents_as_media, perceptual_hash, phash_pairs
+
+    media = documents_as_media(_docs(spark, sf_dir)).where(F.col("kind") == "image")
+    return phash_pairs(perceptual_hash(media), radius=3)
+
+
+ORACLE_MM_PHASH = """
+WITH im AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
+cp AS (
+  SELECT media_id,
+         list_transform(generate_series(1, length(text)),
+                        i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cps
+  FROM im
+),
+bits AS (
+  SELECT media_id, s.j,
+         CASE WHEN (list_reduce(
+                list_prepend(CAST(2166136261 AS BIGINT),
+                  CASE WHEN len(cps) <= s.j THEN [CAST(0 AS BIGINT)]
+                       ELSE list_filter(
+                              list_transform(cps, (x, i) ->
+                                CASE WHEN (i - 1) % 64 = s.j THEN x END),
+                              v -> v IS NOT NULL)
+                  END),
+                (a, b) -> (xor(a, b) * 16777619) % 4294967296) % 1000) >= 500
+              THEN 1 ELSE 0 END AS bit
+  FROM cp, (SELECT unnest(generate_series(0, 63)) AS j) s
+),
+ph AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN j < 63 THEN bit::BIGINT << j ELSE 0 END)
+              + max(CASE WHEN j = 63 AND bit = 1
+                         THEN -9223372036854775807 - 1 ELSE 0 END)
+              AS BIGINT) AS phash
+  FROM bits GROUP BY media_id
+)
+SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+JOIN (SELECT unnest(generate_series(0, 3)) AS band) s
+  ON ((a.phash >> (16 * s.band)) & 65535) = ((b.phash >> (16 * s.band)) & 65535)
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+def q_agg_order_priority(spark, sf_dir):
+    """TPC-H Q4-shaped anchor: order-priority checking — a quarter's
+    orders that have at least one line item shipped after the order date
+    (EXISTS rewritten as a left-semi join; the date window pushes to the
+    orders scan). The schema has no commit/receipt dates, so the
+    late-shipment predicate stands in for Q4's commit<receipt."""
+    orders = ts_filter(
+        ts_filter(
+            load_table(spark, sf_dir, "orders"),
+            "o_orderdate", ">=", "1996-07-01 00:00:00",
+        ),
+        "o_orderdate", "<", "1996-10-01 00:00:00",
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sj = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        sj.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q4_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_join_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-shaped anchor: bilateral shipping volume between two
+    nations by ship year. Two nation roles (supplier side, customer
+    side) from the same dim — both broadcast; the only shuffle is
+    lineitem x orders. Revenue sums in exact decimal, cast to double at
+    the end (the Q3 discipline)."""
+    # nation-key prefix instead of a 2-name IN-list: the sf0.001 fixture
+    # has only 10 suppliers across 25 nations, so a 2-nation filter can
+    # produce an empty (evidence-free) result at the smallest SF
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_nationkey") < 5)
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("snk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("cnk"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = ts_filter(
+        ts_filter(
+            load_table(spark, sf_dir, "lineitem"),
+            "l_shipdate", ">=", "1996-01-01 00:00:00",
+        ),
+        "l_shipdate", "<", "1998-01-01 00:00:00",
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_Q7_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_nationkey < 5
+  AND n2.n_nationkey < 5
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_join_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped anchor: one nation's market share of a region's
+    revenue for one part type, by order year. Conditional-sum ratio;
+    both sums are exact decimals and the share divides as double/double
+    (IEEE correctly-rounded, so bit-identical cross-engine — the same
+    determinism discipline as text_temperature_weights at tau=0.5)."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_n = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cnk"))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cnk"))
+        .select("c_custkey")
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("snk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    joined = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(
+            F.lit(0).cast("decimal(20,4)")
+        )).cast("double").alias("num"),
+        F.sum(rev).cast("double").alias("den"),
+    )
+    # zero-revenue years (possible under hostile fixtures: discount=1.0
+    # rows) would divide 0/0 → NaN; the share is undefined there, and
+    # NaN is not hash-portable, so both sides drop those groups
+    return agg.where(F.col("den") != 0).select(
+        "o_year", (F.col("num") / F.col("den")).alias("mkt_share")
+    )
+
+
+ORACLE_Q8_SHARE = """
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year, n1.n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS rev
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n2.n_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+)
+SELECT CAST(o_year AS INT) AS o_year,
+       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev
+                          ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE)
+            / CAST(sum(rev) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM j GROUP BY o_year
+HAVING CAST(sum(rev) AS DOUBLE) <> 0
+"""
+
+
+def q_agg_customer_distribution(spark, sf_dir):
+    """TPC-H Q13-shaped anchor: distribution of orders-per-customer
+    INCLUDING zero-order customers — the left-outer-join + two-level
+    aggregation shape (count of a nullable key, then a histogram of the
+    counts)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+ORACLE_Q13_CUSTDIST = """
+WITH per AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per GROUP BY c_count
+"""
+
+
+def q_agg_large_orders(spark, sf_dir):
+    """TPC-H Q18-shaped anchor: large-volume orders — group-having on the
+    fact table (sum of quantities in exact decimal; the having predicate
+    collapses map-side before the join back to orders/customer)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("tq"))
+        .where(F.col("tq") > 150)
+    )
+    return (
+        big.join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "customer").select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("tq").cast("double").alias("total_qty"),
+            "o_totalprice",
+        )
+    )
+
+
+ORACLE_Q18_LARGE = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c_custkey, o_orderkey, CAST(tq AS DOUBLE) AS total_qty, o_totalprice
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def q_join_lost_opportunity(spark, sf_dir):
+    """TPC-H Q22-shaped anchor: per-nation count/balance of
+    above-average-balance customers with no RECENT orders (none since
+    2000-07-01 — on this fixture almost every customer has *some* order,
+    so the classic no-orders-ever predicate returns an empty, evidence-
+    free result) — scalar-subquery threshold (1-row aggregate crossJoin,
+    the audited BNLJ pattern) + anti-join with a pushed-down date filter
+    + small-dim broadcast. The threshold divides exact-decimal sum by
+    count in double (IEEE-deterministic cross-engine)."""
+    cust = load_table(spark, sf_dir, "customer")
+    thr = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select((F.col("s") / F.col("n")).alias("avg_bal"))
+    )
+    sel = cust.join(F.broadcast(thr)).where(F.col("c_acctbal") > F.col("avg_bal"))
+    recent = ts_filter(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderdate", ">=", "2000-07-01 00:00:00",
+    ).select("o_custkey")
+    noord = sel.join(recent, sel.c_custkey == F.col("o_custkey"), "left_anti")
+    return (
+        noord.join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_Q22_OPPORTUNITY = """
+WITH thr AS (
+  SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer CROSS JOIN thr
+JOIN nation ON n_nationkey = c_nationkey
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+GROUP BY n_name
+"""
+
+
+def q_pipeline_stream_sessionize(spark, sf_dir):
+    """STREAMING session windows end-to-end: the events table feeds a
+    file stream in two time-split arrival chunks with an engine
+    STOP/RESTART between them (the checkpointed session state must
+    resume and merge boundary-spanning sessions), aggregated with native
+    ``session_window`` + watermark, appended to parquet as sessions
+    close. A far-future sentinel event in the final chunk advances the
+    global watermark so every real session flushes (availableNow runs a
+    no-data batch after the watermark moves). The oracle replays gap
+    sessionization in SQL; session_window merges TOUCHING windows (an
+    event exactly gap later still extends the session — pinned by a
+    pytest), so the split convention is strictly-greater, identical to
+    the batch events_sessionize gate."""
+    import datetime
+    import os
+
+    from .pipeline.sessions import stream_sessionize
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(epoch_micros(ev, "ts")).alias("ts"),
+        "value",
+    )
+    tmp = _evo_tmpdir()
+    src = os.path.join(tmp, "events")
+    out = os.path.join(tmp, "sessions")
+    ckpt = os.path.join(tmp, "ckpt")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    # chunk 1 strictly precedes chunk 2 in EVENT TIME, so the zero-delay
+    # watermark drops nothing across the restart
+    ev.where(F.col("ts") < split).write.parquet(src)
+    stream_sessionize(
+        spark, src, out, ckpt, schema, gap_s=30000
+    ).awaitTermination()
+    _evo_mtime_gap()
+    # sentinel = max event time + 3 gaps: always advances the watermark
+    # past every real session's close, whatever era the fixture uses
+    mx = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, -1, mx + datetime.timedelta(seconds=3 * 30000), 0.0)], schema
+    )
+    ev.where(F.col("ts") >= split).unionByName(sentinel).write.mode(
+        "append"
+    ).parquet(src)
+    stream_sessionize(
+        spark, src, out, ckpt, schema, gap_s=30000
+    ).awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .where(F.col("user_id") >= 0)
+        .select("user_id", "start_us", "end_us", "n_events", "total_value")
+    )
+
+
+ORACLE_STREAM_SESSIONIZE = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events),
+s AS (
+  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w > 30000000000 THEN 1 ELSE 0 END AS nw
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s2 AS (
+  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, min(tus) AS start_us, max(tus) AS end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM s2 GROUP BY user_id, sid
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     "s1_window_scan": (q_s1_window_scan, ORACLE_S1, "S1/P1 windowed stream scan"),
     "s4_ordered_stream_read": (q_s4_ordered_stream_read, ORACLE_S4, "S4/O1 per-stream order"),
@@ -4835,6 +5349,51 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_SOURCE_JSONL,
         "JSON-lines source round-trip parity vs parquet oracle",
     ),
+    "ann_sq8_topk": (
+        q_ann_sq8_topk,
+        ORACLE_ANN_SQ8,
+        "SQ8 scalar-quantized top-k (asymmetric, integer-exact)",
+    ),
+    "mm_phash_pairs": (
+        q_mm_phash_pairs,
+        ORACLE_MM_PHASH,
+        "perceptual-hash image near-dup pairs (banded Hamming)",
+    ),
+    "agg_order_priority": (
+        q_agg_order_priority,
+        ORACLE_Q4_PRIORITY,
+        "Q4-shape EXISTS semi-join priority count",
+    ),
+    "join_volume_shipping": (
+        q_join_volume_shipping,
+        ORACLE_Q7_VOLUME,
+        "Q7-shape bilateral nation volume",
+    ),
+    "join_market_share": (
+        q_join_market_share,
+        ORACLE_Q8_SHARE,
+        "Q8-shape conditional-sum market share",
+    ),
+    "agg_customer_distribution": (
+        q_agg_customer_distribution,
+        ORACLE_Q13_CUSTDIST,
+        "Q13-shape left-outer count histogram",
+    ),
+    "agg_large_orders": (
+        q_agg_large_orders,
+        ORACLE_Q18_LARGE,
+        "Q18-shape group-having large orders",
+    ),
+    "join_lost_opportunity": (
+        q_join_lost_opportunity,
+        ORACLE_Q22_OPPORTUNITY,
+        "Q22-shape scalar-subquery + anti-join",
+    ),
+    "pipeline_stream_sessionize": (
+        q_pipeline_stream_sessionize,
+        ORACLE_STREAM_SESSIONIZE,
+        "streaming session_window w/ restart + watermark flush",
+    ),
     "pipeline_stream_cdc_dedup": (
         q_pipeline_stream_cdc_dedup,
         ORACLE_STREAM_CDC_DEDUP,
@@ -4855,71 +5414,67 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
 # CORRECTNESS_r03.json) move to the back.  New queries added in round 4+ are
 # appended to _GATE_FRONT so they are verified in the round that adds them.
 _GATE_FRONT: list[str] = [
-    # --- round-6 window head -----------------------------------------
-    # (1) the one never-green row, re-gated IEEE-deterministic this round
-    # (tau=0.5 via sqrt — bit-identical across engines by construction)
-    "text_temperature_weights",
-    # (2) new round-6 gates needing their first driver row
-    "source_jsonl_documents",
-    "pipeline_stream_cdc_dedup",
-    # (3) the ANN family re-gated under fixed-k seed selection (oracles
-    # mirror the new ORDER BY seed_hash LIMIT k selection)
-    "ann_ivf_topk",
-    "ann_kmeans_train",
-    "ann_ivf_trained_topk",
-    "ann_pq_topk",
-    "ann_ivf_pq_topk",
-    "pipeline_embeddings_index",
-    # (4) queries whose path crosses the round-6 dedup-key fix (ChangeId
-    # dedup now keys on derived event time, never raw cdc$time)
-    "p2_dedup_resume",
-    "k3_stream_replicate",
-    "t9_schema_evolution",
-    "t9_udt_evolution",
-    # --- backfill: refresh the OLDEST driver evidence ----------------
-    # r01-verified rows (last green four rounds ago)
-    "f4_f5_renders",
-    "o3_list_reconstruct",
-    "text_token_count",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_vocab",
-    "text_split_assign",
-    "agg_lineitem_pushdown",
-    "join_broadcast_revenue",
-    # r02-verified rows
-    "p5_ttl_trim",
-    "j3_preimage_verify",
-    # r03-verified rows (oldest remaining evidence), core CDC surface
-    "s1_window_scan",
-    "s4_ordered_stream_read",
-    "p3_projection_split",
-    "p7_op_dispatch",
-    "a1_stream_task_grouping",
-    "a2_min_generation_after",
-    "a3_consumed_barrier",
-    "t1_tumbling_windows",
-    "t2_confidence_window",
-    "t6_generation_rollover",
-    "j1_range_delete_pairing",
-    "j2_postimage_pairing",
-    "f1_timeuuid_roundtrip",
-    "f3_vnode_extract",
-    "r1_apply_delta",
-    "r1_apply_lww_fast",
-    "r3_set_delta",
-    "r4_row_delete_effect",
-    "r5_partition_delete",
-    "r6_range_delete",
-    "r9_delta_full_mix",
-    "r8_postimage_apply",
-    "ttl_apply_visibility",
-    # round-6 late additions (need their first driver row)
+    # --- round-7 window head -----------------------------------------
+    # (1) the query whose math changed this round: residual IVF-PQ's ADC
+    # LUT now builds from the raw quantized query (inner-product-correct;
+    # the r06 per-cell query-residual LUT was an L2-only trick)
     "ann_ivf_pq_residual_topk",
-    "ann_index_extend",
+    # (2) new round-7 gates needing their first driver row
+    "ann_sq8_topk",
+    "mm_phash_pairs",
+    "agg_order_priority",
+    "join_volume_shipping",
+    "join_market_share",
+    "agg_customer_distribution",
+    "agg_large_orders",
+    "join_lost_opportunity",
+    "pipeline_stream_sessionize",
+    # (3) the gate whose path crosses the round-7 dedup NULL-key guard
+    "p2_dedup_resume",
+    # --- backfill: refresh the OLDEST driver evidence ----------------
+    # last green r03 (four rounds ago)
+    "r3_set_delta_ops",
+    "o3_list_ops",
+    "r3_udt_delta_ops",
+    "r3_set_delta_ops_native",
+    "o3_list_ops_native",
+    "r3_udt_delta_ops_native",
+    "r6_range_prefix_bounds",
+    "j1_bound_pairing_ops",
+    "j3_preimage_report",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_resize_images",
+    "mm_audio_chunks",
+    # last green r04
+    "dedup_ngram_jaccard",
+    "dedup_embedding_pairs",
+    "dedup_embedding_clusters",
+    "join_shipping_priority",
+    "join_region_volume",
+    "text_length_histogram",
+    "text_tfidf_topk",
+    "text_distinct_hll",
+    "agg_cube_revenue",
+    "set_ops_customers",
+    "events_lag_lead",
+    # oldest r05 rows (fill to 50)
+    "dedup_ngram_jaccard_exact",
+    "dedup_embedding_pairs_exact",
+    "text_repetition",
+    "text_contamination",
+    "text_stratified_sample",
+    "text_pack_sequences",
+    "text_stratified_take",
+    "text_quality_filter",
 ]
-
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)
 }

@@ -435,3 +435,179 @@ def test_winnow_guarantee_and_short_docs(spark):
     assert 4 not in by and 5 not in by
     assert len(by[6]) == 1
     assert by.get(3)
+
+
+def test_sq8_lossless_when_range_fits_one_byte(spark):
+    """With every per-dim range <= 255 the SQ8 step is 1 and dequant is
+    the identity — adc must EQUAL the exact quantized dot and the
+    ranking must match brute force (tie-break included)."""
+    import numpy as np
+
+    from scylla_cdc_java_spark.pipeline.similarity import (
+        cosine_topk_bruteforce,
+        sq8_topk,
+    )
+
+    rng = np.random.RandomState(17)
+    rows = [(i, [float(x) for x in rng.uniform(-0.1, 0.1, 12)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.where(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc"])
+        for r in sq8_topk(emb, qs, k=5).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["dot_q"])
+        for r in cosine_topk_bruteforce(emb, qs, k=5).collect()
+    }
+    assert got == want
+
+
+def test_sq8_codes_fit_one_byte_and_bound_error(spark):
+    """General data: every code is in [0, 255] and the dequantization
+    error per dimension is < step (the SQ8 contract)."""
+    import numpy as np
+
+    from scylla_cdc_java_spark.pipeline.similarity import sq8_encode, sq8_stats
+
+    rng = np.random.RandomState(29)
+    rows = [(i, [float(x) for x in rng.randn(8) * 5]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = sq8_stats(emb)
+    st = {r["pos"]: (r["lo"], r["step"]) for r in stats.collect()}
+    codes = {r["vid"]: r["codes"] for r in sq8_encode(emb, stats).collect()}
+    qv = {
+        i: [int(np.round(x * 1000)) for x in v] for i, v in rows
+    }
+    assert len(codes) == 40
+    for vid, cs in codes.items():
+        for pos, c in enumerate(cs):
+            lo, step = st[pos]
+            assert 0 <= c <= 255
+            dq = lo + c * step
+            assert 0 <= qv[vid][pos] - dq < step
+
+
+def test_phash_deterministic_and_null_payload(spark):
+    """The packed phash replays the per-stride FNV-1a fold exactly (pure
+    Python mirror), identical payloads collide, and a NULL payload yields
+    a NULL hash that phash_pairs drops."""
+    from scylla_cdc_java_spark.pipeline.multimodal import (
+        perceptual_hash,
+        phash_pairs,
+    )
+
+    def expected(text: str) -> int:
+        cps = [ord(c) for c in text]
+        h = 0
+        for j in range(64):
+            stride = cps[j::64] or [0]
+            acc = 2166136261
+            for v in stride:
+                acc = ((acc ^ v) * 16777619) % 2**32
+            if acc % 1000 >= 500:
+                h |= 1 << j
+        return h - 2**64 if h >= 2**63 else h
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog é漢", None),
+        (1, "the quick brown fox jumps over the lazy dog é漢", None),
+        (2, "a completely different document body", None),
+        (3, None, None),
+        (4, "", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, text string, pad string"
+    ).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    ph = {r["media_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    assert ph[0] == ph[1] == expected(rows[0][1])
+    assert ph[2] == expected(rows[2][1])
+    assert ph[4] == expected("")
+    assert ph[3] is None
+    pairs = phash_pairs(
+        perceptual_hash(media), radius=3
+    ).collect()
+    keys = {(r["media_a"], r["media_b"]) for r in pairs}
+    assert (0, 1) in keys
+    for r in pairs:
+        assert r["hamming"] <= 3
+        assert 3 not in (r["media_a"], r["media_b"])
+
+
+def test_phash_strict_mode_raises(spark):
+    import pytest
+
+    from scylla_cdc_java_spark.pipeline.multimodal import perceptual_hash
+
+    media = spark.createDataFrame(
+        [(0, "image", b"xx")], "media_id long, kind string, payload binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|decoder"):
+        perceptual_hash(media, decode="strict").collect()
+
+
+def test_phash_banding_finds_spread_bit_flips(spark):
+    """Pigeonhole exactness: flipping 3 bits in three DIFFERENT 16-bit
+    bands still leaves one band identical, so the pair must surface."""
+    from scylla_cdc_java_spark.pipeline.multimodal import phash_pairs
+
+    base = 0x0123_4567_89AB_CDEF
+    flipped = base ^ (1 << 2) ^ (1 << 17) ^ (1 << 33)  # bands 0,1,2
+    far = base ^ (1 << 2) ^ (1 << 17) ^ (1 << 33) ^ (1 << 49)  # all 4 bands
+    df = spark.createDataFrame(
+        [(0, base), (1, flipped), (2, far)], "media_id long, phash long"
+    )
+    got = {(r["media_a"], r["media_b"]): r["hamming"] for r in phash_pairs(df).collect()}
+    assert got.get((0, 1)) == 3
+    assert (0, 2) not in got  # hamming 4: excluded by the radius filter
+
+
+def test_stream_sessionize_restart_merges_boundary_sessions(spark, tmp_path):
+    """A session whose events straddle the two arrival chunks must come
+    back as ONE merged session after the stop/restart (state resumes
+    from the checkpoint); an event exactly `gap` after its predecessor
+    still EXTENDS the session (session windows merge when they touch —
+    same strictly-greater split as the batch sessionize)."""
+    import datetime as dt
+
+    from scylla_cdc_java_spark.pipeline.sessions import stream_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    gap = 60
+    rows1 = [  # chunk 1: user 1 session A open at the boundary
+        (0, 1, s(0), 1.0),
+        (1, 1, s(30), 2.0),
+        (2, 2, s(10), 5.0),
+    ]
+    rows2 = [  # chunk 2: continues session A (59s after event 1), an
+        # ==gap event that still merges, a >gap event that starts a new
+        # session; the sentinel flushes everything
+        (3, 1, s(89), 4.0),
+        (4, 1, s(89 + gap), 8.0),
+        (5, 1, s(89 + gap + gap + 1), 16.0),
+        (-1, -1, s(10_000), 0.0),
+    ]
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    spark.createDataFrame(rows1, schema).write.parquet(src)
+    stream_sessionize(spark, src, out, ckpt, schema, gap_s=gap).awaitTermination()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    stream_sessionize(spark, src, out, ckpt, schema, gap_s=gap).awaitTermination()
+
+    got = {
+        (r["user_id"], r["start_us"]): (r["end_us"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).where(F.col("user_id") >= 0).collect()
+    }
+    us = lambda sec: int((s(sec) - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    assert got == {
+        # merged across the restart AND across the ==gap touch
+        (1, us(0)): (us(89 + gap), 4, 15.0),
+        # strictly greater than gap -> new session
+        (1, us(89 + 2 * gap + 1)): (us(89 + 2 * gap + 1), 1, 16.0),
+        (2, us(10)): (us(10), 1, 5.0),
+    }

@@ -405,6 +405,10 @@ _AUDIT_ALLOW: dict[str, tuple[int, bool]] = {
     "ann_kmeans_train": (1, True),      # 1-row collected-centroids crossJoin
     "ann_lsh_topk": (1, False),         # broadcast bucketed queries
     "ann_pq_topk": (1, False),          # broadcast per-query LUT
+    "ann_sq8_topk": (1, True),          # broadcast query set (≠ join, like cosine)
+    "join_volume_shipping": (4, False),  # Q7: nation x2 + supp + cust dims
+    "join_market_share": (6, False),    # Q8: part/supp/nation/region/cust dims
+    "join_lost_opportunity": (2, True),  # Q22: 1-row threshold + nation dim
     "dedup_ngram_jaccard": (2, False),  # broadcast hot-shingle list (<=df cap)
     "events_anomaly_zscore": (1, False),
     "events_retention_cohorts": (1, False),
@@ -429,6 +433,7 @@ _AUDIT_SKIP = {
     "t9_schema_evolution",
     "t9_udt_evolution",
     "pipeline_stream_cdc_dedup",
+    "pipeline_stream_sessionize",
     "source_jsonl_documents",
     "text_bpe_train",
 }

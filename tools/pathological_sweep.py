@@ -58,6 +58,9 @@ EVENT_QUERIES = ",".join(
         "events_retention_cohorts", "events_sliding_topk",
         "events_anomaly_zscore", "events_pivot_types", "events_lag_lead",
         "events_interval_join", "o3_list_ops", "ttl_apply_visibility",
+        # round-7: streaming session_window (same-instant bursts all land
+        # in one session; ties must agree across engines)
+        "pipeline_stream_sessionize",
     ]
 )
 
@@ -72,6 +75,9 @@ EMB_QUERIES = ",".join(
         # round-6: residual IVF-PQ (textbook IVF-ADC) + frozen-artifact
         # incremental index encode
         "ann_ivf_pq_residual_topk", "ann_index_extend",
+        # round-7: SQ8 scalar quantization (step degenerates to 1 on the
+        # zero/one-hot fixture dims — the lossless edge)
+        "ann_sq8_topk",
     ]
 )
 
@@ -93,6 +99,9 @@ DOC_QUERIES = ",".join(
         # round-6 additions: text-format round-trip and the composed
         # streaming pipeline (evolution + restart + admission dedup)
         "source_jsonl_documents", "pipeline_stream_cdc_dedup",
+        # round-7: perceptual-hash media dedup (unicode codepoints ARE the
+        # fake pixel stream here, so the hostile docs hit it directly)
+        "mm_phash_pairs",
     ]
 )
 
@@ -241,6 +250,12 @@ REL_QUERIES = ",".join(
         "join_broadcast_revenue", "join_shipping_priority",
         "join_region_volume", "join_salted_revenue", "join_bucketed_revenue",
         "join_promo_revenue", "set_ops_customers",
+        # round-7 TPC-H shapes: EXISTS semi-join, bilateral nation volume,
+        # conditional-sum share (zero-denominator guard), left-outer
+        # histogram, group-having, scalar-subquery + anti-join
+        "agg_order_priority", "join_volume_shipping", "join_market_share",
+        "agg_customer_distribution", "agg_large_orders",
+        "join_lost_opportunity",
     ]
 )
 

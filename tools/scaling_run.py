@@ -52,6 +52,13 @@ HEAVY = [
     # in seconds. At real scale the answer is clustering (keep-one per
     # component) over capped pair lists, which dedup_clusters implements.
     "dedup_winnow",
+    # round-7 extension: the SQ8 scan tier (stats collect is O(dim)
+    # regardless of corpus; scoring is one linear scan) and the banded
+    # perceptual-hash media dedup (near-dup pair output grows with the
+    # replica fixture's dup groups like minhash does)
+    "ann_sq8_topk",
+    "mm_phash_pairs",
+    "agg_large_orders",
 ]
 
 SF_DIRS = {
