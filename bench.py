@@ -84,6 +84,7 @@ HEADLINE = [
     # sub-second dim-join variations the existing relational rows already
     # represent)
     "ann_sq8_topk",
+    "ann_ivf_sq8_topk",
     "mm_phash_pairs",
     "agg_large_orders",
     "join_volume_shipping",

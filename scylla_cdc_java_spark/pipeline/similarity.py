@@ -963,6 +963,77 @@ def sq8_topk(
     )
 
 
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF + SQ8: inverted-file candidate restriction (fixed-k coarse
+    centroids, nprobe cells per query) with SQ8-dequantized scoring
+    inside the probed cells — the middle index tier between IVF-exact
+    (full-precision scans, 4x the bytes) and IVF-PQ (m-byte codes,
+    codebook training). Stats are GLOBAL per-dimension (one dim-row
+    table for the whole index, the common production layout); the
+    dequant fuses into the scoring map expression so no codes
+    materialize. Everything integer ⇒ the oracle replays scores exactly.
+    Plan: one coarse-assign GEMM pass over the corpus (no shuffle), a
+    broadcast (query, probed-cell) table, per-pair integer dot, one
+    window top-k."""
+    import numpy as np
+
+    cent_q = corpus.select(
+        F.col(id_col).alias("cid"), quantize_embedding(vec_col, scale).alias("cv")
+    )
+    cent_rows = _collect_centroid_rows(cent_q, n_centroids, None)
+    cent_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r["cv"] for r in cent_rows], dtype=np.int64)
+
+    def quantized(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("vid"), quantize_embedding(vec_col, scale).alias("qv")
+        )
+
+    probe_schema = "vid long, qv array<long>, cid long"
+    assigned = quantized(corpus).mapInPandas(
+        _coarse_probe_kernel(cent_ids, cent_mat, 1), schema=probe_schema
+    )
+    probes = (
+        quantized(queries)
+        .mapInPandas(
+            _coarse_probe_kernel(cent_ids, cent_mat, min(nprobe, len(cent_rows))),
+            schema=probe_schema,
+        )
+        .select(F.col("vid").alias("query_id"), F.col("qv").alias("qqv"), "cid")
+    )
+    lo_arr, step_arr = _sq8_literal_arrays(sq8_stats(corpus, vec_col, scale))
+    dv = F.transform(
+        F.col("qv"),
+        lambda x, i: x
+        - F.pmod(x - F.element_at(lo_arr, i + 1), F.element_at(step_arr, i + 1)),
+    )
+    scored = (
+        assigned.withColumn("dv", dv)
+        .join(F.broadcast(probes), "cid")
+        .where(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            quantized_dot(F.col("qqv"), F.col("dv")).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

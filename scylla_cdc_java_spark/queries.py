@@ -4602,6 +4602,72 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_ivf_sq8_topk(spark, sf_dir):
+    """IVF + SQ8 composed top-k — inverted-file candidate restriction
+    with SQ8-dequantized scoring inside probed cells, the middle index
+    tier (between IVF-exact and IVF-PQ) of the billion-vector layout.
+    Hash-gated: the oracle composes the fixed-k coarse-assignment SQL
+    with the SQ8 per-dim stats/dequant CTEs — all integer."""
+    from .pipeline.similarity import ivf_sq8_topk
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 5)
+    return ivf_sq8_topk(emb, qs, k=5, nprobe=4)
+
+
+ORACLE_ANN_IVF_SQ8 = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, qv AS cv FROM q
+         ORDER BY {_seed_hash_sql("vec_id")}, vec_id LIMIT 16),
+coarse AS (
+  SELECT q.vec_id AS vid, cent.cid,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST(list_dot_product(q.qv, cent.cv) AS BIGINT) DESC, cent.cid
+         ) AS rn
+  FROM q CROSS JOIN cent
+),
+ca AS (SELECT vid, cid FROM coarse WHERE rn = 1),
+probes AS (SELECT vid AS query_id, cid FROM coarse WHERE rn <= 4 AND vid < 5),
+pe AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(qv))) AS pos,
+         unnest(list_transform(generate_series(1, len(qv)), i -> qv[i])) AS val
+  FROM q
+),
+st AS (
+  SELECT pos, min(val) AS lo,
+         greatest(1, ((max(val) - min(val)) + 254) // 255) AS step
+  FROM pe GROUP BY pos
+),
+dq AS (
+  SELECT pe.vec_id, pe.pos, pe.val - ((pe.val - st.lo) % st.step) AS dv
+  FROM pe JOIN st USING (pos)
+),
+scored AS (
+  SELECT p.query_id, c.vid AS neighbor_id,
+         CAST(sum(qe.val * dq.dv) AS BIGINT) AS adc
+  FROM ca c
+  JOIN probes p ON p.cid = c.cid
+  JOIN dq ON dq.vec_id = c.vid
+  JOIN pe qe ON qe.vec_id = p.query_id AND qe.pos = dq.pos
+  WHERE p.query_id <> c.vid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_mm_phash_pairs(spark, sf_dir):
     """Multimodal near-dup: 64-bit perceptual hash per image payload
     (stubbed decode: the payload's codepoint stream stands in for pixels;
@@ -4982,6 +5048,199 @@ GROUP BY n_name
 """
 
 
+def q_agg_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped anchor: the forecasting-revenue-change scan — a
+    pure filter + scalar aggregate with every predicate pushed to the
+    parquet scan (date window, discount band, quantity cap). The
+    whole-stage-codegen floor for the engine: no join, no shuffle past
+    the 1-row partial agg."""
+    li = ts_filter(
+        ts_filter(
+            load_table(spark, sf_dir, "lineitem"),
+            "l_shipdate", ">=", "1996-01-01 00:00:00",
+        ),
+        "l_shipdate", "<", "1997-01-01 00:00:00",
+    )
+    return (
+        li.where(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(3,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+ORACLE_Q6_FORECAST = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_join_returned_items(spark, sf_dir):
+    """TPC-H Q10-shaped anchor: returned-item revenue ranking — quarter
+    window on orders, returnflag filter on the fact, per-customer
+    revenue, deterministic top-20 (revenue desc, custkey)."""
+    orders = ts_filter(
+        ts_filter(
+            load_table(spark, sf_dir, "orders"),
+            "o_orderdate", ">=", "1996-10-01 00:00:00",
+        ),
+        "o_orderdate", "<", "1997-01-01 00:00:00",
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_Q10_RETURNED = """
+SELECT c_custkey, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_join_top_supplier(spark, sf_dir):
+    """TPC-H Q15-shaped anchor: the top supplier(s) by quarterly revenue
+    — the view + scalar-max + equality-join shape (ALL ties returned,
+    per the spec); the 1-row max broadcasts (audited BNLJ pattern)."""
+    li = ts_filter(
+        ts_filter(
+            load_table(spark, sf_dir, "lineitem"),
+            "l_shipdate", ">=", "1996-01-01 00:00:00",
+        ),
+        "l_shipdate", "<", "1996-04-01 00:00:00",
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    by_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("double").alias("total_revenue")
+    )
+    mx = by_supp.agg(F.max("total_revenue").alias("mx"))
+    return (
+        by_supp.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLE_Q15_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT max(total_revenue) AS m FROM rev)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev CROSS JOIN mx
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = m
+"""
+
+
+def q_agg_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped anchor: small-quantity-order revenue — the
+    correlated-average subquery (per-part threshold = 0.2 x avg
+    quantity) decorrelated into a group-agg + broadcast join back onto
+    the fact rows. The threshold divides exact-decimal sum by count in
+    double, then scales by 0.2 (IEEE ops only — deterministic
+    cross-engine)."""
+    parts = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    li_p = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(parts.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    thr = (
+        li_p.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("l_partkey").alias("t_partkey"),
+            (F.lit(0.2) * (F.col("s") / F.col("n"))).alias("thr"),
+        )
+    )
+    return (
+        li_p.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+ORACLE_Q17_SMALL_QTY = """
+WITH li_p AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#1'
+),
+thr AS (
+  SELECT l_partkey,
+         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS thr
+  FROM li_p GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM li_p JOIN thr USING (l_partkey)
+WHERE l_quantity < thr
+"""
+
+
 def q_pipeline_stream_sessionize(spark, sf_dir):
     """STREAMING session windows end-to-end: the events table feeds a
     file stream in two time-split arrival chunks with an engine
@@ -5354,6 +5613,31 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_ANN_SQ8,
         "SQ8 scalar-quantized top-k (asymmetric, integer-exact)",
     ),
+    "ann_ivf_sq8_topk": (
+        q_ann_ivf_sq8_topk,
+        ORACLE_ANN_IVF_SQ8,
+        "IVF + SQ8 composed top-k (middle index tier)",
+    ),
+    "agg_forecast_revenue": (
+        q_agg_forecast_revenue,
+        ORACLE_Q6_FORECAST,
+        "Q6-shape pushdown scan + scalar agg",
+    ),
+    "join_returned_items": (
+        q_join_returned_items,
+        ORACLE_Q10_RETURNED,
+        "Q10-shape returned-item revenue top-20",
+    ),
+    "join_top_supplier": (
+        q_join_top_supplier,
+        ORACLE_Q15_TOP_SUPPLIER,
+        "Q15-shape scalar-max tie-complete top supplier",
+    ),
+    "agg_small_qty_revenue": (
+        q_agg_small_qty_revenue,
+        ORACLE_Q17_SMALL_QTY,
+        "Q17-shape decorrelated avg-threshold revenue",
+    ),
     "mm_phash_pairs": (
         q_mm_phash_pairs,
         ORACLE_MM_PHASH,
@@ -5421,6 +5705,11 @@ _GATE_FRONT: list[str] = [
     "ann_ivf_pq_residual_topk",
     # (2) new round-7 gates needing their first driver row
     "ann_sq8_topk",
+    "ann_ivf_sq8_topk",
+    "agg_forecast_revenue",
+    "join_returned_items",
+    "join_top_supplier",
+    "agg_small_qty_revenue",
     "mm_phash_pairs",
     "agg_order_priority",
     "join_volume_shipping",
@@ -5469,11 +5758,6 @@ _GATE_FRONT: list[str] = [
     "dedup_ngram_jaccard_exact",
     "dedup_embedding_pairs_exact",
     "text_repetition",
-    "text_contamination",
-    "text_stratified_sample",
-    "text_pack_sequences",
-    "text_stratified_take",
-    "text_quality_filter",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

@@ -611,3 +611,24 @@ def test_stream_sessionize_restart_merges_boundary_sessions(spark, tmp_path):
         (1, us(89 + 2 * gap + 1)): (us(89 + 2 * gap + 1), 1, 16.0),
         (2, us(10)): (us(10), 1, 5.0),
     }
+
+
+def test_ivf_sq8_agrees_with_sq8_on_probed_cells(spark):
+    """With nprobe == n_centroids every cell is probed, so IVF+SQ8 must
+    return EXACTLY the plain SQ8 brute-force ranking (same dequantized
+    scores, same tie-breaks); with byte-fitting ranges that is also the
+    exact integer-dot ranking."""
+    import numpy as np
+
+    from scylla_cdc_java_spark.pipeline.similarity import ivf_sq8_topk, sq8_topk
+
+    rng = np.random.RandomState(31)
+    rows = [(i, [float(x) for x in rng.uniform(-0.1, 0.1, 12)]) for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.where(F.col("vec_id") < 3)
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["adc"])
+    full = sorted(map(key, sq8_topk(emb, qs, k=4).collect()))
+    ivf = sorted(
+        map(key, ivf_sq8_topk(emb, qs, k=4, nprobe=4, n_centroids=4).collect())
+    )
+    assert ivf == full

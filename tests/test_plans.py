@@ -406,6 +406,10 @@ _AUDIT_ALLOW: dict[str, tuple[int, bool]] = {
     "ann_lsh_topk": (1, False),         # broadcast bucketed queries
     "ann_pq_topk": (1, False),          # broadcast per-query LUT
     "ann_sq8_topk": (1, True),          # broadcast query set (≠ join, like cosine)
+    "ann_ivf_sq8_topk": (1, False),     # broadcast (query, probed-cell) table
+    "join_returned_items": (2, False),  # Q10: windowed orders + nation dims
+    "join_top_supplier": (2, True),     # Q15: 1-row max + supplier dim
+    "agg_small_qty_revenue": (3, False),  # Q17: brand parts (both li_p branches) + thresholds
     "join_volume_shipping": (4, False),  # Q7: nation x2 + supp + cust dims
     "join_market_share": (6, False),    # Q8: part/supp/nation/region/cust dims
     "join_lost_opportunity": (2, True),  # Q22: 1-row threshold + nation dim

@@ -76,8 +76,9 @@ EMB_QUERIES = ",".join(
         # incremental index encode
         "ann_ivf_pq_residual_topk", "ann_index_extend",
         # round-7: SQ8 scalar quantization (step degenerates to 1 on the
-        # zero/one-hot fixture dims — the lossless edge)
-        "ann_sq8_topk",
+        # zero/one-hot fixture dims — the lossless edge) + the IVF
+        # composition of it
+        "ann_sq8_topk", "ann_ivf_sq8_topk",
     ]
 )
 
@@ -256,6 +257,8 @@ REL_QUERIES = ",".join(
         "agg_order_priority", "join_volume_shipping", "join_market_share",
         "agg_customer_distribution", "agg_large_orders",
         "join_lost_opportunity",
+        "agg_forecast_revenue", "join_returned_items", "join_top_supplier",
+        "agg_small_qty_revenue",
     ]
 )
 
