@@ -4346,6 +4346,36 @@ FROM documents GROUP BY source
 """
 
 
+def q_source_csv_documents(spark, sf_dir):
+    """CSV source parity under the EXTERNAL gate — the second text format
+    (source_jsonl_documents covers JSON-lines): export documents to CSV
+    (quoted, escaped, header), reload through load_table's CSV fallback
+    (multiLine + FAILFAST + emptyValue convention), and the same
+    per-stratum aggregate must hash-match the parquet-reading oracle.
+    max(md5(text)) is the canary — one byte of quoting/escaping/newline
+    drift in any document breaks the gate."""
+    import os
+    import tempfile
+
+    from .sources.tables import load_table as _lt
+
+    export = os.path.join(
+        tempfile.gettempdir(),
+        "sg_csv_gate",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    _docs(spark, sf_dir).coalesce(1).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(f"{export}/documents.csv")
+    d = _lt(spark, export, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max(F.md5(F.col("text"))).alias("max_md5"),
+    )
+
+
 def q_pipeline_stream_cdc_dedup(spark, sf_dir):
     """The composed STREAMING story end-to-end — what a CDC user actually
     runs (the batch-side counterpart is pipeline_end_to_end, the
@@ -5608,6 +5638,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_SOURCE_JSONL,
         "JSON-lines source round-trip parity vs parquet oracle",
     ),
+    "source_csv_documents": (
+        q_source_csv_documents,
+        ORACLE_SOURCE_JSONL,
+        "CSV source round-trip parity vs parquet oracle",
+    ),
     "ann_sq8_topk": (
         q_ann_sq8_topk,
         ORACLE_ANN_SQ8,
@@ -5710,6 +5745,7 @@ _GATE_FRONT: list[str] = [
     "join_returned_items",
     "join_top_supplier",
     "agg_small_qty_revenue",
+    "source_csv_documents",
     "mm_phash_pairs",
     "agg_order_priority",
     "join_volume_shipping",
@@ -5757,7 +5793,6 @@ _GATE_FRONT: list[str] = [
     # oldest r05 rows (fill to 50)
     "dedup_ngram_jaccard_exact",
     "dedup_embedding_pairs_exact",
-    "text_repetition",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

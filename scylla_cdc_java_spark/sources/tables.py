@@ -61,7 +61,10 @@ TABLE_SCHEMAS: dict[str, str] = {
         "event_id bigint, ts timestamp, user_id bigint, event_type string, "
         "value double, props string"
     ),
-    "documents": "doc_id bigint, text string, source string",
+    # full fixture schema — CSV maps columns POSITIONALLY, so this must
+    # list every exported column in table order (JSON matches by name
+    # and masked the 3-column round-6 version of this entry)
+    "documents": "doc_id bigint, text string, lang string, source string, n_chars bigint",
     "embeddings": "vec_id bigint, embedding array<float>, label int",
 }
 
@@ -97,12 +100,16 @@ def _load_text_format(spark: SparkSession, path: str, fmt: str, name: str) -> Da
     # timestamps) raise instead of silently becoming NULLs under
     # PERMISSIVE — a text export that diverges from parquet should fail
     # loudly, not drift.
+    # multiLine: quoted fields may carry embedded newlines (document text
+    # does); the cost is per-file (non-splittable) parsing, acceptable for
+    # bounded text EXPORTS — parquet remains the at-scale format
     if not ddl:
         return (
             spark.read.option("header", "true")
             .option("inferSchema", "true")
             .option("timestampFormat", ts_fmt)
             .option("emptyValue", "")
+            .option("multiLine", "true")
             .csv(path)
         )
     st = StructType.fromDDL(ddl)
@@ -118,6 +125,7 @@ def _load_text_format(spark: SparkSession, path: str, fmt: str, name: str) -> Da
         .option("header", "true")
         .option("timestampFormat", ts_fmt)
         .option("emptyValue", "")
+        .option("multiLine", "true")
         .option("mode", "FAILFAST")
         .csv(path)
     )

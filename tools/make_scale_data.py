@@ -29,7 +29,13 @@ def main() -> None:
           SELECT d.doc_id + r.range * {n_docs} AS doc_id,
                  CASE WHEN r.range = 0 THEN d.text
                       ELSE d.text || ' r' || r.range::VARCHAR END AS text,
-                 d.source
+                 d.lang,
+                 d.source,
+                 -- n_chars == length(text) in the base fixture; keep the
+                 -- invariant for the suffixed replicas (multimodal gates
+                 -- derive width/height/duration from it)
+                 length(CASE WHEN r.range = 0 THEN d.text
+                             ELSE d.text || ' r' || r.range::VARCHAR END) AS n_chars
           FROM '{SRC}/documents.parquet' d, range({REPLICAS}) r
           ORDER BY doc_id
         ) TO '{DST}/documents.parquet' (FORMAT PARQUET)

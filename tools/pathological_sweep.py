@@ -99,7 +99,8 @@ DOC_QUERIES = ",".join(
         "text_bpe_train", "text_bpe_encode", "text_pack_sequences",
         # round-6 additions: text-format round-trip and the composed
         # streaming pipeline (evolution + restart + admission dedup)
-        "source_jsonl_documents", "pipeline_stream_cdc_dedup",
+        "source_jsonl_documents", "source_csv_documents",
+        "pipeline_stream_cdc_dedup",
         # round-7: perceptual-hash media dedup (unicode codepoints ARE the
         # fake pixel stream here, so the hostile docs hit it directly)
         "mm_phash_pairs",
