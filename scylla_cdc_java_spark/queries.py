@@ -4364,9 +4364,24 @@ def q_source_csv_documents(spark, sf_dir):
         "sg_csv_gate",
         sf_dir.strip("/").replace("/", "_"),
     )
-    _docs(spark, sf_dir).coalesce(1).write.mode("overwrite").option(
-        "header", "true"
-    ).csv(f"{export}/documents.csv")
+    # writer-side conventions a faithful CSV export NEEDS (each one is
+    # silent-by-default data corruption, caught by the hostile sweep):
+    # Spark's CSV WRITER trims leading/trailing whitespace unless told
+    # not to, writes '' as an unquoted empty field, and writes NULL the
+    # same way — quote empties, mark nulls with the \\N sentinel, and
+    # disable trimming so text round-trips byte-exact (the loader's
+    # documented convention, sources/tables.py).
+    (
+        _docs(spark, sf_dir)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("emptyValue", '""')
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(f"{export}/documents.csv")
+    )
     d = _lt(spark, export, "documents")
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -4748,6 +4763,85 @@ FROM ph a JOIN ph b ON a.media_id < b.media_id
 JOIN (SELECT unnest(generate_series(0, 3)) AS band) s
   ON ((a.phash >> (16 * s.band)) & 65535) = ((b.phash >> (16 * s.band)) & 65535)
 WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+def q_mm_phash_dedup(spark, sf_dir):
+    """The media KEEP-ONE composite — what an image-dedup pipeline
+    actually ships: perceptual hash → banded Hamming pairs (radius 3,
+    pigeonhole-exact) → connected components (large-star/small-star) →
+    smallest media_id survives per cluster. Media whose payload is
+    undecodable (null) cannot be deduped and are excluded on both sides.
+    The oracle composes the 64-chain FNV phash SQL with the recursive-CC
+    walk — the media counterpart of pipeline_embeddings_index."""
+    from .pipeline.dedup import dedup_clusters
+    from .pipeline.multimodal import documents_as_media, perceptual_hash, phash_pairs
+
+    media = documents_as_media(_docs(spark, sf_dir)).where(F.col("kind") == "image")
+    ph = perceptual_hash(media).where(F.col("phash").isNotNull())
+    pairs = phash_pairs(ph, radius=3).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    ids = ph.select(F.col("media_id").alias("doc_id"))
+    clusters = dedup_clusters(ids, pairs)
+    return clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("keep_media_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+ORACLE_MM_PHASH_DEDUP = """
+WITH RECURSIVE im AS (
+  SELECT doc_id AS media_id, text FROM documents
+  WHERE doc_id % 3 = 0 AND text IS NOT NULL
+),
+cp AS (
+  SELECT media_id,
+         list_transform(generate_series(1, length(text)),
+                        i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cps
+  FROM im
+),
+bits AS (
+  SELECT media_id, s.j,
+         CASE WHEN (list_reduce(
+                list_prepend(CAST(2166136261 AS BIGINT),
+                  CASE WHEN len(cps) <= s.j THEN [CAST(0 AS BIGINT)]
+                       ELSE list_filter(
+                              list_transform(cps, (x, i) ->
+                                CASE WHEN (i - 1) % 64 = s.j THEN x END),
+                              v -> v IS NOT NULL)
+                  END),
+                (a, b) -> (xor(a, b) * 16777619) % 4294967296) % 1000) >= 500
+              THEN 1 ELSE 0 END AS bit
+  FROM cp, (SELECT unnest(generate_series(0, 63)) AS j) s
+),
+ph AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN j < 63 THEN bit::BIGINT << j ELSE 0 END)
+              + max(CASE WHEN j = 63 AND bit = 1
+                         THEN -9223372036854775807 - 1 ELSE 0 END)
+              AS BIGINT) AS phash
+  FROM bits GROUP BY media_id
+),
+pairs AS (
+  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+  FROM ph a JOIN ph b ON a.media_id < b.media_id
+  JOIN (SELECT unnest(generate_series(0, 3)) AS band) s
+    ON ((a.phash >> (16 * s.band)) & 65535) = ((b.phash >> (16 * s.band)) & 65535)
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT media_id, media_id FROM ph
+  UNION
+  SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+),
+cc AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+SELECT cluster_id, min(node) AS keep_media_id, count(*) AS n_members
+FROM cc GROUP BY cluster_id
 """
 
 
@@ -5678,6 +5772,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_MM_PHASH,
         "perceptual-hash image near-dup pairs (banded Hamming)",
     ),
+    "mm_phash_dedup": (
+        q_mm_phash_dedup,
+        ORACLE_MM_PHASH_DEDUP,
+        "media keep-one composite (phash -> CC -> min-id survivor)",
+    ),
     "agg_order_priority": (
         q_agg_order_priority,
         ORACLE_Q4_PRIORITY,
@@ -5747,6 +5846,7 @@ _GATE_FRONT: list[str] = [
     "agg_small_qty_revenue",
     "source_csv_documents",
     "mm_phash_pairs",
+    "mm_phash_dedup",
     "agg_order_priority",
     "join_volume_shipping",
     "join_market_share",
@@ -5792,7 +5892,6 @@ _GATE_FRONT: list[str] = [
     "events_lag_lead",
     # oldest r05 rows (fill to 50)
     "dedup_ngram_jaccard_exact",
-    "dedup_embedding_pairs_exact",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

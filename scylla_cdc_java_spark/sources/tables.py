@@ -91,15 +91,17 @@ def _load_text_format(spark: SparkSession, path: str, fmt: str, name: str) -> Da
         if ddl:
             reader = reader.schema(ddl)
         return reader.json(path)
-    # emptyValue: a quoted empty field decodes as '' (Spark's own writer
-    # quotes them, and external exporters should too). An UNQUOTED empty
-    # field still matches the default nullValue and loads as NULL — CSV
-    # cannot distinguish the two without a writer-side convention; that
-    # residual ambiguity is inherent to the format (documented, not
-    # papered over). FAILFAST makes malformed rows (e.g. unparseable
-    # timestamps) raise instead of silently becoming NULLs under
-    # PERMISSIVE — a text export that diverges from parquet should fail
-    # loudly, not drift.
+    # CSV null/empty convention (writers MUST follow it for byte-exact
+    # round-trips — the hostile sweep enforces it): NULL is the sentinel
+    # `\\N` (the MySQL/Hive marker; Spark's default writes null as an
+    # empty field, indistinguishable from ''), empty string is a QUOTED
+    # empty `""` (writer option emptyValue='\"\"'), and writers disable
+    # ignoreLeading/TrailingWhiteSpace (Spark's CSV WRITER trims by
+    # default — silent corruption of padded text). A literal `\\N` text
+    # value is the one residual ambiguity of the convention. FAILFAST
+    # makes malformed rows (e.g. unparseable timestamps) raise instead
+    # of silently becoming NULLs under PERMISSIVE — a text export that
+    # diverges from parquet should fail loudly, not drift.
     # multiLine: quoted fields may carry embedded newlines (document text
     # does); the cost is per-file (non-splittable) parsing, acceptable for
     # bounded text EXPORTS — parquet remains the at-scale format
@@ -109,6 +111,7 @@ def _load_text_format(spark: SparkSession, path: str, fmt: str, name: str) -> Da
             .option("inferSchema", "true")
             .option("timestampFormat", ts_fmt)
             .option("emptyValue", "")
+            .option("nullValue", "\\N")
             .option("multiLine", "true")
             .csv(path)
         )
@@ -125,6 +128,7 @@ def _load_text_format(spark: SparkSession, path: str, fmt: str, name: str) -> Da
         .option("header", "true")
         .option("timestampFormat", ts_fmt)
         .option("emptyValue", "")
+        .option("nullValue", "\\N")
         .option("multiLine", "true")
         .option("mode", "FAILFAST")
         .csv(path)

@@ -103,7 +103,7 @@ DOC_QUERIES = ",".join(
         "pipeline_stream_cdc_dedup",
         # round-7: perceptual-hash media dedup (unicode codepoints ARE the
         # fake pixel stream here, so the hostile docs hit it directly)
-        "mm_phash_pairs",
+        "mm_phash_pairs", "mm_phash_dedup",
     ]
 )
 
