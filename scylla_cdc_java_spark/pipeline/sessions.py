@@ -157,3 +157,50 @@ def stream_sessionize(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_tumbling_agg(
+    spark,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    window_s: int = 86400,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    available_now: bool = True,
+):
+    """STREAMING tumbling-window aggregation (count + exact-decimal value
+    sum per (window, key)) with a watermark, appended as windows close —
+    the streaming twin of the batch tumbling-window gates. Windows are
+    epoch-aligned (`F.window`), so the batch mirror is a plain
+    floor-division grouping. Same restart/flush protocol as
+    :func:`stream_sessionize`: checkpointed state resumes across a
+    stop/restart; a far-future sentinel row advances the watermark so
+    the tail windows emit in availableNow's no-data batch. State is one
+    row per OPEN (window, key), evicted at the watermark."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = (
+        stream.withWatermark(ts_col, "0 seconds")
+        .groupBy(F.window(F.col(ts_col), f"{window_s} seconds"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__tv"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            key_col,
+            "n_events",
+            F.col("__tv").cast("double").alias("total_value"),
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

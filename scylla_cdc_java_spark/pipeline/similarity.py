@@ -196,6 +196,113 @@ def quantized_pairs_gemm(
 
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    n_shards: int = 8,
+) -> DataFrame:
+    """EXACT directional kNN graph (every vector's top-k neighbors by
+    integer dot) via the same sharded blocked GEMM as
+    :func:`quantized_pairs_gemm` — the embedding-graph building block
+    (semantic clustering, graph dedup, hard-negative mining) that a
+    training pipeline materializes once per corpus snapshot.
+
+    Correctness of the two-phase top-k: each (block-pair) task emits only
+    its BLOCK-LOCAL top-k per row (ties broken toward the smaller
+    neighbor id — the B side is pre-sorted by id so a stable argsort on
+    −dot inherits that order), and the global per-vid window merge of
+    ≤ n_shards·k candidates is then exactly the global top-k, because a
+    row's true i-th neighbor is necessarily within the local top-k of
+    whatever block holds it. Communication O(n·n_shards) rows, compute
+    O(n²d) spread over n_shards²/2 GEMM tasks, merge input O(n·n_shards·k)
+    — never an n² shuffle. Integer-exact ⇒ hash-gated oracle."""
+    q = emb.select(
+        F.col(id_col).alias("vid"), quantize_embedding(vec_col, scale).alias("qv")
+    ).withColumn("shard", F.pmod(F.xxhash64(F.col("vid")), F.lit(n_shards)))
+    a_blocks = F.transform(
+        F.sequence(F.col("shard"), F.lit(n_shards - 1)),
+        lambda j: F.struct(
+            F.col("shard").alias("bi"), j.alias("bj"), F.lit(0).alias("role")
+        ),
+    )
+    b_blocks = F.when(
+        F.col("shard") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("shard") - 1),
+            lambda i: F.struct(
+                i.alias("bi"), F.col("shard").alias("bj"), F.lit(1).alias("role")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bi:long,bj:long,role:int>>"))
+    exploded = q.select(
+        "vid", "qv", F.explode(F.concat(a_blocks, b_blocks)).alias("blk")
+    ).select("vid", "qv", F.col("blk.bi"), F.col("blk.bj"), F.col("blk.role"))
+    kk = int(k)
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"vid": [], "neighbor_id": [], "dot_q": []}, dtype="int64"
+        )
+        a = pdf[pdf["role"] == 0]
+        diagonal = bool((pdf["bi"] == pdf["bj"]).iloc[0])
+        b = a if diagonal else pdf[pdf["role"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+
+        def block_topk(x_ids, x_mat, y_ids, y_mat):
+            # y pre-sorted ascending by id: stable argsort on -dots then
+            # breaks dot-ties toward the smaller neighbor id
+            order = np.argsort(y_ids, kind="stable")
+            y_ids, y_mat = y_ids[order], y_mat[order]
+            dots = x_mat @ y_mat.T
+            self_mask = x_ids[:, None] == y_ids[None, :]
+            # push self-pairs to the very end of the ranking; min+1, NOT
+            # min: −int64.min overflows back to itself and would sort
+            # self FIRST under the −masked argsort
+            masked = np.where(self_mask, np.iinfo(np.int64).min + 1, dots)
+            top = np.argsort(-masked, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(x_ids, top.shape[1])
+            cols = y_ids[top.reshape(-1)]
+            vals = np.take_along_axis(dots, top, axis=1).reshape(-1)
+            # a self pair can only reach the top-k when the block holds
+            # fewer than k non-self rows (it was masked to rank last), in
+            # which case every non-self row is already emitted
+            sel = cols != rows
+            return rows[sel], cols[sel], vals[sel]
+
+        a_ids = a["vid"].to_numpy(dtype=np.int64)
+        b_ids = b["vid"].to_numpy(dtype=np.int64)
+        a_mat = np.stack([np.asarray(v, dtype=np.int64) for v in a["qv"]])
+        b_mat = np.stack([np.asarray(v, dtype=np.int64) for v in b["qv"]])
+        r1, c1, v1 = block_topk(a_ids, a_mat, b_ids, b_mat)
+        if diagonal:
+            return pd.DataFrame({"vid": r1, "neighbor_id": c1, "dot_q": v1})
+        r2, c2, v2 = block_topk(b_ids, b_mat, a_ids, a_mat)
+        return pd.DataFrame(
+            {
+                "vid": np.concatenate([r1, r2]),
+                "neighbor_id": np.concatenate([c1, c2]),
+                "dot_q": np.concatenate([v1, v2]),
+            }
+        )
+
+    cands = exploded.groupBy("bi", "bj").applyInPandas(
+        kernel, schema="vid long, neighbor_id long, dot_q long"
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select(F.col("vid").alias(id_col), "neighbor_id", "rank", "dot_q")
+    )
+
+
 def _coarse_probe_kernel(cent_ids, cent_mat, n_out: int):
     """mapInPandas kernel assigning each (vid, qv) row its ``n_out``
     nearest coarse centroids by integer dot (one blocked numpy GEMM per

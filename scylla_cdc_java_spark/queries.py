@@ -4766,6 +4766,39 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
 
 
+def q_ann_knn_graph(spark, sf_dir):
+    """EXACT kNN graph over the whole corpus (every vector's top-3 by
+    integer dot) — the embedding-graph snapshot a training pipeline
+    materializes for clustering/hard-negative mining. Sharded blocked
+    GEMM with block-local top-k + one window merge (plan never carries
+    an n² shuffle; see pipeline/similarity.knn_graph). Hash-gated: the
+    oracle is the all-pairs SQL ranking."""
+    from .pipeline.similarity import knn_graph
+
+    return knn_graph(_emb(spark, sf_dir), k=3)
+
+
+ORACLE_ANN_KNN_GRAPH = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_q
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_mm_phash_dedup(spark, sf_dir):
     """The media KEEP-ONE composite — what an image-dedup pipeline
     actually ships: perceptual hash → banded Hamming pairs (radius 3,
@@ -5423,6 +5456,64 @@ def q_pipeline_stream_sessionize(spark, sf_dir):
     )
 
 
+def q_pipeline_stream_tumbling(spark, sf_dir):
+    """STREAMING tumbling-window aggregation end-to-end: daily
+    (window, event_type) count + value sum over a two-chunk time-split
+    file feed with an engine STOP/RESTART between chunks — the window
+    straddling the split must merge its two halves from checkpointed
+    state — and a sentinel row to flush the tail (same protocol as
+    pipeline_stream_sessionize). Windows are epoch-aligned, so the
+    oracle is a plain floor-division grouping over the batch table."""
+    import datetime
+    import os
+
+    from .pipeline.sessions import stream_tumbling_agg
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id",
+        "event_type",
+        F.timestamp_micros(epoch_micros(ev, "ts")).alias("ts"),
+        "value",
+    )
+    tmp = _evo_tmpdir()
+    src = os.path.join(tmp, "events")
+    out = os.path.join(tmp, "windows")
+    ckpt = os.path.join(tmp, "ckpt")
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev.where(F.col("ts") < split).write.parquet(src)
+    stream_tumbling_agg(
+        spark, src, out, ckpt, schema, window_s=86400
+    ).awaitTermination()
+    _evo_mtime_gap()
+    mx = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, "__sentinel", mx + datetime.timedelta(days=3), 0.0)], schema
+    )
+    ev.where(F.col("ts") >= split).unionByName(sentinel).write.mode(
+        "append"
+    ).parquet(src)
+    stream_tumbling_agg(
+        spark, src, out, ckpt, schema, window_s=86400
+    ).awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_type") != "__sentinel")
+        .select("window_start_us", "event_type", "n_events", "total_value")
+    )
+
+
+ORACLE_STREAM_TUMBLING = """
+WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events)
+SELECT CAST(tus // 86400000000 * 86400000000 AS BIGINT) AS window_start_us,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM e GROUP BY 1, 2
+"""
+
+
 ORACLE_STREAM_SESSIONIZE = """
 WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events),
 s AS (
@@ -5777,6 +5868,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_MM_PHASH_DEDUP,
         "media keep-one composite (phash -> CC -> min-id survivor)",
     ),
+    "ann_knn_graph": (
+        q_ann_knn_graph,
+        ORACLE_ANN_KNN_GRAPH,
+        "exact kNN graph via sharded GEMM block-local top-k",
+    ),
     "agg_order_priority": (
         q_agg_order_priority,
         ORACLE_Q4_PRIORITY,
@@ -5811,6 +5907,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         q_pipeline_stream_sessionize,
         ORACLE_STREAM_SESSIONIZE,
         "streaming session_window w/ restart + watermark flush",
+    ),
+    "pipeline_stream_tumbling": (
+        q_pipeline_stream_tumbling,
+        ORACLE_STREAM_TUMBLING,
+        "streaming tumbling windows w/ restart-merged straddle",
     ),
     "pipeline_stream_cdc_dedup": (
         q_pipeline_stream_cdc_dedup,
@@ -5847,6 +5948,7 @@ _GATE_FRONT: list[str] = [
     "source_csv_documents",
     "mm_phash_pairs",
     "mm_phash_dedup",
+    "ann_knn_graph",
     "agg_order_priority",
     "join_volume_shipping",
     "join_market_share",
@@ -5854,6 +5956,7 @@ _GATE_FRONT: list[str] = [
     "agg_large_orders",
     "join_lost_opportunity",
     "pipeline_stream_sessionize",
+    "pipeline_stream_tumbling",
     # (3) the gate whose path crosses the round-7 dedup NULL-key guard
     "p2_dedup_resume",
     # --- backfill: refresh the OLDEST driver evidence ----------------
@@ -5889,9 +5992,6 @@ _GATE_FRONT: list[str] = [
     "text_distinct_hll",
     "agg_cube_revenue",
     "set_ops_customers",
-    "events_lag_lead",
-    # oldest r05 rows (fill to 50)
-    "dedup_ngram_jaccard_exact",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

@@ -632,3 +632,32 @@ def test_ivf_sq8_agrees_with_sq8_on_probed_cells(spark):
         map(key, ivf_sq8_topk(emb, qs, k=4, nprobe=4, n_centroids=4).collect())
     )
     assert ivf == full
+
+
+def test_knn_graph_shard_invariant_and_tie_exact(spark, emb_df):
+    """knn_graph must equal the brute-force per-vector ranking for every
+    shard count (block-local top-k + window merge is exact), including
+    on planted EXACT dot ties (duplicate vector content under distinct
+    ids — ties must break toward the smaller neighbor id in every block
+    role)."""
+    from scylla_cdc_java_spark.pipeline.similarity import (
+        cosine_topk_bruteforce,
+        knn_graph,
+    )
+
+    rows = emb_df.collect()
+    dup = spark.createDataFrame(
+        [(1000 + r["vec_id"], r["embedding"]) for r in rows[:5]],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = emb_df.unionByName(dup)
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["dot_q"])
+        for r in cosine_topk_bruteforce(corpus, corpus, k=3).collect()
+    )
+    for n_shards in (1, 3, 8):
+        got = sorted(
+            (r["vec_id"], r["rank"], r["neighbor_id"], r["dot_q"])
+            for r in knn_graph(corpus, k=3, n_shards=n_shards).collect()
+        )
+        assert got == want, f"n_shards={n_shards}"

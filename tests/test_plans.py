@@ -438,6 +438,7 @@ _AUDIT_SKIP = {
     "t9_udt_evolution",
     "pipeline_stream_cdc_dedup",
     "pipeline_stream_sessionize",
+    "pipeline_stream_tumbling",
     "source_jsonl_documents",
     "source_csv_documents",
     "text_bpe_train",

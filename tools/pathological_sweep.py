@@ -59,8 +59,9 @@ EVENT_QUERIES = ",".join(
         "events_anomaly_zscore", "events_pivot_types", "events_lag_lead",
         "events_interval_join", "o3_list_ops", "ttl_apply_visibility",
         # round-7: streaming session_window (same-instant bursts all land
-        # in one session; ties must agree across engines)
-        "pipeline_stream_sessionize",
+        # in one session; ties must agree across engines) + streaming
+        # tumbling windows (burst instants on window boundaries)
+        "pipeline_stream_sessionize", "pipeline_stream_tumbling",
     ]
 )
 
