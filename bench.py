@@ -85,6 +85,7 @@ HEADLINE = [
     # represent)
     "ann_sq8_topk",
     "ann_ivf_sq8_topk",
+    "ann_knn_graph",
     "mm_phash_pairs",
     "agg_large_orders",
     "join_volume_shipping",

@@ -661,3 +661,50 @@ def test_knn_graph_shard_invariant_and_tie_exact(spark, emb_df):
             for r in knn_graph(corpus, k=3, n_shards=n_shards).collect()
         )
         assert got == want, f"n_shards={n_shards}"
+
+
+def test_phash_matches_python_reference_on_random_unicode(spark):
+    """Property: the vectorized Arrow kernel replays the pure-Python
+    FNV-per-stride fold byte-for-byte on arbitrary unicode payloads
+    (one Spark job per example batch, many strings per batch)."""
+    from hypothesis import given, settings, strategies as st
+
+    from scylla_cdc_java_spark.pipeline.multimodal import perceptual_hash
+
+    def expected(text: str) -> int:
+        cps = [ord(c) for c in text]
+        h = 0
+        for j in range(64):
+            stride = cps[j::64] or [0]
+            acc = 2166136261
+            for v in stride:
+                acc = ((acc ^ v) * 16777619) % 2**32
+            if acc % 1000 >= 500:
+                h |= 1 << j
+        return h - 2**64 if h >= 2**63 else h
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts)
+    def check(batch):
+        media = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch)], "media_id long, text string"
+        ).select(
+            "media_id",
+            F.lit("image").alias("kind"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+        got = {r["media_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+        assert got == {i: expected(t) for i, t in enumerate(batch)}
+
+    check()
