@@ -26,8 +26,18 @@ from pyspark.sql import functions as F
 
 
 def quantize_embedding(c: Column | str, scale: int = 1000) -> Column:
+    """float32 embeddings quantize through an EXPLICIT double promotion:
+    Spark already widens ``float * int`` to double, but DuckDB multiplies
+    in float32 — a stored 0.3195f (= 0.31949999928…) times 1000 is
+    319.5f in float arithmetic (rounds 320) versus 319.49999… in double
+    (rounds 319). Both engines carry the matching CAST so the convention
+    is double everywhere, not an implicit-coercion coincidence (found by
+    the only sf0.1 vector sitting on such a boundary, via ann_knn_graph
+    which exposes EVERY vector's quantization, not just 5 queries')."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.transform(c, lambda x: F.round(x * F.lit(scale)).cast("long"))
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * F.lit(scale)).cast("long")
+    )
 
 
 # Deterministic seed-selection hash: a multiplicative mix mod a 31-bit

@@ -773,7 +773,7 @@ def q_dedup_embedding_pairs_exact(spark, sf_dir):
 ORACLE_EMB_PAIRS_EXACT = """
 WITH q AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -786,7 +786,7 @@ WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 450000
 ORACLE_EMB_PAIRS = f"""
 WITH q AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 b AS (
@@ -826,7 +826,7 @@ def q_dedup_embedding_clusters(spark, sf_dir):
 ORACLE_EMB_CLUSTERS = f"""
 WITH RECURSIVE q AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 b AS (
@@ -885,7 +885,7 @@ def q_ann_cosine_topk(spark, sf_dir):
 ORACLE_ANN = """
 WITH q AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 scored AS (
@@ -996,7 +996,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 ORACLE_ANN_IVF = f"""
 WITH q AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 cent AS (SELECT vec_id AS cid, qv AS cv FROM q
@@ -1048,7 +1048,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 ORACLE_ANN_LSH = """
 WITH q AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv,
            (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
          + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
          + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
@@ -1856,7 +1856,7 @@ def q_ann_kmeans_train(spark, sf_dir):
 ORACLE_KMEANS = f"""
 WITH q AS (
   SELECT vec_id AS vid,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 c0 AS (SELECT vid AS cid, qv AS cv FROM q
@@ -3615,7 +3615,7 @@ def _pq_cte_chain(
     if q_cte is None:
         parts.append("""q AS (
   SELECT vec_id AS vid,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 )""")
         qname = "q"
@@ -3729,7 +3729,7 @@ FROM ranked WHERE rank <= 5
 ORACLE_EMB_INDEX = f"""
 WITH RECURSIVE q AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 b AS (
@@ -3932,7 +3932,7 @@ ORACLE_INDEX_EXTEND = (
     """
 WITH q AS (
   SELECT vec_id AS vid,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 qe AS (SELECT vid, qv FROM q WHERE vid % 2 = 0),
@@ -3980,7 +3980,7 @@ def q_ann_ivf_pq_residual_topk(spark, sf_dir):
 ORACLE_IVF_PQ_RESIDUAL = f"""
 WITH q AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 cent AS (SELECT vec_id AS cid, qv AS cv FROM q
@@ -4612,7 +4612,7 @@ def q_ann_sq8_topk(spark, sf_dir):
 ORACLE_ANN_SQ8 = """
 WITH q AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 pe AS (
@@ -4663,7 +4663,7 @@ def q_ann_ivf_sq8_topk(spark, sf_dir):
 ORACLE_ANN_IVF_SQ8 = f"""
 WITH q AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 cent AS (SELECT vec_id AS cid, qv AS cv FROM q
@@ -4752,7 +4752,7 @@ bits AS (
 ph AS (
   SELECT media_id,
          CAST(sum(CASE WHEN j < 63 THEN bit::BIGINT << j ELSE 0 END)
-              + max(CASE WHEN j = 63 AND bit = 1
+              + min(CASE WHEN j = 63 AND bit = 1
                          THEN -9223372036854775807 - 1 ELSE 0 END)
               AS BIGINT) AS phash
   FROM bits GROUP BY media_id
@@ -4781,7 +4781,7 @@ def q_ann_knn_graph(spark, sf_dir):
 ORACLE_ANN_KNN_GRAPH = """
 WITH q AS (
   SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 scored AS (
@@ -4851,7 +4851,7 @@ bits AS (
 ph AS (
   SELECT media_id,
          CAST(sum(CASE WHEN j < 63 THEN bit::BIGINT << j ELSE 0 END)
-              + max(CASE WHEN j = 63 AND bit = 1
+              + min(CASE WHEN j = 63 AND bit = 1
                          THEN -9223372036854775807 - 1 ELSE 0 END)
               AS BIGINT) AS phash
   FROM bits GROUP BY media_id
