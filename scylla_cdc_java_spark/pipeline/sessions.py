@@ -169,6 +169,7 @@ def stream_tumbling_agg(
     key_col: str = "event_type",
     ts_col: str = "ts",
     value_col: str = "value",
+    delay: str = "0 seconds",
     available_now: bool = True,
 ):
     """STREAMING tumbling-window aggregation (count + exact-decimal value
@@ -179,10 +180,14 @@ def stream_tumbling_agg(
     :func:`stream_sessionize`: checkpointed state resumes across a
     stop/restart; a far-future sentinel row advances the watermark so
     the tail windows emit in availableNow's no-data batch. State is one
-    row per OPEN (window, key), evicted at the watermark."""
+    row per OPEN (window, key), evicted at the watermark. ``delay`` is
+    the watermark lateness allowance: a row arriving after its window
+    passed the watermark (window_end <= max_seen_event_time − delay at
+    the START of its batch) is DROPPED — the deterministic admission
+    rule the late-data gate's oracle replays."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
     agg = (
-        stream.withWatermark(ts_col, "0 seconds")
+        stream.withWatermark(ts_col, delay)
         .groupBy(F.window(F.col(ts_col), f"{window_s} seconds"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -5505,6 +5505,81 @@ def q_pipeline_stream_tumbling(spark, sf_dir):
     )
 
 
+def q_pipeline_stream_late_data(spark, sf_dir):
+    """LATE DATA under a watermark — the semantics every real stream
+    processor must pin down: daily tumbling windows with a 2-day
+    lateness allowance, where every 50th event ARRIVES in the second
+    chunk regardless of its event time (planted out-of-order delivery
+    across an engine stop/restart). Spark's rule: a row is dropped iff
+    its WINDOW's end <= the watermark at its batch's start
+    (max seen event time − delay); rows later than the watermark but
+    whose window is still open ARE aggregated. Determinism: each chunk
+    coalesces to ONE file so availableNow processes it as one batch and
+    the watermark advances at exactly the chunk boundary — making the
+    admission rule a pure function of the data that the SQL oracle
+    replays verbatim (chunk-1 rows all admitted; a chunk-2 row admitted
+    iff its window end > max(chunk-1 event time) − 2 days)."""
+    import datetime
+    import os
+
+    from .pipeline.sessions import stream_tumbling_agg
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id",
+        "event_type",
+        F.timestamp_micros(epoch_micros(ev, "ts")).alias("ts"),
+        "value",
+    )
+    tmp = _evo_tmpdir()
+    src = os.path.join(tmp, "events")
+    out = os.path.join(tmp, "windows")
+    ckpt = os.path.join(tmp, "ckpt")
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    late = F.col("event_id") % 50 == 0
+    chunk1 = ev.where((F.col("ts") < split) & ~late)
+    chunk1.coalesce(1).write.parquet(src)
+    stream_tumbling_agg(
+        spark, src, out, ckpt, schema, window_s=86400, delay="2 days"
+    ).awaitTermination()
+    _evo_mtime_gap()
+    mx = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, "__sentinel", mx + datetime.timedelta(days=5), 0.0)], schema
+    )
+    chunk2 = ev.where((F.col("ts") >= split) | late).unionByName(sentinel)
+    chunk2.coalesce(1).write.mode("append").parquet(src)
+    stream_tumbling_agg(
+        spark, src, out, ckpt, schema, window_s=86400, delay="2 days"
+    ).awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_type") != "__sentinel")
+        .select("window_start_us", "event_type", "n_events", "total_value")
+    )
+
+
+ORACLE_STREAM_LATE_DATA = """
+WITH e AS (SELECT event_id, epoch_us(ts) AS tus, event_type, value FROM events),
+split AS (SELECT epoch_us(TIMESTAMP '2024-01-16 00:00:00') AS s),
+wm AS (
+  SELECT COALESCE(max(tus) - 172800000000, -9223372036854775807) AS w
+  FROM e, split WHERE tus < s AND event_id % 50 <> 0
+),
+adm AS (
+  SELECT e.* FROM e, split, wm
+  WHERE (tus < s AND event_id % 50 <> 0)
+     OR (tus // 86400000000 * 86400000000 + 86400000000 > w)
+)
+SELECT CAST(tus // 86400000000 * 86400000000 AS BIGINT) AS window_start_us,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM adm GROUP BY 1, 2
+"""
+
+
 ORACLE_STREAM_TUMBLING = """
 WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events)
 SELECT CAST(tus // 86400000000 * 86400000000 AS BIGINT) AS window_start_us,
@@ -5913,6 +5988,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_STREAM_TUMBLING,
         "streaming tumbling windows w/ restart-merged straddle",
     ),
+    "pipeline_stream_late_data": (
+        q_pipeline_stream_late_data,
+        ORACLE_STREAM_LATE_DATA,
+        "watermark late-data admission (2-day allowance, planted lates)",
+    ),
     "pipeline_stream_cdc_dedup": (
         q_pipeline_stream_cdc_dedup,
         ORACLE_STREAM_CDC_DEDUP,
@@ -5957,6 +6037,7 @@ _GATE_FRONT: list[str] = [
     "join_lost_opportunity",
     "pipeline_stream_sessionize",
     "pipeline_stream_tumbling",
+    "pipeline_stream_late_data",
     # (3) the gate whose path crosses the round-7 dedup NULL-key guard
     "p2_dedup_resume",
     # --- backfill: refresh the OLDEST driver evidence ----------------
@@ -5991,7 +6072,6 @@ _GATE_FRONT: list[str] = [
     "text_tfidf_topk",
     "text_distinct_hll",
     "agg_cube_revenue",
-    "set_ops_customers",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

@@ -708,3 +708,48 @@ def test_phash_matches_python_reference_on_random_unicode(spark):
         assert got == {i: expected(t) for i, t in enumerate(batch)}
 
     check()
+
+
+def test_stream_tumbling_late_data_boundary(spark, tmp_path):
+    """Watermark admission boundary, pinned exactly: after chunk 1 the
+    watermark is max(chunk-1 event time) − delay; a late row whose
+    window END equals the watermark is DROPPED (the window was evicted
+    at end <= wm), one whose window end is a full window later is
+    ADMITTED and merges into open state."""
+    import datetime as dt
+
+    from scylla_cdc_java_spark.pipeline.sessions import stream_tumbling_agg
+
+    day = dt.timedelta(days=1)
+    d0 = dt.datetime(2024, 1, 1)  # window [d0, d0+1d)
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    src, out, ckpt = str(tmp_path / "s"), str(tmp_path / "o"), str(tmp_path / "c")
+    # chunk 1: max event time = Jan 3 00:00 -> wm = Jan 2 00:00 (delay 1d)
+    rows1 = [(0, "a", d0, 1.0), (1, "a", d0 + 2 * day, 2.0)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    stream_tumbling_agg(
+        spark, src, out, ckpt, schema, window_s=86400, delay="1 day"
+    ).awaitTermination()
+    # chunk 2: late row into [Jan 1, Jan 2) — window end == wm -> DROPPED;
+    # late row into [Jan 2, Jan 3) — end Jan 3 > wm -> ADMITTED; sentinel
+    rows2 = [
+        (2, "a", d0 + dt.timedelta(hours=5), 100.0),          # dropped
+        (3, "a", d0 + day + dt.timedelta(hours=5), 200.0),    # admitted
+        (-1, "__sentinel", d0 + 30 * day, 0.0),
+    ]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream_tumbling_agg(
+        spark, src, out, ckpt, schema, window_s=86400, delay="1 day"
+    ).awaitTermination()
+    got = {
+        (r["window_start_us"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out)
+        .where(F.col("event_type") != "__sentinel")
+        .collect()
+    }
+    us = lambda t: int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    assert got == {
+        (us(d0), "a"): (1, 1.0),                 # late row 2 was dropped
+        (us(d0 + day), "a"): (1, 200.0),         # late row 3 admitted
+        (us(d0 + 2 * day), "a"): (1, 2.0),
+    }

@@ -439,6 +439,7 @@ _AUDIT_SKIP = {
     "pipeline_stream_cdc_dedup",
     "pipeline_stream_sessionize",
     "pipeline_stream_tumbling",
+    "pipeline_stream_late_data",
     "source_jsonl_documents",
     "source_csv_documents",
     "text_bpe_train",

@@ -62,6 +62,7 @@ EVENT_QUERIES = ",".join(
         # in one session; ties must agree across engines) + streaming
         # tumbling windows (burst instants on window boundaries)
         "pipeline_stream_sessionize", "pipeline_stream_tumbling",
+        "pipeline_stream_late_data",
     ]
 )
 
