@@ -5398,6 +5398,76 @@ WHERE l_quantity < thr
 """
 
 
+def q_events_value_ntile(spark, sf_dir):
+    """Analytic ranking frames (§2.5 breadth): per-event-type quartile
+    (ntile), percent_rank and cume_dist over (value, event_id) — the
+    distribution-ranking trio a feature pipeline derives per segment.
+    Unique order keys make every rank function deterministic; NULLS
+    FIRST is pinned explicitly (Spark's asc default) because DuckDB's
+    default is NULLS LAST."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_first(), F.col("event_id")
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+ORACLE_EVENTS_NTILE = """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM events
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY value ASC NULLS FIRST, event_id)
+"""
+
+
+def q_agg_grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (the third member beside the cube and
+    rollup rows): revenue over ((flag, status), (status), ()) — an
+    asymmetric set a cube/rollup cannot express — with grouping() flags
+    disambiguating real NULL groups from set-level placeholders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.select("l_returnflag", "l_linestatus", rev.alias("__rev"))
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.sum("__rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
 def q_pipeline_stream_sessionize(spark, sf_dir):
     """STREAMING session windows end-to-end: the events table feeds a
     file stream in two time-split arrival chunks with an engine
@@ -5993,6 +6063,16 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_STREAM_LATE_DATA,
         "watermark late-data admission (2-day allowance, planted lates)",
     ),
+    "events_value_ntile": (
+        q_events_value_ntile,
+        ORACLE_EVENTS_NTILE,
+        "ntile/percent_rank/cume_dist distribution ranking",
+    ),
+    "agg_grouping_sets_revenue": (
+        q_agg_grouping_sets_revenue,
+        ORACLE_GROUPING_SETS,
+        "asymmetric GROUPING SETS with grouping() flags",
+    ),
     "pipeline_stream_cdc_dedup": (
         q_pipeline_stream_cdc_dedup,
         ORACLE_STREAM_CDC_DEDUP,
@@ -6038,6 +6118,8 @@ _GATE_FRONT: list[str] = [
     "pipeline_stream_sessionize",
     "pipeline_stream_tumbling",
     "pipeline_stream_late_data",
+    "events_value_ntile",
+    "agg_grouping_sets_revenue",
     # (3) the gate whose path crosses the round-7 dedup NULL-key guard
     "p2_dedup_resume",
     # --- backfill: refresh the OLDEST driver evidence ----------------
@@ -6070,8 +6152,6 @@ _GATE_FRONT: list[str] = [
     "join_region_volume",
     "text_length_histogram",
     "text_tfidf_topk",
-    "text_distinct_hll",
-    "agg_cube_revenue",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

@@ -63,6 +63,8 @@ EVENT_QUERIES = ",".join(
         # tumbling windows (burst instants on window boundaries)
         "pipeline_stream_sessionize", "pipeline_stream_tumbling",
         "pipeline_stream_late_data",
+        # round-7 late: rank-function trio on burst ties / null values
+        "events_value_ntile",
     ]
 )
 
@@ -261,7 +263,7 @@ REL_QUERIES = ",".join(
         "agg_customer_distribution", "agg_large_orders",
         "join_lost_opportunity",
         "agg_forecast_revenue", "join_returned_items", "join_top_supplier",
-        "agg_small_qty_revenue",
+        "agg_small_qty_revenue", "agg_grouping_sets_revenue",
     ]
 )
 
