@@ -5398,6 +5398,86 @@ WHERE l_quantity < thr
 """
 
 
+def q_join_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21-shaped anchor: suppliers who alone held up a
+    multi-supplier order — the double-correlated EXISTS / NOT EXISTS
+    over the same fact table, decorrelated into ONE per-order aggregate
+    (distinct suppliers, distinct LATE suppliers) joined back to the
+    late lines: EXISTS another supplier ⇔ n_supp > 1; NOT EXISTS another
+    late supplier ⇔ n_late = 1 (the row's own supplier is late). The
+    schema has no commit/receipt dates, so shipped-after-order-date
+    stands in for Q21's late predicate; the oracle keeps the textbook
+    correlated form, proving the decorrelation equivalent."""
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate")).alias("late"),
+    )
+    st = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    waiting = (
+        lo.where(F.col("late"))
+        .join(
+            st.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        waiting.join(
+            F.broadcast(
+                load_table(spark, sf_dir, "supplier").select(
+                    "s_suppkey", "s_name", "s_nationkey"
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+ORACLE_Q21_WAITING = """
+SELECT s_name, n_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate)
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
 def q_events_value_ntile(spark, sf_dir):
     """Analytic ranking frames (§2.5 breadth): per-event-type quartile
     (ntile), percent_rank and cume_dist over (value, event_id) — the
@@ -6073,6 +6153,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_GROUPING_SETS,
         "asymmetric GROUPING SETS with grouping() flags",
     ),
+    "join_waiting_suppliers": (
+        q_join_waiting_suppliers,
+        ORACLE_Q21_WAITING,
+        "Q21-shape double-correlated EXISTS/NOT EXISTS, decorrelated",
+    ),
     "pipeline_stream_cdc_dedup": (
         q_pipeline_stream_cdc_dedup,
         ORACLE_STREAM_CDC_DEDUP,
@@ -6120,6 +6205,7 @@ _GATE_FRONT: list[str] = [
     "pipeline_stream_late_data",
     "events_value_ntile",
     "agg_grouping_sets_revenue",
+    "join_waiting_suppliers",
     # (3) the gate whose path crosses the round-7 dedup NULL-key guard
     "p2_dedup_resume",
     # --- backfill: refresh the OLDEST driver evidence ----------------
@@ -6151,7 +6237,6 @@ _GATE_FRONT: list[str] = [
     "join_shipping_priority",
     "join_region_volume",
     "text_length_histogram",
-    "text_tfidf_topk",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

@@ -409,6 +409,7 @@ _AUDIT_ALLOW: dict[str, tuple[int, bool]] = {
     "ann_ivf_sq8_topk": (1, False),     # broadcast (query, probed-cell) table
     "join_returned_items": (2, False),  # Q10: windowed orders + nation dims
     "join_top_supplier": (2, True),     # Q15: 1-row max + supplier dim
+    "join_waiting_suppliers": (2, False),  # Q21: supplier + nation dims
     "agg_small_qty_revenue": (3, False),  # Q17: brand parts (both li_p branches) + thresholds
     "join_volume_shipping": (4, False),  # Q7: nation x2 + supp + cust dims
     "join_market_share": (6, False),    # Q8: part/supp/nation/region/cust dims

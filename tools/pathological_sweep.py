@@ -264,6 +264,7 @@ REL_QUERIES = ",".join(
         "join_lost_opportunity",
         "agg_forecast_revenue", "join_returned_items", "join_top_supplier",
         "agg_small_qty_revenue", "agg_grouping_sets_revenue",
+        "join_waiting_suppliers",
     ]
 )
 
