@@ -1235,3 +1235,43 @@ def weighted_sample(
         w * F.lit(float(denom))
     )
     return df.where(keep)
+
+
+def nfc_normalize(c: Column | str) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF — the
+    canonical-equivalence step a text pipeline runs BEFORE hashing/dedup
+    so composed ('é' U+00E9) and decomposed ('e'+U+0301) spellings of
+    the same text collapse to one form (exact dedup is otherwise blind
+    to them; Spark has no built-in normalizer). Python's unicodedata and
+    DuckDB's nfc_normalize implement the same Unicode standard, so the
+    SQL oracle verifies the normalization byte-for-byte."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return _nfc(F.col(c) if isinstance(c, str) else c)
+
+
+def nfc_exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups under NFC canonical equivalence: documents
+    whose NFC forms are byte-identical share a group; smallest id is the
+    keeper. One Arrow map pass for the normalization, one partial-agg
+    groupBy on the 16-byte md5 — the same plan as plain exact dedup."""
+    h = F.md5(nfc_normalize(text_col))
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .groupBy(h.alias("nfc_md5"))
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

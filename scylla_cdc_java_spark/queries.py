@@ -5398,6 +5398,26 @@ WHERE l_quantity < thr
 """
 
 
+def q_text_nfc_dedup(spark, sf_dir):
+    """Exact dedup under Unicode NFC canonical equivalence — composed
+    and decomposed spellings of the same text collapse before hashing
+    (the preprocessing step plain exact dedup is blind to). Arrow-batched
+    pandas UDF (Spark has no built-in normalizer); the oracle runs
+    DuckDB's nfc_normalize — same Unicode standard — so the gate
+    verifies the normalization itself byte-for-byte."""
+    from .pipeline.text import nfc_exact_dedup_groups
+
+    return nfc_exact_dedup_groups(_docs(spark, sf_dir))
+
+
+ORACLE_TEXT_NFC_DEDUP = """
+SELECT md5(nfc_normalize(text)) AS nfc_md5,
+       min(doc_id) AS keep_doc_id, count(*) AS n_members
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_join_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21-shaped anchor: suppliers who alone held up a
     multi-supplier order — the double-correlated EXISTS / NOT EXISTS
@@ -6158,6 +6178,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_Q21_WAITING,
         "Q21-shape double-correlated EXISTS/NOT EXISTS, decorrelated",
     ),
+    "text_nfc_dedup": (
+        q_text_nfc_dedup,
+        ORACLE_TEXT_NFC_DEDUP,
+        "NFC canonical-equivalence exact dedup (Arrow UDF vs nfc_normalize)",
+    ),
     "pipeline_stream_cdc_dedup": (
         q_pipeline_stream_cdc_dedup,
         ORACLE_STREAM_CDC_DEDUP,
@@ -6206,6 +6231,7 @@ _GATE_FRONT: list[str] = [
     "events_value_ntile",
     "agg_grouping_sets_revenue",
     "join_waiting_suppliers",
+    "text_nfc_dedup",
     # (3) the gate whose path crosses the round-7 dedup NULL-key guard
     "p2_dedup_resume",
     # --- backfill: refresh the OLDEST driver evidence ----------------
@@ -6236,7 +6262,6 @@ _GATE_FRONT: list[str] = [
     "dedup_embedding_clusters",
     "join_shipping_priority",
     "join_region_volume",
-    "text_length_histogram",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

@@ -135,3 +135,25 @@ def test_kmeans_trained_centroids_feed_ivf(spark):
     assert res, "trained-centroid IVF returned no neighbors"
     for r in res:
         assert r["neighbor_id"] % 5 == r["query_id"] % 5
+
+
+def test_nfc_dedup_collapses_decomposed_forms(spark):
+    """'é' composed (U+00E9) and decomposed (e + U+0301) must land in the
+    same dedup group after NFC normalization — plain exact dedup keeps
+    them apart (the blindness this operator exists to fix)."""
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_java_spark.pipeline.text import nfc_exact_dedup_groups
+
+    composed = "café éclair"
+    decomposed = "café éclair"
+    assert composed != decomposed  # different byte strings...
+    docs = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, "unrelated"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["keep_doc_id"]: r["n_members"]
+        for r in nfc_exact_dedup_groups(docs).collect()
+    }
+    assert got == {1: 2, 3: 1}  # ...one canonical group; null text dropped

@@ -108,6 +108,9 @@ DOC_QUERIES = ",".join(
         # round-7: perceptual-hash media dedup (unicode codepoints ARE the
         # fake pixel stream here, so the hostile docs hit it directly)
         "mm_phash_pairs", "mm_phash_dedup",
+        # round-7 late: NFC canonical-equivalence dedup (the unicode docs
+        # are the entire point here)
+        "text_nfc_dedup",
     ]
 )
 
