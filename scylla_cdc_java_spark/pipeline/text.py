@@ -1159,7 +1159,20 @@ def temperature_weights(
         pw = F.sqrt(f)
     else:
         pw = F.pow(f, F.lit(float(tau)))
-    z = F.sum(pw).over(Window.partitionBy())
+    # z = Σ pw over DOUBLES is the one order-dependent step in this
+    # pipeline: float addition is not associative, and Spark's partial
+    # aggregation order varies with the input's partitioning (and differs
+    # from any other engine's scan order), so a plain SUM(pw) can drift a
+    # last ulp between two runs of the SAME data — enough to straddle a
+    # 6-decimal boundary in the final cast (the r04-r07 driver-red root
+    # cause: local runs green, driver's partitioning red). Canonicalize
+    # the order instead: fold the SORTED pw values left-to-right. The
+    # sorted multiset of bit-identical doubles is unique regardless of
+    # partitioning, so the fold is bit-reproducible on any engine and any
+    # parallelism. |strata| is small (the groupBy output), so the
+    # collect_list rides the existing single-row window.
+    zarr = F.array_sort(F.collect_list(pw).over(Window.partitionBy()))
+    z = F.aggregate(zarr, F.lit(0.0), lambda acc, x: acc + x)
     p = pw / z
     # DECIMAL(18,6), not round(double): pow() in two engines can differ in
     # the last ulp, and round(x, 6) re-emits a double whose nearest

@@ -3861,7 +3861,11 @@ p AS (
          sqrt(n_tokens / CAST(t.total AS DOUBLE)) AS pw
   FROM agg, t
 ),
-z AS (SELECT sum(pw) AS z FROM p)
+-- order-canonical normalizer (mirrors pipeline/text.py): fold the SORTED
+-- pw doubles left-to-right — plain SUM(pw) is partial-aggregation-order
+-- dependent and drifts a last ulp across engines/partitionings
+z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(pw))),
+                         (acc, x) -> acc + x) AS z FROM p)
 SELECT source, n_docs, n_tokens,
        CAST(f AS DECIMAL(18,6)) AS natural_share,
        CAST(pw / z.z AS DECIMAL(18,6)) AS annealed_share,
@@ -4306,6 +4310,57 @@ WHERE c.common / CAST(s.sz AS DOUBLE) >= 0.5
 """
 
 
+_TEXT_EXPORT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _text_export_dir(spark, sf_dir: str, fmt: str) -> str:
+    """Per-process export of the documents table to a text format under a
+    UNIQUE temp dir (mkdtemp + atexit cleanup — a fixed shared path under
+    /tmp let two concurrent contract runs overwrite each other's export
+    mid-read: the r07 flake surface). Cached per (fmt, sf_dir) so the
+    round-trip gate and its per-column bisection diagnostics share one
+    export instead of re-writing it per gate."""
+    import os
+
+    key = (fmt, sf_dir)
+    if key in _TEXT_EXPORT_CACHE:
+        return _TEXT_EXPORT_CACHE[key]
+    from .sources.tables import write_csv_table
+
+    tmp = _evo_tmpdir()
+    if fmt == "csv":
+        write_csv_table(_docs(spark, sf_dir), os.path.join(tmp, "documents.csv"), coalesce=1)
+    else:
+        _docs(spark, sf_dir).coalesce(1).write.mode("overwrite").json(
+            os.path.join(tmp, "documents.jsonl")
+        )
+    _TEXT_EXPORT_CACHE[key] = tmp
+    return tmp
+
+
+def _source_roundtrip_agg(spark, sf_dir, fmt: str, cols: str = "all"):
+    """The text-format round-trip probe: reload the export through
+    load_table's text-format fallback and aggregate per stratum. ``cols``
+    selects the full canary set or a single-column bisection slice
+    (counts / tokens / md5) so a driver-side hash mismatch localizes to
+    the diverging column from the correctness file alone."""
+    from .sources.tables import load_table as _lt
+
+    d = _lt(spark, _text_export_dir(spark, sf_dir, fmt), "documents")
+    aggs = {
+        "counts": [
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        ],
+        "tokens": [F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")],
+        "md5": [F.max(F.md5(F.col("text"))).alias("max_md5")],
+    }
+    chosen = (
+        aggs["counts"] + aggs["tokens"] + aggs["md5"] if cols == "all" else aggs[cols]
+    )
+    return d.groupBy("source").agg(*chosen)
+
+
 def q_source_jsonl_documents(spark, sf_dir):
     """Text-format source parity under the EXTERNAL gate (the r05 CSV/JSON
     loader was pytest-only evidence): export the documents table to
@@ -4315,33 +4370,29 @@ def q_source_jsonl_documents(spark, sf_dir):
     (whitespace, encoding, null handling) breaks the gate. max(md5(text))
     per stratum is the canary: a single byte of drift in any document
     changes it."""
-    import os
-    import tempfile
-
-    from .sources.tables import load_table as _lt
-
-    export = os.path.join(
-        tempfile.gettempdir(),
-        "sg_jsonl_gate",
-        sf_dir.strip("/").replace("/", "_"),
-    )
-    _docs(spark, sf_dir).coalesce(1).write.mode("overwrite").json(
-        f"{export}/documents.jsonl"
-    )
-    d = _lt(spark, export, "documents")
-    return d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
-        F.min("doc_id").alias("min_doc"),
-        F.max(F.md5(F.col("text"))).alias("max_md5"),
-    )
+    return _source_roundtrip_agg(spark, sf_dir, "json", "all")
 
 
 ORACLE_SOURCE_JSONL = """
 SELECT source, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS n_tokens,
        min(doc_id) AS min_doc,
+       sum(len(string_split(text, ' '))) AS n_tokens,
        max(md5(text)) AS max_md5
+FROM documents GROUP BY source
+"""
+
+ORACLE_SOURCE_COUNTS = """
+SELECT source, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM documents GROUP BY source
+"""
+
+ORACLE_SOURCE_TOKENS = """
+SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
+FROM documents GROUP BY source
+"""
+
+ORACLE_SOURCE_MD5 = """
+SELECT source, max(md5(text)) AS max_md5
 FROM documents GROUP BY source
 """
 
@@ -4349,46 +4400,65 @@ FROM documents GROUP BY source
 def q_source_csv_documents(spark, sf_dir):
     """CSV source parity under the EXTERNAL gate — the second text format
     (source_jsonl_documents covers JSON-lines): export documents to CSV
-    (quoted, escaped, header), reload through load_table's CSV fallback
-    (multiLine + FAILFAST + emptyValue convention), and the same
-    per-stratum aggregate must hash-match the parquet-reading oracle.
-    max(md5(text)) is the canary — one byte of quoting/escaping/newline
-    drift in any document breaks the gate."""
-    import os
-    import tempfile
+    via write_csv_table (quoted empties, DYNAMIC null sentinel + sidecar,
+    trimming off — each a silent-by-default Spark corruption), reload
+    through load_table's CSV fallback (multiLine + FAILFAST + sidecar
+    convention), and the same per-stratum aggregate must hash-match the
+    parquet-reading oracle. max(md5(text)) is the canary — one byte of
+    quoting/escaping/newline drift in any document breaks the gate."""
+    return _source_roundtrip_agg(spark, sf_dir, "csv", "all")
 
-    from .sources.tables import load_table as _lt
 
-    export = os.path.join(
-        tempfile.gettempdir(),
-        "sg_csv_gate",
-        sf_dir.strip("/").replace("/", "_"),
-    )
-    # writer-side conventions a faithful CSV export NEEDS (each one is
-    # silent-by-default data corruption, caught by the hostile sweep):
-    # Spark's CSV WRITER trims leading/trailing whitespace unless told
-    # not to, writes '' as an unquoted empty field, and writes NULL the
-    # same way — quote empties, mark nulls with the \\N sentinel, and
-    # disable trimming so text round-trips byte-exact (the loader's
-    # documented convention, sources/tables.py).
-    (
-        _docs(spark, sf_dir)
-        .coalesce(1)
-        .write.mode("overwrite")
-        .option("header", "true")
-        .option("emptyValue", '""')
-        .option("nullValue", "\\N")
-        .option("ignoreLeadingWhiteSpace", "false")
-        .option("ignoreTrailingWhiteSpace", "false")
-        .csv(f"{export}/documents.csv")
-    )
-    d = _lt(spark, export, "documents")
-    return d.groupBy("source").agg(
+def q_source_parquet_documents(spark, sf_dir):
+    """CONTROL gate for the text-format round-trip family: the IDENTICAL
+    per-stratum aggregate computed directly from parquet with NO export/
+    reload. If this row is red on the driver while running green locally,
+    the divergence is in split/md5/aggregate semantics on the driver's
+    fixture — not in the CSV/JSON round-trip; if this is green while a
+    round-trip row is red, the export/reload itself drifted."""
+    return _docs(spark, sf_dir).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
         F.min("doc_id").alias("min_doc"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
         F.max(F.md5(F.col("text"))).alias("max_md5"),
     )
+
+
+def q_source_csv_counts(spark, sf_dir):
+    """Bisection diagnostic for source_csv_documents: row counts and key
+    extrema only — red here means the CSV round-trip drops/duplicates/
+    NULLs whole rows or keys (e.g. a sentinel collision), independent of
+    text fidelity."""
+    return _source_roundtrip_agg(spark, sf_dir, "csv", "counts")
+
+
+def q_source_csv_tokens(spark, sf_dir):
+    """Bisection diagnostic for source_csv_documents: whitespace-token
+    sums only — red here with counts green means text survives as rows
+    but whitespace/structure drifted (trimming, newline handling)."""
+    return _source_roundtrip_agg(spark, sf_dir, "csv", "tokens")
+
+
+def q_source_csv_md5(spark, sf_dir):
+    """Bisection diagnostic for source_csv_documents: per-stratum
+    max(md5(text)) only — red here with tokens green means a non-
+    whitespace byte drifted (quoting/escaping/encoding)."""
+    return _source_roundtrip_agg(spark, sf_dir, "csv", "md5")
+
+
+def q_source_jsonl_counts(spark, sf_dir):
+    """Bisection diagnostic for source_jsonl_documents (see csv twin)."""
+    return _source_roundtrip_agg(spark, sf_dir, "json", "counts")
+
+
+def q_source_jsonl_tokens(spark, sf_dir):
+    """Bisection diagnostic for source_jsonl_documents (see csv twin)."""
+    return _source_roundtrip_agg(spark, sf_dir, "json", "tokens")
+
+
+def q_source_jsonl_md5(spark, sf_dir):
+    """Bisection diagnostic for source_jsonl_documents (see csv twin)."""
+    return _source_roundtrip_agg(spark, sf_dir, "json", "md5")
 
 
 def q_pipeline_stream_cdc_dedup(spark, sf_dir):
@@ -4728,7 +4798,8 @@ def q_mm_phash_pairs(spark, sf_dir):
 
 
 ORACLE_MM_PHASH = """
-WITH im AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
+WITH im AS (SELECT doc_id AS media_id, text FROM documents
+            WHERE doc_id % 3 = 0 AND text IS NOT NULL),
 cp AS (
   SELECT media_id,
          list_transform(generate_series(1, length(text)),
@@ -5498,26 +5569,371 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H partsupp family (Q2 / Q9 / Q11 / Q16 / Q20) over the DERIVED
+# partsupp view — the fixture has no partsupp table, so the view is
+# constructed by a deterministic integer formula (sources/derived.py) and
+# the SAME formula is replayed in every oracle's CTE: the derivation is
+# itself externally verified, not trusted.
+# --------------------------------------------------------------------------
+
+
+def q_join_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped anchor: for each qualifying part, the EUROPE
+    supplier(s) offering it at the region-minimum cost — the correlated
+    min-subquery shape, decorrelated into a per-part window MIN over the
+    region-filtered candidates (one shuffle on ps_partkey; dims
+    broadcast). The oracle keeps the textbook correlated scalar subquery,
+    proving the window rewrite equivalent. Ties (several suppliers at the
+    minimum) are KEPT on both sides — Q2's semantics."""
+    from .sources.derived import derived_partsupp
+
+    eur = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load_table(spark, sf_dir, "region").where(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_size") >= 10)
+            & (F.col("p_size") <= 25)
+            & (F.col("p_type") == "STANDARD")
+        )
+        .select("p_partkey", "p_brand")
+    )
+    cand = derived_partsupp(spark, sf_dir).join(
+        F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = cand.withColumn("min_cost", F.min("ps_supplycost").over(w)).where(
+        F.col("ps_supplycost") == F.col("min_cost")
+    )
+    return best.join(
+        F.broadcast(part_f), F.col("ps_partkey") == F.col("p_partkey")
+    ).select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        "p_partkey",
+        "p_brand",
+        F.col("ps_supplycost").cast("double").alias("supplycost"),
+    )
+
+
+def q_agg_product_profit(spark, sf_dir):
+    """TPC-H Q9-shaped anchor: profit by supplier nation and order year
+    for one product family — line revenue minus part-supply cost, both
+    exact decimals so the per-group sums are order-independent. The
+    fact-side join to the derived partsupp shuffles on the composite
+    (partkey, suppkey); dims broadcast."""
+    from .sources.derived import derived_partsupp
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    ) - F.col("ps_supplycost") * F.col("l_quantity").cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            derived_partsupp(spark, sf_dir),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+def q_agg_important_stock(spark, sf_dir):
+    """TPC-H Q11-shaped anchor: parts whose stock value held by ASIA
+    suppliers exceeds a fraction of the region's total — the group-by
+    with a GLOBAL HAVING threshold. The threshold compare is integer-
+    scaled (value·1000 > total·3, i.e. fraction 0.003) so both engines
+    compare exact decimals with no float division anywhere."""
+    from .sources.derived import derived_partsupp
+
+    asia_sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = F.col("ps_supplycost") * F.col("ps_availqty").cast("decimal(6,0)")
+    per_part = (
+        derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(asia_sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(val).alias("value_dec"))
+    )
+    total = F.sum("value_dec").over(Window.partitionBy())
+    return (
+        per_part.withColumn("total", total)
+        .where(
+            F.col("value_dec") * F.lit(1000).cast("decimal(4,0)")
+            > F.col("total") * F.lit(3).cast("decimal(1,0)")
+        )
+        .select("ps_partkey", F.col("value_dec").cast("double").alias("value"))
+    )
+
+
+def q_agg_part_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16-shaped anchor: how many distinct suppliers can deliver
+    each qualifying (brand, type, size) — the NOT-IN-subquery shape
+    (suppliers with negative balances stand in for Q16's complaint
+    filter; the schema has no s_comment) executed as a broadcast
+    LEFT-ANTI join, plus a count-distinct over the survivors."""
+    from .sources.derived import derived_partsupp
+
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_sup = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(part_f), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_sup),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_join_excess_availability(spark, sf_dir):
+    """TPC-H Q20-shaped anchor: EUROPE suppliers holding more than half a
+    year's shipped quantity of any 'small…' part — the nested semi-join
+    chain (IN inside IN with a correlated scalar sum), decorrelated into
+    one per-(part, supplier) shipped-quantity aggregate inner-joined back
+    (the correlated sum's NULL-on-empty → false matches the inner join).
+    Quantities sum as exact decimals; the half threshold is the integer-
+    scaled 2·availqty > sum_qty."""
+    from .sources.derived import derived_partsupp
+    from .sources.tables import ts_filter
+
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = ts_filter(
+        ts_filter(
+            load_table(spark, sf_dir, "lineitem"),
+            "l_shipdate", ">=", "1996-01-01 00:00:00",
+        ),
+        "l_shipdate", "<", "1997-01-01 00:00:00",
+    )
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty")
+    )
+    cand = (
+        derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(part_f), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            qty,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty") * 2 > F.col("sum_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    eur = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load_table(spark, sf_dir, "region").where(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return eur.join(cand, F.col("s_suppkey") == F.col("ps_suppkey")).select(
+        "s_suppkey", "s_name"
+    )
+
+
+def _with_partsupp(body: str) -> str:
+    from .sources.derived import ORACLE_PARTSUPP_CTE
+
+    return "WITH " + ORACLE_PARTSUPP_CTE + ",\n" + body
+
+
+def _oracle_q2_min_cost() -> str:
+    return _with_partsupp("""
+eur AS (
+  SELECT s_suppkey, s_acctbal, s_name, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost
+  FROM partsupp JOIN eur ON eur.s_suppkey = ps_suppkey
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+       CAST(c.ps_supplycost AS DOUBLE) AS supplycost
+FROM part p
+JOIN cand c ON c.ps_partkey = p.p_partkey
+JOIN eur e ON e.s_suppkey = c.ps_suppkey
+WHERE p.p_size BETWEEN 10 AND 25 AND p.p_type = 'STANDARD'
+  AND c.ps_supplycost = (SELECT min(c2.ps_supplycost) FROM cand c2
+                         WHERE c2.ps_partkey = p.p_partkey)
+""")
+
+
+def _oracle_q9_profit() -> str:
+    return _with_partsupp("""
+j AS (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+           - ps_supplycost * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+  FROM lineitem
+  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%red%'
+)
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+FROM j GROUP BY 1, 2
+""")
+
+
+def _oracle_q11_stock() -> str:
+    return _with_partsupp("""
+asia AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_regionkey = 2
+),
+per_part AS (
+  SELECT ps_partkey,
+         sum(ps_supplycost * CAST(ps_availqty AS DECIMAL(6,0))) AS value_dec
+  FROM partsupp JOIN asia ON asia.s_suppkey = ps_suppkey
+  GROUP BY ps_partkey
+),
+tot AS (SELECT sum(value_dec) AS total FROM per_part)
+SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS value
+FROM per_part CROSS JOIN tot
+WHERE value_dec * CAST(1000 AS DECIMAL(4,0)) > total * CAST(3 AS DECIMAL(1,0))
+""")
+
+
+def _oracle_q16_supplier_cnt() -> str:
+    return _with_partsupp("""
+q AS (
+  SELECT p_brand, p_type, p_size, ps_suppkey
+  FROM partsupp JOIN part ON p_partkey = ps_partkey
+  WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+    AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+    AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM q GROUP BY 1, 2, 3
+""")
+
+
+def _oracle_q20_excess() -> str:
+    return _with_partsupp("""
+eur AS (
+  SELECT s_suppkey, s_name FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_suppkey, s_name
+FROM eur
+WHERE s_suppkey IN (
+  SELECT ps_suppkey FROM partsupp
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND ps_availqty * 2 > (
+      SELECT sum(CAST(l_quantity AS DECIMAL(12,2))) FROM lineitem
+      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+)
+""")
+
+
 def q_events_value_ntile(spark, sf_dir):
     """Analytic ranking frames (§2.5 breadth): per-event-type quartile
     (ntile), percent_rank and cume_dist over (value, event_id) — the
     distribution-ranking trio a feature pipeline derives per segment.
-    Unique order keys make every rank function deterministic; NULLS
-    FIRST is pinned explicitly (Spark's asc default) because DuckDB's
-    default is NULLS LAST."""
+    Computed by the TWO-PASS range-partitioned rank assembly
+    (operators/rank.py) rather than ``Window.partitionBy(event_type)``:
+    event_type cardinality is ~10, so a plain segment window caps the
+    sort at 10 tasks regardless of cluster size (the r07 perf-weak
+    finding); the two-pass form sorts N range slices in parallel and
+    assembles global ranks from broadcast prefix offsets. The oracle
+    stays the textbook window SQL — proving the rewrite exact. Unique
+    order keys (event_id tiebreak) make every rank function
+    deterministic; NULLS FIRST is pinned (Spark's asc default) because
+    DuckDB's default is NULLS LAST."""
+    from .operators.rank import ranked_frames
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc_nulls_first(), F.col("event_id")
-    )
-    return ev.select(
-        "event_id",
-        "event_type",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-    )
+    return ranked_frames(
+        ev, "event_type", ["value", "event_id"], n_tiles=4
+    ).select("event_id", "event_type", "quartile", "pr", "cd")
 
 
 ORACLE_EVENTS_NTILE = """
@@ -5601,8 +6017,11 @@ def q_pipeline_stream_sessionize(spark, sf_dir):
     schema = "event_id long, user_id long, ts timestamp, value double"
     split = F.lit("2024-01-16 00:00:00").cast("timestamp")
     # chunk 1 strictly precedes chunk 2 in EVENT TIME, so the zero-delay
-    # watermark drops nothing across the restart
-    ev.where(F.col("ts") < split).write.parquet(src)
+    # watermark drops nothing across the restart. coalesce(1): one file
+    # per chunk guarantees one micro-batch per chunk — a multi-file chunk
+    # split across batches (e.g. under maxFilesPerTrigger) would let the
+    # zero-delay watermark drop intra-chunk out-of-order rows
+    ev.where(F.col("ts") < split).coalesce(1).write.parquet(src)
     stream_sessionize(
         spark, src, out, ckpt, schema, gap_s=30000
     ).awaitTermination()
@@ -5613,7 +6032,7 @@ def q_pipeline_stream_sessionize(spark, sf_dir):
     sentinel = spark.createDataFrame(
         [(-1, -1, mx + datetime.timedelta(seconds=3 * 30000), 0.0)], schema
     )
-    ev.where(F.col("ts") >= split).unionByName(sentinel).write.mode(
+    ev.where(F.col("ts") >= split).unionByName(sentinel).coalesce(1).write.mode(
         "append"
     ).parquet(src)
     stream_sessionize(
@@ -5653,7 +6072,10 @@ def q_pipeline_stream_tumbling(spark, sf_dir):
     ckpt = os.path.join(tmp, "ckpt")
     schema = "event_id long, event_type string, ts timestamp, value double"
     split = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    ev.where(F.col("ts") < split).write.parquet(src)
+    # coalesce(1): one file per chunk == one micro-batch per chunk (see
+    # sessionize gate — protects the zero-delay watermark from intra-chunk
+    # batch splits)
+    ev.where(F.col("ts") < split).coalesce(1).write.parquet(src)
     stream_tumbling_agg(
         spark, src, out, ckpt, schema, window_s=86400
     ).awaitTermination()
@@ -5662,7 +6084,78 @@ def q_pipeline_stream_tumbling(spark, sf_dir):
     sentinel = spark.createDataFrame(
         [(-1, "__sentinel", mx + datetime.timedelta(days=3), 0.0)], schema
     )
-    ev.where(F.col("ts") >= split).unionByName(sentinel).write.mode(
+    ev.where(F.col("ts") >= split).unionByName(sentinel).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_tumbling_agg(
+        spark, src, out, ckpt, schema, window_s=86400
+    ).awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_type") != "__sentinel")
+        .select("window_start_us", "event_type", "n_events", "total_value")
+    )
+
+
+def q_pipeline_stream_crash_tumbling(spark, sf_dir):
+    """MID-BATCH TORN-FILE CRASH between the sink's data write and its
+    manifest commit — the exactly-once hole the stop/restart trio does
+    not cover (those stop at batch boundaries). After the first chunk
+    commits, a crash is simulated by dropping an UNCOMMITTED duplicate
+    part-file into the sink directory (a batch that died after writing
+    its parquet but before the ``_spark_metadata`` commit — exactly what
+    a kill-9 mid-batch leaves behind). The restarted engine processes
+    chunk 2 against the same checkpoint, and the final read goes through
+    the sink's manifest: the torn file's rows MUST be invisible, so the
+    result hash-matches the same replayed oracle as the clean tumbling
+    gate — if a reader ever trusted the directory listing instead of the
+    manifest, every duplicated window would double and the gate breaks.
+    A pytest twin proves the injection is real (a listing-based reader
+    DOES see the poison)."""
+    import datetime
+    import glob as _glob
+    import os
+    import shutil as _sh
+
+    from .pipeline.sessions import stream_tumbling_agg
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id",
+        "event_type",
+        F.timestamp_micros(epoch_micros(ev, "ts")).alias("ts"),
+        "value",
+    )
+    tmp = _evo_tmpdir()
+    src = os.path.join(tmp, "events")
+    out = os.path.join(tmp, "windows")
+    ckpt = os.path.join(tmp, "ckpt")
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev.where(F.col("ts") < split).coalesce(1).write.parquet(src)
+    stream_tumbling_agg(
+        spark, src, out, ckpt, schema, window_s=86400
+    ).awaitTermination()
+    _evo_mtime_gap()
+    # torn-crash injection: duplicate a COMMITTED part file under an
+    # uncommitted name — data present on disk, absent from the manifest.
+    # Pick the LARGEST part (a zero-row part would make the poison
+    # vacuous and the gate would pass even against a listing-based read)
+    parts = sorted(
+        (
+            p
+            for p in _glob.glob(os.path.join(out, "part-*"))
+            if p.endswith(".parquet")
+        ),
+        key=os.path.getsize,
+    )
+    _sh.copyfile(parts[-1], os.path.join(out, "part-99999-torn-crash.snappy.parquet"))
+    mx = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, "__sentinel", mx + datetime.timedelta(days=3), 0.0)], schema
+    )
+    ev.where(F.col("ts") >= split).unionByName(sentinel).coalesce(1).write.mode(
         "append"
     ).parquet(src)
     stream_tumbling_agg(
@@ -6073,6 +6566,41 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_SOURCE_JSONL,
         "CSV source round-trip parity vs parquet oracle",
     ),
+    "source_parquet_documents": (
+        q_source_parquet_documents,
+        ORACLE_SOURCE_JSONL,
+        "round-trip family CONTROL: same aggregate direct from parquet",
+    ),
+    "source_csv_counts": (
+        q_source_csv_counts,
+        ORACLE_SOURCE_COUNTS,
+        "CSV round-trip bisection: row counts + key extrema",
+    ),
+    "source_csv_tokens": (
+        q_source_csv_tokens,
+        ORACLE_SOURCE_TOKENS,
+        "CSV round-trip bisection: whitespace-token sums",
+    ),
+    "source_csv_md5": (
+        q_source_csv_md5,
+        ORACLE_SOURCE_MD5,
+        "CSV round-trip bisection: per-stratum text md5 canary",
+    ),
+    "source_jsonl_counts": (
+        q_source_jsonl_counts,
+        ORACLE_SOURCE_COUNTS,
+        "JSONL round-trip bisection: row counts + key extrema",
+    ),
+    "source_jsonl_tokens": (
+        q_source_jsonl_tokens,
+        ORACLE_SOURCE_TOKENS,
+        "JSONL round-trip bisection: whitespace-token sums",
+    ),
+    "source_jsonl_md5": (
+        q_source_jsonl_md5,
+        ORACLE_SOURCE_MD5,
+        "JSONL round-trip bisection: per-stratum text md5 canary",
+    ),
     "ann_sq8_topk": (
         q_ann_sq8_topk,
         ORACLE_ANN_SQ8,
@@ -6163,6 +6691,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_STREAM_LATE_DATA,
         "watermark late-data admission (2-day allowance, planted lates)",
     ),
+    "pipeline_stream_crash_tumbling": (
+        q_pipeline_stream_crash_tumbling,
+        ORACLE_STREAM_TUMBLING,
+        "mid-batch torn-file crash: uncommitted sink file must stay invisible",
+    ),
     "events_value_ntile": (
         q_events_value_ntile,
         ORACLE_EVENTS_NTILE,
@@ -6177,6 +6710,31 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         q_join_waiting_suppliers,
         ORACLE_Q21_WAITING,
         "Q21-shape double-correlated EXISTS/NOT EXISTS, decorrelated",
+    ),
+    "join_min_cost_supplier": (
+        q_join_min_cost_supplier,
+        _oracle_q2_min_cost(),
+        "Q2-shape correlated min-cost subquery over derived partsupp",
+    ),
+    "agg_product_profit": (
+        q_agg_product_profit,
+        _oracle_q9_profit(),
+        "Q9-shape profit by nation/year over derived partsupp",
+    ),
+    "agg_important_stock": (
+        q_agg_important_stock,
+        _oracle_q11_stock(),
+        "Q11-shape global HAVING threshold over derived partsupp",
+    ),
+    "agg_part_supplier_cnt": (
+        q_agg_part_supplier_cnt,
+        _oracle_q16_supplier_cnt(),
+        "Q16-shape NOT-IN anti-join + count-distinct over derived partsupp",
+    ),
+    "join_excess_availability": (
+        q_join_excess_availability,
+        _oracle_q20_excess(),
+        "Q20-shape nested semi-join chain over derived partsupp",
     ),
     "text_nfc_dedup": (
         q_text_nfc_dedup,
@@ -6203,65 +6761,72 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
 # CORRECTNESS_r03.json) move to the back.  New queries added in round 4+ are
 # appended to _GATE_FRONT so they are verified in the round that adds them.
 _GATE_FRONT: list[str] = [
-    # --- round-7 window head -----------------------------------------
-    # (1) the query whose math changed this round: residual IVF-PQ's ADC
-    # LUT now builds from the raw quantized query (inner-product-correct;
-    # the r06 per-cell query-residual LUT was an L2-only trick)
-    "ann_ivf_pq_residual_topk",
-    # (2) new round-7 gates needing their first driver row
-    "ann_sq8_topk",
-    "ann_ivf_sq8_topk",
-    "agg_forecast_revenue",
-    "join_returned_items",
-    "join_top_supplier",
-    "agg_small_qty_revenue",
+    # --- round-8 window head -----------------------------------------
+    # (1) PINNED REDS (r07 verdict "What's wrong" #3): any row red in its
+    # latest driver appearance occupies the head of the window until
+    # green — rotation must never evict an unproven row again. All three
+    # carry round-8 fixes: the CSV convention is now total (dynamic
+    # sentinel + sidecar), and the temperature normalizer folds SORTED
+    # pw doubles (order-independent z).
     "source_csv_documents",
+    "source_jsonl_documents",
+    "text_temperature_weights",
+    # (2) bisection diagnostics for the pinned family: the parquet-direct
+    # CONTROL (no round-trip) plus per-column slices, so a driver-side
+    # red localizes to the diverging column from the correctness file
+    "source_parquet_documents",
+    "source_csv_counts",
+    "source_csv_tokens",
+    "source_csv_md5",
+    "source_jsonl_counts",
+    "source_jsonl_tokens",
+    "source_jsonl_md5",
+    # (3) new round-8 gates needing their first driver row
+    "join_min_cost_supplier",
+    "agg_product_profit",
+    "agg_important_stock",
+    "agg_part_supplier_cnt",
+    "join_excess_availability",
+    "pipeline_stream_crash_tumbling",
+    # (4) implementations/oracles that changed this round: two-pass rank
+    # rewrite, phash-oracle NULL filter, chunk-coalesce determinism
+    "events_value_ntile",
     "mm_phash_pairs",
-    "mm_phash_dedup",
-    "ann_knn_graph",
-    "agg_order_priority",
-    "join_volume_shipping",
-    "join_market_share",
-    "agg_customer_distribution",
-    "agg_large_orders",
-    "join_lost_opportunity",
     "pipeline_stream_sessionize",
     "pipeline_stream_tumbling",
-    "pipeline_stream_late_data",
-    "events_value_ntile",
-    "agg_grouping_sets_revenue",
-    "join_waiting_suppliers",
-    "text_nfc_dedup",
-    # (3) the gate whose path crosses the round-7 dedup NULL-key guard
-    "p2_dedup_resume",
     # --- backfill: refresh the OLDEST driver evidence ----------------
-    # last green r03 (four rounds ago)
-    "r3_set_delta_ops",
-    "o3_list_ops",
-    "r3_udt_delta_ops",
-    "r3_set_delta_ops_native",
-    "o3_list_ops_native",
-    "r3_udt_delta_ops_native",
-    "r6_range_prefix_bounds",
-    "j1_bound_pairing_ops",
-    "j3_preimage_report",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "mm_resize_images",
-    "mm_audio_chunks",
     # last green r04
-    "dedup_ngram_jaccard",
-    "dedup_embedding_pairs",
-    "dedup_embedding_clusters",
-    "join_shipping_priority",
-    "join_region_volume",
+    "agg_cube_revenue",
+    "events_lag_lead",
+    "set_ops_customers",
+    "text_distinct_hll",
+    "text_length_histogram",
+    "text_tfidf_topk",
+    # last green r05
+    "agg_rollup_revenue",
+    "dedup_containment",
+    "dedup_embedding_pairs_exact",
+    "dedup_exact_substring",
+    "dedup_exact_substring_capped",
+    "dedup_incremental",
+    "dedup_line_spans",
+    "dedup_ngram_jaccard_exact",
+    "dedup_simhash_hamming",
+    "dedup_winnow",
+    "dedup_winnow_pairs",
+    "events_anomaly_zscore",
+    "events_asof_join",
+    "events_funnel",
+    "events_interval_join",
+    "events_pivot_types",
+    "events_retention_cohorts",
+    "events_sessionize",
+    "events_sliding_topk",
+    "join_bucketed_revenue",
+    "join_promo_revenue",
+    "join_salted_revenue",
+    "pipeline_end_to_end",
+    "text_bm25",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

@@ -140,6 +140,36 @@ def test_composed_pipeline_crash_torn_signature_store(spark, tmp_path):
         assert text.endswith(" v2") == (doc_id % 7 == 0)
 
 
+def test_torn_sink_file_visible_to_listing_but_not_manifest(spark):
+    """The crash gate's injection twin: an uncommitted part-file dropped
+    into a streaming parquet sink IS real data on disk (a glob-based
+    reader counts its rows), but Spark's batch read of the sink goes
+    through _spark_metadata and must NOT see it — the exactly-once
+    contract pipeline_stream_crash_tumbling hash-gates end-to-end."""
+    import glob
+    import shutil
+
+    from scylla_cdc_java_spark.queries import QUERIES
+
+    df = QUERIES["pipeline_stream_crash_tumbling"][0](spark, "/root/testdata/sf0.001")
+    manifest_rows = df.count()
+    out = None
+    # the gate's sink dir: recover it from the returned frame's files
+    files = [f for f in df.inputFiles() if "/windows/" in f]
+    assert files, "expected the sink dir in the plan's input files"
+    out = files[0].split("/windows/")[0].replace("file:", "") + "/windows"
+    torn = glob.glob(out + "/part-99999-torn-crash*")
+    assert torn, "the torn file must exist on disk"
+    listing = spark.read.format("parquet").load(torn[0])
+    assert listing.count() > 0  # the poison is real rows
+    # a listing-based read of the whole dir would overcount
+    import duckdb
+
+    raw = duckdb.sql(f"SELECT count(*) FROM read_parquet('{out}/part-*.parquet')").fetchone()[0]
+    sentinel_rows = spark.read.parquet(out).count() - manifest_rows
+    assert raw > manifest_rows + sentinel_rows
+
+
 def test_dedup_changes_ignores_null_raw_time_column(spark):
     """Regression (round 6): a change frame read under the descriptor's
     wire schema carries an all-NULL ``cdc$time`` string column; dedup

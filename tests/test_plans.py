@@ -427,6 +427,15 @@ _AUDIT_ALLOW: dict[str, tuple[int, bool]] = {
     "text_countmin_probe": (2, True),   # sketch rows + 1-row depth
     "text_stratified_take": (1, False),
     "text_tfidf_topk": (1, True),       # 1-row doc count
+    # round-8 partsupp family: derived partsupp broadcasts the ranked
+    # supplier dim; each query additionally broadcasts its own dims
+    "join_min_cost_supplier": (5, False),   # Q2: ranked sup + region + nation⋈region + eur + part_f
+    "agg_product_profit": (4, False),       # Q9: ranked sup + part_f + supp + nation
+    "agg_important_stock": (3, False),      # Q11: ranked sup + nation dim + asia sup
+    "agg_part_supplier_cnt": (3, False),    # Q16: ranked sup + part_f + anti dim
+    "join_excess_availability": (4, False),  # Q20: ranked sup + part_f + eur + region
+    # two-pass rank: broadcast prefix-offset + totals maps (bounded N×|segments|)
+    "events_value_ntile": (2, False),
 }
 
 # These EXECUTE real work at query-construction time (streaming runs,
@@ -441,6 +450,7 @@ _AUDIT_SKIP = {
     "pipeline_stream_sessionize",
     "pipeline_stream_tumbling",
     "pipeline_stream_late_data",
+    "pipeline_stream_crash_tumbling",
     "source_jsonl_documents",
     "source_csv_documents",
     "text_bpe_train",

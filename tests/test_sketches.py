@@ -277,6 +277,30 @@ class TestTemperatureWeights:
         rows = {r["source"]: r for r in temperature_weights(docs, tau=0.5).collect()}
         assert rows["small"]["weight"] > 1.0 > rows["big"]["weight"]
 
+    def test_partitioning_invariant(self, spark):
+        """The normalizer z folds SORTED pw doubles, so the result must be
+        byte-identical under ANY input partitioning — plain SUM(pw) is not
+        (partial-aggregation order changes the last ulp, which can flip a
+        DECIMAL(18,6) boundary: the r04-r07 driver-red root cause)."""
+        from scylla_cdc_java_spark.pipeline.text import temperature_weights
+        from scylla_cdc_java_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        baseline = None
+        for n in (1, 3, 7, 32):
+            rows = sorted(
+                (
+                    r["source"],
+                    str(r["natural_share"]),
+                    str(r["annealed_share"]),
+                    str(r["weight"]),
+                )
+                for r in temperature_weights(docs.repartition(n), tau=0.5).collect()
+            )
+            if baseline is None:
+                baseline = rows
+            assert rows == baseline, f"diverged at repartition({n})"
+
 
 class TestStreamIncrementalDedup:
     def test_admission_across_batches(self, spark, tmp_path):

@@ -62,7 +62,7 @@ EVENT_QUERIES = ",".join(
         # in one session; ties must agree across engines) + streaming
         # tumbling windows (burst instants on window boundaries)
         "pipeline_stream_sessionize", "pipeline_stream_tumbling",
-        "pipeline_stream_late_data",
+        "pipeline_stream_late_data", "pipeline_stream_crash_tumbling",
         # round-7 late: rank-function trio on burst ties / null values
         "events_value_ntile",
     ]
@@ -105,6 +105,12 @@ DOC_QUERIES = ",".join(
         # streaming pipeline (evolution + restart + admission dedup)
         "source_jsonl_documents", "source_csv_documents",
         "pipeline_stream_cdc_dedup",
+        # round-8: literal-sentinel docs (ids 14-16) force the dynamic
+        # sentinel escalation; the control + bisection slices must all
+        # round-trip them
+        "source_parquet_documents", "source_csv_counts", "source_csv_tokens",
+        "source_csv_md5", "source_jsonl_counts", "source_jsonl_tokens",
+        "source_jsonl_md5",
         # round-7: perceptual-hash media dedup (unicode codepoints ARE the
         # fake pixel stream here, so the hostile docs hit it directly)
         "mm_phash_pairs", "mm_phash_dedup",
@@ -140,6 +146,13 @@ def build_dir() -> None:
         (11, "the quick brown fox jumps over the lazy dog today", "src2"),
         (12, "the quick brown fox jumps over the lazy cat today", "src2"),
         (13, "the quick brown fox jumps over the lazy dog today", "src0"),
+        # the r07 judge's demonstrated CSV data-loss hole: a text value
+        # that IS the null sentinel (and the escalation ladder) must
+        # round-trip as a string, not reload as NULL — exercised by the
+        # dynamic-sentinel writer (sources/tables.py write_csv_table)
+        (14, "\\N", "src1"),
+        (15, "\\N1", "src2"),
+        (16, "ends with \\N", "src0"),
     ] + [
         (100 + i, f"filler words number {i} for bulk volume in the corpus", f"src{i % 3}")
         for i in range(30)
@@ -268,6 +281,11 @@ REL_QUERIES = ",".join(
         "agg_forecast_revenue", "join_returned_items", "join_top_supplier",
         "agg_small_qty_revenue", "agg_grouping_sets_revenue",
         "join_waiting_suppliers",
+        # round-8 derived-partsupp family: Q2/Q9/Q11/Q16/Q20 — the
+        # derivation formula itself must hold on the hostile key space
+        "join_min_cost_supplier", "agg_product_profit",
+        "agg_important_stock", "agg_part_supplier_cnt",
+        "join_excess_availability",
     ]
 )
 
@@ -331,8 +349,15 @@ def build_rel_dir() -> None:
         (3, "p thr", "Brand#3", "ünïcødé tÿpe", 3, 2.675),
         (4, "p fou", "Brand#4", "STANDARD\tTABBED", 4, 0.0),
         (5, "p fiv", "Brand#5", "PROMO BURNISHED 'COPPER'", 5, -1.0),
+        # round-8 partsupp-family coverage: 'small…' names (Q20 semi-join
+        # chain), STANDARD type + size in [10,25] (Q2 min-cost), Brand#5
+        # exclusion (Q16 filter)
+        (6, "small thing", "Brand#6", "STANDARD", 15, 3.005),
+        (7, "small ünïcødé", "Brand#5", "STANDARD", 13, 1.5),
     ]
-    sups = [(1, "s one", 2, 0.0), (2, "s two", 1, -5.5)]
+    # supplier 2 sits in an EUROPE nation (regionkey 3) so the Q2/Q20
+    # region-filtered partsupp paths are value-checked non-empty
+    sups = [(1, "s one", 2, 0.0), (2, "s two", 3, -5.5)]
     # lineitems: shipdates straddle every boundary used by the gates
     ldates = [
         "1996-01-01 00:00:00", "1996-06-30 23:59:59.999999",
