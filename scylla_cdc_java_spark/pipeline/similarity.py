@@ -611,14 +611,20 @@ def quantized_pairs_lsh(
             bkts = (
                 signs.reshape(len(ids), n_tables, n_planes) * bit_w
             ).sum(axis=2)  # (n, tables)
-            yield pd.DataFrame(
-                {
-                    "vid": np.repeat(ids, n_tables),
-                    "qv": [v for v in pdf["qv"] for _ in range(n_tables)],
-                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(ids)),
-                    "bkt": bkts.reshape(-1),
-                }
-            )
+            # one output frame PER TABLE, reusing the batch's qv column
+            # as-is: building the n·tables replicated python list was the
+            # fan's hot spot (~19% of the whole pair job at sf0.1 warm —
+            # r08 profiling); the shuffle payload is identical either way
+            qvl = list(pdf["qv"])
+            for t in range(n_tables):
+                yield pd.DataFrame(
+                    {
+                        "vid": ids,
+                        "qv": qvl,
+                        "tbl": np.full(len(ids), t, dtype=np.int32),
+                        "bkt": bkts[:, t],
+                    }
+                )
 
     fanned = q.mapInPandas(
         fan_kernel, schema="vid long, qv array<long>, tbl int, bkt long"
