@@ -89,6 +89,13 @@ HEADLINE = [
     "mm_phash_pairs",
     "agg_large_orders",
     "join_volume_shipping",
+    # round-8 additions: the two fact-scale derived-partsupp shapes (Q9's
+    # composite-key fact join, Q11's global-threshold agg — Q2/Q16/Q20 are
+    # dim-dominated sub-second variations) and the two-pass distributed
+    # rank that replaced the segment-capped window sort
+    "agg_product_profit",
+    "agg_important_stock",
+    "events_value_ntile",
 ]
 
 

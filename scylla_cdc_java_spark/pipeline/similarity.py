@@ -1157,6 +1157,98 @@ def ivf_sq8_topk(
     )
 
 
+def ivf_sq8_cell_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF + PER-CELL SQ8: like :func:`ivf_sq8_topk` but the scalar-
+    quantization stats are computed per coarse CELL rather than globally
+    — each cell's residents span a narrower value range, so the same one
+    byte per dimension quantizes finer (the locally-adaptive SQ layout,
+    the scalar analogue of residual PQ). Stats are (n_centroids × dim)
+    rows — still corpus-size-independent, but they stay ENGINE-SIDE: the
+    per-cell (lo, step) arrays assemble with a sort-by-pos collect_list
+    and broadcast-join to the residents on cid (no literal expression
+    tree, no driver round-trip). Everything integer ⇒ the oracle replays
+    scores exactly. Plan: one coarse-assign GEMM pass (no corpus
+    shuffle), one bounded stats aggregate, broadcast stats + probes,
+    window top-k."""
+    import numpy as np
+
+    cent_q = corpus.select(
+        F.col(id_col).alias("cid"), quantize_embedding(vec_col, scale).alias("cv")
+    )
+    cent_rows = _collect_centroid_rows(cent_q, n_centroids, None)
+    cent_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r["cv"] for r in cent_rows], dtype=np.int64)
+
+    def quantized(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("vid"), quantize_embedding(vec_col, scale).alias("qv")
+        )
+
+    probe_schema = "vid long, qv array<long>, cid long"
+    assigned = quantized(corpus).mapInPandas(
+        _coarse_probe_kernel(cent_ids, cent_mat, 1), schema=probe_schema
+    )
+    probes = (
+        quantized(queries)
+        .mapInPandas(
+            _coarse_probe_kernel(cent_ids, cent_mat, min(nprobe, len(cent_rows))),
+            schema=probe_schema,
+        )
+        .select(F.col("vid").alias("query_id"), F.col("qv").alias("qqv"), "cid")
+    )
+    st = (
+        assigned.select("cid", F.posexplode("qv").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+        .withColumn(
+            "step",
+            F.greatest(F.lit(1).cast("long"), F.expr("((hi - lo) + 254) div 255")),
+        )
+    )
+    st_arr = st.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lo"))), lambda s: s["lo"]
+        ).alias("lo_a"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "step"))), lambda s: s["step"]
+        ).alias("step_a"),
+    )
+    dv = F.transform(
+        F.col("qv"),
+        lambda x, i: x
+        - F.pmod(
+            x - F.element_at(F.col("lo_a"), i + 1),
+            F.element_at(F.col("step_a"), i + 1),
+        ),
+    )
+    scored = (
+        assigned.join(F.broadcast(st_arr), "cid")
+        .withColumn("dv", dv)
+        .join(F.broadcast(probes), "cid")
+        .where(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            quantized_dot(F.col("qqv"), F.col("dv")).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1190,6 +1190,54 @@ def temperature_weights(
     )
 
 
+def chunk_windows(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/pretraining splitter:
+    each document's whitespace tokens cut into windows of ``window``
+    tokens advancing by ``stride`` (overlap = window − stride), the last
+    window shorter, every token covered. Chunk count is the closed form
+    ``ceil(max(n − window, 0) / stride) + 1`` in pure integer arithmetic,
+    so chunking is one map + in-row explode — NO shuffle, the ideal
+    100 TB shape (each scan task chunks its own documents).
+
+    Output: ``(doc_id, chunk_id, chunk_start, chunk_len, chunk_md5)``
+    with 1-based token offsets and the md5 of the space-rejoined window
+    (the content canary a downstream exact-dedup or index keys on).
+    NULL text yields no chunks (no tokens to cover).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_chunks = ((F.greatest(n - window, F.lit(0)) + stride - 1) / stride).cast(
+        "long"
+    ) + 1
+    start = F.col("chunk_id") * stride + 1
+    piece = F.slice(F.col("__toks"), start, window)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            start.alias("chunk_start"),
+            F.size(piece).alias("chunk_len"),
+            F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+        )
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],

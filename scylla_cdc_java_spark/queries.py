@@ -4361,6 +4361,37 @@ def _source_roundtrip_agg(spark, sf_dir, fmt: str, cols: str = "all"):
     return d.groupBy("source").agg(*chosen)
 
 
+def q_text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (window=64, stride=48) — the
+    RAG/pretraining document splitter as a pure map + in-row explode
+    (NO shuffle anywhere in the plan: each scan task chunks its own
+    docs). Hash-gated on the per-chunk md5 canary, so one token in the
+    wrong window breaks the gate; the closed-form chunk count and the
+    short last window are both replayed in SQL."""
+    from .pipeline.text import chunk_windows
+
+    return chunk_windows(_docs(spark, sf_dir), window=64, stride=48)
+
+
+ORACLE_CHUNK_WINDOWS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, (greatest(n - 64, 0) + 47) // 48)) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       chunk_id * 48 + 1 AS chunk_start,
+       CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS INT) AS chunk_len,
+       md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_md5
+FROM c
+"""
+
+
 def q_source_jsonl_documents(spark, sf_dir):
     """Text-format source parity under the EXTERNAL gate (the r05 CSV/JSON
     loader was pytest-only evidence): export the documents table to
@@ -4762,6 +4793,76 @@ st AS (
 dq AS (
   SELECT pe.vec_id, pe.pos, pe.val - ((pe.val - st.lo) % st.step) AS dv
   FROM pe JOIN st USING (pos)
+),
+scored AS (
+  SELECT p.query_id, c.vid AS neighbor_id,
+         CAST(sum(qe.val * dq.dv) AS BIGINT) AS adc
+  FROM ca c
+  JOIN probes p ON p.cid = c.cid
+  JOIN dq ON dq.vec_id = c.vid
+  JOIN pe qe ON qe.vec_id = p.query_id AND qe.pos = dq.pos
+  WHERE p.query_id <> c.vid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_ivf_sq8_cell_topk(spark, sf_dir):
+    """IVF + PER-CELL SQ8 top-k — the locally-adaptive scalar tier (the
+    scalar analogue of residual PQ): each coarse cell quantizes its own
+    residents' narrower value range, finer than the global per-dim stats
+    of ann_ivf_sq8_topk at identical storage. Hash-gated: the oracle
+    re-groups the stats CTE by (cell, dim) — all integer."""
+    from .pipeline.similarity import ivf_sq8_cell_topk
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 5)
+    return ivf_sq8_cell_topk(emb, qs, k=5, nprobe=4)
+
+
+ORACLE_ANN_IVF_SQ8_CELL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, qv AS cv FROM q
+         ORDER BY {_seed_hash_sql("vec_id")}, vec_id LIMIT 16),
+coarse AS (
+  SELECT q.vec_id AS vid, cent.cid,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST(list_dot_product(q.qv, cent.cv) AS BIGINT) DESC, cent.cid
+         ) AS rn
+  FROM q CROSS JOIN cent
+),
+ca AS (SELECT vid, cid FROM coarse WHERE rn = 1),
+probes AS (SELECT vid AS query_id, cid FROM coarse WHERE rn <= 4 AND vid < 5),
+pe AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(qv))) AS pos,
+         unnest(list_transform(generate_series(1, len(qv)), i -> qv[i])) AS val
+  FROM q
+),
+pec AS (
+  SELECT pe.vec_id, ca.cid, pe.pos, pe.val
+  FROM pe JOIN ca ON ca.vid = pe.vec_id
+),
+st AS (
+  SELECT cid, pos, min(val) AS lo,
+         greatest(1, ((max(val) - min(val)) + 254) // 255) AS step
+  FROM pec GROUP BY cid, pos
+),
+dq AS (
+  SELECT pec.vec_id, pec.pos, pec.val - ((pec.val - st.lo) % st.step) AS dv
+  FROM pec JOIN st ON st.cid = pec.cid AND st.pos = pec.pos
 ),
 scored AS (
   SELECT p.query_id, c.vid AS neighbor_id,
@@ -6561,6 +6662,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_SOURCE_JSONL,
         "JSON-lines source round-trip parity vs parquet oracle",
     ),
+    "text_chunk_windows": (
+        q_text_chunk_windows,
+        ORACLE_CHUNK_WINDOWS,
+        "overlapping token-window chunking (RAG splitter, shuffle-free)",
+    ),
     "source_csv_documents": (
         q_source_csv_documents,
         ORACLE_SOURCE_JSONL,
@@ -6610,6 +6716,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         q_ann_ivf_sq8_topk,
         ORACLE_ANN_IVF_SQ8,
         "IVF + SQ8 composed top-k (middle index tier)",
+    ),
+    "ann_ivf_sq8_cell_topk": (
+        q_ann_ivf_sq8_cell_topk,
+        ORACLE_ANN_IVF_SQ8_CELL,
+        "IVF + per-cell SQ8 top-k (locally-adaptive scalar tier)",
     ),
     "agg_forecast_revenue": (
         q_agg_forecast_revenue,
@@ -6788,6 +6899,8 @@ _GATE_FRONT: list[str] = [
     "agg_part_supplier_cnt",
     "join_excess_availability",
     "pipeline_stream_crash_tumbling",
+    "ann_ivf_sq8_cell_topk",
+    "text_chunk_windows",
     # (4) implementations/oracles that changed this round: two-pass rank
     # rewrite, phash-oracle NULL filter, chunk-coalesce determinism
     "events_value_ntile",
@@ -6825,8 +6938,6 @@ _GATE_FRONT: list[str] = [
     "join_bucketed_revenue",
     "join_promo_revenue",
     "join_salted_revenue",
-    "pipeline_end_to_end",
-    "text_bm25",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

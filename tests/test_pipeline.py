@@ -488,6 +488,50 @@ def test_sq8_codes_fit_one_byte_and_bound_error(spark):
             assert 0 <= qv[vid][pos] - dq < step
 
 
+def test_ivf_sq8_cell_stats_strictly_finer_than_global(spark):
+    """The per-cell tier's reason to exist: each cell's (lo, step) spans
+    only its residents, so cell step <= global step everywhere and is
+    STRICTLY smaller somewhere on the fixture (otherwise the gate would
+    be a vacuous twin of the global-stats one). Also pins that the
+    per-cell dequantization error stays < its cell step."""
+    import numpy as np
+
+    from scylla_cdc_java_spark.pipeline.similarity import (
+        _collect_centroid_rows,
+        _coarse_probe_kernel,
+        quantize_embedding,
+        sq8_stats,
+    )
+    from scylla_cdc_java_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    g = {r["pos"]: r["step"] for r in sq8_stats(emb).collect()}
+    cent_rows = _collect_centroid_rows(
+        emb.select(F.col("vec_id").alias("cid"), quantize_embedding("embedding").alias("cv")),
+        16,
+        None,
+    )
+    cent_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.array([r["cv"] for r in cent_rows], dtype=np.int64)
+    assigned = emb.select(
+        F.col("vec_id").alias("vid"), quantize_embedding("embedding").alias("qv")
+    ).mapInPandas(
+        _coarse_probe_kernel(cent_ids, cent_mat, 1), schema="vid long, qv array<long>, cid long"
+    )
+    cell = (
+        assigned.select("cid", F.posexplode("qv").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+        .withColumn(
+            "step",
+            F.greatest(F.lit(1).cast("long"), F.expr("((hi - lo) + 254) div 255")),
+        )
+        .collect()
+    )
+    assert all(r["step"] <= g[r["pos"]] for r in cell)
+    assert any(r["step"] < g[r["pos"]] for r in cell)
+
+
 def test_phash_deterministic_and_null_payload(spark):
     """The packed phash replays the per-stride FNV-1a fold exactly (pure
     Python mirror), identical payloads collide, and a NULL payload yields

@@ -407,6 +407,7 @@ _AUDIT_ALLOW: dict[str, tuple[int, bool]] = {
     "ann_pq_topk": (1, False),          # broadcast per-query LUT
     "ann_sq8_topk": (1, True),          # broadcast query set (≠ join, like cosine)
     "ann_ivf_sq8_topk": (1, False),     # broadcast (query, probed-cell) table
+    "ann_ivf_sq8_cell_topk": (2, False),  # + broadcast per-cell stats arrays
     "join_returned_items": (2, False),  # Q10: windowed orders + nation dims
     "join_top_supplier": (2, True),     # Q15: 1-row max + supplier dim
     "join_waiting_suppliers": (2, False),  # Q21: supplier + nation dims

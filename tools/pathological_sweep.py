@@ -83,6 +83,8 @@ EMB_QUERIES = ",".join(
         # zero/one-hot fixture dims — the lossless edge) + the IVF
         # composition of it
         "ann_sq8_topk", "ann_ivf_sq8_topk",
+        # round-8: locally-adaptive per-cell SQ8 tier
+        "ann_ivf_sq8_cell_topk",
     ]
 )
 
@@ -117,6 +119,9 @@ DOC_QUERIES = ",".join(
         # round-7 late: NFC canonical-equivalence dedup (the unicode docs
         # are the entire point here)
         "text_nfc_dedup",
+        # round-8: overlapping token-window chunking (empty/unicode/5000-
+        # char docs exercise the short-last-window and md5 canary paths)
+        "text_chunk_windows",
     ]
 )
 
