@@ -1249,6 +1249,43 @@ def ivf_sq8_cell_topk(
     )
 
 
+def signed_permutation(dim: int, seed: int = 0x0FA7A7E) -> tuple[list[int], list[float]]:
+    """Deterministic signed permutation of ``dim`` coordinates — an
+    ORTHOGONAL, integer-exact rotation (permute dims, flip signs): the
+    cheap decorrelating transform the OPQ literature uses as its
+    random-rotation baseline (Ge et al. 2013 §RR; a signed permutation
+    is the subgroup of rotations that keeps quantized integer dots
+    exact, so the whole rotated-PQ chain stays hash-gateable). Generated
+    by a seeded LCG Fisher-Yates — a pure function of (dim, seed), so
+    the permutation/sign literals bake identically into the Spark
+    expression and the SQL oracle, like the LSH planes."""
+    state = seed & ((1 << 64) - 1)
+
+    def nxt() -> int:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return state
+
+    idx = list(range(dim))
+    for i in range(dim - 1, 0, -1):
+        j = nxt() % (i + 1)
+        idx[i], idx[j] = idx[j], idx[i]
+    signs = [1.0 if nxt() % 2 == 0 else -1.0 for _ in range(dim)]
+    return idx, signs
+
+
+def rotate_embedding(vec_col: str, perm: list[int], signs: list[float]):
+    """The signed-permutation rotation as a column expression:
+    ``out[i] = vec[perm[i]] * signs[i]`` (sign flip is exact in IEEE,
+    so rotation commutes with quantization bit-for-bit)."""
+    return F.array(
+        *[
+            F.element_at(F.col(vec_col), int(p) + 1) * F.lit(float(s))
+            for p, s in zip(perm, signs)
+        ]
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

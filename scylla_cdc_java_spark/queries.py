@@ -3693,6 +3693,58 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
 FROM ranked WHERE rank <= 5
 """
 
+
+def q_ann_pq_rotated_topk(spark, sf_dir):
+    """Rotated PQ (the OPQ random-rotation baseline, Ge et al. 2013 §RR):
+    a seeded SIGNED PERMUTATION — the orthogonal transform that keeps
+    quantized integer dots exact — decorrelates the subspace split before
+    the standard PQ train/encode/ADC chain. ADC scores in the rotated
+    space equal the original-space dots (orthogonality), so ranking
+    quality is directly comparable to ann_pq_topk while the codebooks see
+    shuffled coordinate statistics. The perm/sign literals bake into both
+    the Spark expression and the oracle's rotated-corpus CTE; everything
+    downstream reuses the unrolled Lloyd chain."""
+    from .pipeline.similarity import pq_topk, rotate_embedding, signed_permutation
+
+    perm, signs = signed_permutation(_EMB_DIM)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", rotate_embedding("embedding", perm, signs).alias("embedding")
+    )
+    qs = emb.where(F.col("vec_id") < 5)
+    return pq_topk(emb, qs, k=5, m=8)
+
+
+def _rotated_q_cte() -> str:
+    """Rotated-corpus CTE: quantize(embedding[perm[i]] · sign[i]) — the
+    exact mirror of rotate_embedding ∘ quantize_embedding."""
+    from .pipeline.similarity import signed_permutation
+
+    perm, signs = signed_permutation(_EMB_DIM)
+    els = ", ".join(
+        f"CAST(round((CAST(embedding[{p + 1}] AS DOUBLE) * {s:.1f}) * 1000) AS BIGINT)"
+        for p, s in zip(perm, signs)
+    )
+    return f"rq AS (SELECT vec_id AS vid, [{els}] AS qv FROM embeddings)"
+
+
+ORACLE_PQ_ROTATED = f"""
+WITH {_rotated_q_cte()},
+{_pq_cte_chain(q_cte="rq")},
+scored AS (
+  SELECT l.query_id, co.vid AS neighbor_id, CAST(sum(l.part) AS BIGINT) AS adc
+  FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code
+  WHERE l.query_id <> co.vid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
+FROM ranked WHERE rank <= 5
+"""
+
 ORACLE_IVF_PQ_TOPK = f"""
 WITH {_pq_cte_chain()},
 cent AS (SELECT vid AS cid, qv AS cv FROM q
@@ -4389,6 +4441,61 @@ SELECT doc_id, chunk_id,
        CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS INT) AS chunk_len,
        md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_md5
 FROM c
+"""
+
+
+def q_text_chunk_dedup(spark, sf_dir):
+    """Chunk-level boilerplate detection — the composed consumer of
+    chunk_windows: chunks whose exact content recurs across DISTINCT
+    documents (shared headers/footers/license blocks — what a pretraining
+    pipeline strips before packing). One groupBy on the chunk md5; count
+    of distinct docs and the keeper (smallest doc, earliest offset) per
+    repeated chunk. Map+explode then one partial-aggregatable shuffle."""
+    from .pipeline.text import chunk_windows
+
+    ch = chunk_windows(_docs(spark, sf_dir), window=32, stride=32)
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("doc_id", "chunk_start")).alias("__keep"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(
+            "chunk_md5",
+            "n_docs",
+            "n_occurrences",
+            F.col("__keep.doc_id").alias("keep_doc"),
+            F.col("__keep.chunk_start").alias("keep_start"),
+        )
+    )
+
+
+ORACLE_CHUNK_DEDUP = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, (greatest(n - 32, 0) + 31) // 32)) AS chunk_id
+  FROM t
+),
+ch AS (
+  SELECT doc_id, chunk_id * 32 + 1 AS chunk_start,
+         md5(array_to_string(toks[chunk_id * 32 + 1 : chunk_id * 32 + 32], ' ')) AS chunk_md5
+  FROM c
+)
+SELECT chunk_md5, n_docs, n_occurrences, k.a AS keep_doc, k.b AS keep_start
+FROM (
+  SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+         min(struct_pack(a := doc_id, b := chunk_start)) AS k
+  FROM ch
+  GROUP BY chunk_md5
+  HAVING count(DISTINCT doc_id) > 1
+) g
 """
 
 
@@ -6667,6 +6774,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_CHUNK_WINDOWS,
         "overlapping token-window chunking (RAG splitter, shuffle-free)",
     ),
+    "text_chunk_dedup": (
+        q_text_chunk_dedup,
+        ORACLE_CHUNK_DEDUP,
+        "cross-doc repeated-chunk (boilerplate) detection over chunk_windows",
+    ),
     "source_csv_documents": (
         q_source_csv_documents,
         ORACLE_SOURCE_JSONL,
@@ -6721,6 +6833,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         q_ann_ivf_sq8_cell_topk,
         ORACLE_ANN_IVF_SQ8_CELL,
         "IVF + per-cell SQ8 top-k (locally-adaptive scalar tier)",
+    ),
+    "ann_pq_rotated_topk": (
+        q_ann_pq_rotated_topk,
+        ORACLE_PQ_ROTATED,
+        "signed-permutation rotated PQ (OPQ random-rotation baseline)",
     ),
     "agg_forecast_revenue": (
         q_agg_forecast_revenue,
@@ -6901,6 +7018,8 @@ _GATE_FRONT: list[str] = [
     "pipeline_stream_crash_tumbling",
     "ann_ivf_sq8_cell_topk",
     "text_chunk_windows",
+    "text_chunk_dedup",
+    "ann_pq_rotated_topk",
     # (4) implementations/oracles that changed this round: two-pass rank
     # rewrite, phash-oracle NULL filter, chunk-coalesce determinism
     "events_value_ntile",
@@ -6935,9 +7054,7 @@ _GATE_FRONT: list[str] = [
     "events_retention_cohorts",
     "events_sessionize",
     "events_sliding_topk",
-    "join_bucketed_revenue",
     "join_promo_revenue",
-    "join_salted_revenue",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

@@ -532,6 +532,29 @@ def test_ivf_sq8_cell_stats_strictly_finer_than_global(spark):
     assert any(r["step"] < g[r["pos"]] for r in cell)
 
 
+def test_signed_permutation_preserves_quantized_dots(spark):
+    """The rotated-PQ gate's foundation: a signed permutation is
+    orthogonal AND commutes with quantization (sign flip is exact), so
+    exact brute-force top-k over rotated vectors equals the original —
+    ids, ranks, and dot values bit-for-bit."""
+    from scylla_cdc_java_spark.pipeline.similarity import (
+        cosine_topk_bruteforce,
+        rotate_embedding,
+        signed_permutation,
+    )
+    from scylla_cdc_java_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    perm, signs = signed_permutation(dim)
+    assert sorted(perm) == list(range(dim)) and all(s in (1.0, -1.0) for s in signs)
+    rot = emb.select("vec_id", rotate_embedding("embedding", perm, signs).alias("embedding"))
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["dot_q"])
+    a = sorted(map(key, cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 3), k=5).collect()))
+    b = sorted(map(key, cosine_topk_bruteforce(rot, rot.where(F.col("vec_id") < 3), k=5).collect()))
+    assert a == b
+
+
 def test_phash_deterministic_and_null_payload(spark):
     """The packed phash replays the per-stride FNV-1a fold exactly (pure
     Python mirror), identical payloads collide, and a NULL payload yields

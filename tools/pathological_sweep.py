@@ -83,8 +83,8 @@ EMB_QUERIES = ",".join(
         # zero/one-hot fixture dims — the lossless edge) + the IVF
         # composition of it
         "ann_sq8_topk", "ann_ivf_sq8_topk",
-        # round-8: locally-adaptive per-cell SQ8 tier
-        "ann_ivf_sq8_cell_topk",
+        # round-8: locally-adaptive per-cell SQ8 tier + rotated PQ
+        "ann_ivf_sq8_cell_topk", "ann_pq_rotated_topk",
     ]
 )
 
@@ -121,7 +121,8 @@ DOC_QUERIES = ",".join(
         "text_nfc_dedup",
         # round-8: overlapping token-window chunking (empty/unicode/5000-
         # char docs exercise the short-last-window and md5 canary paths)
-        "text_chunk_windows",
+        # + the composed cross-doc repeated-chunk detector
+        "text_chunk_windows", "text_chunk_dedup",
     ]
 )
 
