@@ -59,6 +59,14 @@ HEAVY = [
     "ann_sq8_topk",
     "mm_phash_pairs",
     "agg_large_orders",
+    # round-8 extension: the two-pass bucketed rank (MUST scale near-
+    # linearly — its entire reason to exist vs the segment-capped
+    # window), the composite-key fact join to the derived partsupp, the
+    # per-cell SQ8 tier, and the shuffle-free chunker
+    "events_value_ntile",
+    "agg_product_profit",
+    "ann_ivf_sq8_cell_topk",
+    "text_chunk_windows",
 ]
 
 SF_DIRS = {
