@@ -3745,6 +3745,58 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
 FROM ranked WHERE rank <= 5
 """
 
+def q_ann_ivf_pq_rotated_topk(spark, sf_dir):
+    """Rotated IVF-PQ — the signed-permutation rotation composed under
+    the full inverted-file + product-quantization chain (completing the
+    rotation x (PQ, IVF-PQ) matrix next to ann_pq_rotated_topk):
+    coarse centroids, codebooks, codes AND the query LUT all live in the
+    rotated space; orthogonality keeps every integer dot identical to
+    the unrotated space, so the composition needs no new math — only
+    the same rotated-corpus CTE feeding the existing unrolled chain."""
+    from .pipeline.similarity import ivf_pq_topk, rotate_embedding, signed_permutation
+
+    perm, signs = signed_permutation(_EMB_DIM)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", rotate_embedding("embedding", perm, signs).alias("embedding")
+    )
+    qs = emb.where(F.col("vec_id") < 5)
+    return ivf_pq_topk(emb, qs, k=5, m=8, nprobe=4, n_centroids=16)
+
+
+ORACLE_IVF_PQ_ROTATED = f"""
+WITH {_rotated_q_cte()},
+{_pq_cte_chain(q_cte="rq")},
+cent AS (SELECT vid AS cid, qv AS cv FROM rq
+         ORDER BY {_seed_hash_sql("vid")}, vid LIMIT 16),
+coarse AS (
+  SELECT rq.vid, cent.cid,
+         row_number() OVER (
+           PARTITION BY rq.vid
+           ORDER BY CAST(list_dot_product(rq.qv, cent.cv) AS BIGINT) DESC, cent.cid
+         ) AS rn
+  FROM rq CROSS JOIN cent
+),
+corpus_assign AS (SELECT vid, cid FROM coarse WHERE rn = 1),
+probes AS (SELECT vid AS query_id, cid FROM coarse WHERE rn <= 4 AND vid < 5),
+scored AS (
+  SELECT l.query_id, co.vid AS neighbor_id, CAST(sum(l.part) AS BIGINT) AS adc
+  FROM codes co
+  JOIN corpus_assign ca ON ca.vid = co.vid
+  JOIN probes pr ON pr.cid = ca.cid
+  JOIN lut l ON l.query_id = pr.query_id AND l.sub = co.sub AND l.code = co.code
+  WHERE l.query_id <> co.vid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
+FROM ranked WHERE rank <= 5
+"""
+
+
 ORACLE_IVF_PQ_TOPK = f"""
 WITH {_pq_cte_chain()},
 cent AS (SELECT vid AS cid, qv AS cv FROM q
@@ -6839,6 +6891,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_PQ_ROTATED,
         "signed-permutation rotated PQ (OPQ random-rotation baseline)",
     ),
+    "ann_ivf_pq_rotated_topk": (
+        q_ann_ivf_pq_rotated_topk,
+        ORACLE_IVF_PQ_ROTATED,
+        "rotated IVF-PQ (rotation composed under the full inverted file)",
+    ),
     "agg_forecast_revenue": (
         q_agg_forecast_revenue,
         ORACLE_Q6_FORECAST,
@@ -7020,6 +7077,7 @@ _GATE_FRONT: list[str] = [
     "text_chunk_windows",
     "text_chunk_dedup",
     "ann_pq_rotated_topk",
+    "ann_ivf_pq_rotated_topk",
     # (4) implementations/oracles that changed this round: two-pass rank
     # rewrite, phash-oracle NULL filter, chunk-coalesce determinism
     "events_value_ntile",
@@ -7054,7 +7112,6 @@ _GATE_FRONT: list[str] = [
     "events_retention_cohorts",
     "events_sessionize",
     "events_sliding_topk",
-    "join_promo_revenue",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

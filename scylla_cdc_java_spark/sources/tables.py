@@ -167,9 +167,14 @@ def _load_text_format(spark: SparkSession, path: str, fmt: str, name: str) -> Da
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]"
     ddl = TABLE_SCHEMAS.get(name)
     if fmt == "json":
+        # FAILFAST only when the schema is explicit: under PERMISSIVE a
+        # malformed line silently becomes NULLs — the same silent-drift
+        # class as the CSV trimming/null conflation (a text export that
+        # diverges from parquet should fail loudly, not drift). Schema
+        # inference keeps the default mode (inference already scans).
         reader = spark.read.option("timestampFormat", ts_fmt)
         if ddl:
-            reader = reader.schema(ddl)
+            reader = reader.schema(ddl).option("mode", "FAILFAST")
         return reader.json(path)
     # CSV null/empty convention (writers MUST follow it for byte-exact
     # round-trips — the hostile sweep enforces it): NULL is a sentinel

@@ -406,6 +406,7 @@ _AUDIT_ALLOW: dict[str, tuple[int, bool]] = {
     "ann_lsh_topk": (1, False),         # broadcast bucketed queries
     "ann_pq_topk": (1, False),          # broadcast per-query LUT
     "ann_pq_rotated_topk": (1, False),  # same chain over rotated vectors
+    "ann_ivf_pq_rotated_topk": (2, False),  # rotated probes + per-query LUT
     "ann_sq8_topk": (1, True),          # broadcast query set (≠ join, like cosine)
     "ann_ivf_sq8_topk": (1, False),     # broadcast (query, probed-cell) table
     "ann_ivf_sq8_cell_topk": (2, False),  # + broadcast per-cell stats arrays

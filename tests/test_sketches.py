@@ -256,6 +256,45 @@ class TestIncrementalDedup:
         assert all(not r["is_dup"] for r in rows)
 
 
+class TestChunkWindows:
+    def test_boundary_math_and_coverage(self, spark):
+        """Closed-form chunk count across the boundary cases: n < window
+        (one chunk), n == window (one), n == window+1 (two, short last),
+        exact stride multiples; every token covered exactly by the union
+        of windows; overlap == window − stride."""
+        import pytest
+
+        from scylla_cdc_java_spark.pipeline.text import chunk_windows
+
+        def doc(n):
+            return " ".join(f"t{i}" for i in range(n))
+
+        rows = [(n, doc(n)) for n in (1, 7, 8, 9, 16, 17, 24, 25)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in chunk_windows(df, window=8, stride=4).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk_start"], r["chunk_len"])
+            )
+        # expected count: ceil(max(n-8,0)/4) + 1
+        for n in (1, 7, 8, 9, 16, 17, 24, 25):
+            exp = (max(n - 8, 0) + 3) // 4 + 1
+            chunks = sorted(got[n])
+            assert len(chunks) == exp, (n, chunks)
+            # coverage: last chunk reaches token n; starts advance by 4
+            last_id, last_start, last_len = chunks[-1]
+            assert last_start + last_len - 1 == n
+            assert all(s == cid * 4 + 1 for cid, s, _ in chunks)
+            # all but the last are full windows
+            assert all(ln == 8 for _, _, ln in chunks[:-1])
+
+        with pytest.raises(ValueError):
+            chunk_windows(df, window=0, stride=4)
+        # NULL text yields no chunks
+        nul = spark.createDataFrame([(99, None)], "doc_id long, text string")
+        assert chunk_windows(nul).count() == 0
+
+
 class TestTemperatureWeights:
     def test_tau_one_is_proportional(self, spark):
         from scylla_cdc_java_spark.pipeline.text import temperature_weights

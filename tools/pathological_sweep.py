@@ -85,6 +85,7 @@ EMB_QUERIES = ",".join(
         "ann_sq8_topk", "ann_ivf_sq8_topk",
         # round-8: locally-adaptive per-cell SQ8 tier + rotated PQ
         "ann_ivf_sq8_cell_topk", "ann_pq_rotated_topk",
+        "ann_ivf_pq_rotated_topk",
     ]
 )
 
