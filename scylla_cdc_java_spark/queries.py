@@ -956,8 +956,12 @@ s AS (
     len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de
   FROM t
 )
+-- NULL text => NULL prediction (NULL-in NULL-out, Spark's when-chain
+-- without otherwise): without the IS NULL arm every WHEN evaluates to
+-- NULL and the ELSE would mislabel a missing document as 'de'
 SELECT doc_id,
-  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+  CASE WHEN s_en IS NULL THEN NULL
+       WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
        WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
        WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
        WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
@@ -3486,12 +3490,20 @@ wlen AS (
 ),
 doc_words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+counts AS (
+  SELECT d.doc_id,
+         CAST(coalesce(sum(CASE WHEN d.w = '' THEN 1 ELSE wl.n_toks END), 0) AS INT)
+           AS n
+  FROM doc_words d LEFT JOIN wlen wl ON wl.w = d.w
+  GROUP BY d.doc_id
 )
-SELECT d.doc_id,
-       CAST(coalesce(sum(CASE WHEN d.w = '' THEN 1 ELSE wl.n_toks END), 0) AS INT)
-         AS n_bpe_tokens
-FROM doc_words d LEFT JOIN wlen wl ON wl.w = d.w
-GROUP BY d.doc_id
+-- NULL text => NULL count (Spark's transform of a NULL token array);
+-- unnest of a NULL list emits no rows, so rejoin against documents to
+-- keep the doc with a NULL rather than dropping it
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL ELSE c.n END AS n_bpe_tokens
+FROM documents LEFT JOIN counts c USING (doc_id)
 """
 
 
@@ -4823,8 +4835,15 @@ b2surv AS (
   WHERE doc_id NOT IN (SELECT doc_b FROM b2est WHERE est >= 0.25)
 ),
 b2ex AS (
+  -- null-safe NOT EXISTS, not NOT IN: one NULL-text doc in the index
+  -- would make `text NOT IN (...)` NULL for EVERY candidate and drop
+  -- the whole batch. IS NOT DISTINCT FROM mirrors the engine's
+  -- hash-based exact stage, where NULL texts equal each other
   SELECT s.doc_id FROM b2surv s JOIN final f USING (doc_id)
-  WHERE f.text NOT IN (SELECT fi.text FROM idx1 JOIN final fi USING (doc_id))
+  WHERE NOT EXISTS (
+    SELECT 1 FROM idx1 JOIN final fi USING (doc_id)
+    WHERE fi.text IS NOT DISTINCT FROM f.text
+  )
 ),
 b2dup AS (
   SELECT DISTINCT c.doc_a AS doc_id

@@ -160,6 +160,13 @@ def build_dir() -> None:
         (14, "\\N", "src1"),
         (15, "\\N1", "src2"),
         (16, "ends with \\N", "src0"),
+        # round-8 late: BOM, CRLF, U+2028 line separator, and a NULL text
+        # (the phash oracle's NULL-payload handling — r07 ADVICE — plus
+        # every gate's split/md5/NULL semantics under a missing document)
+        (17, "﻿BOM leading token here", "src1"),
+        (18, "crlf line\r\nsecond line after", "src2"),
+        (19, "u2028 separator inside text", "src0"),
+        (20, None, "src1"),
     ] + [
         (100 + i, f"filler words number {i} for bulk volume in the corpus", f"src{i % 3}")
         for i in range(30)
@@ -182,7 +189,10 @@ def build_dir() -> None:
         " source VARCHAR, n_chars BIGINT)"
     )
     for d, t, s in rows:
-        con.execute("INSERT INTO d VALUES (?,?,?,?,?)", [d, t, "en", s, len(t)])
+        con.execute(
+            "INSERT INTO d VALUES (?,?,?,?,?)",
+            [d, t, "en", s, len(t) if t is not None else None],
+        )
     con.execute(f"COPY d TO '{OUT}/documents.parquet' (FORMAT PARQUET)")
 
 
