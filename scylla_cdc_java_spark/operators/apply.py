@@ -131,6 +131,23 @@ def _plain_desc(desc: CdcTableDescriptor) -> dict:
     }
 
 
+def _join_nullsafe(left: DataFrame, right: DataFrame, cols: list[str], how: str = "left") -> DataFrame:
+    """Same-key join that treats NULL keys as EQUAL (a plain column-list
+    join silently drops NULL-key groups — NULL = NULL is NULL). Real CDC
+    primary keys are never null, but the apply kernels must stay
+    total on arbitrary adapter-synthesized logs, and the Arrow fold
+    kernel (dict keys) already groups NULL keys — the native plan has to
+    agree with it row-for-row."""
+    r = right
+    for c in cols:
+        r = r.withColumnRenamed(c, f"__rns_{c}")
+    cond = None
+    for c in cols:
+        e = F.col(c).eqNullSafe(F.col(f"__rns_{c}"))
+        cond = e if cond is None else (cond & e)
+    return left.join(r, cond, how).drop(*[f"__rns_{c}" for c in cols])
+
+
 def _apply_scalar_native(
     changes: DataFrame, d: dict, with_version: bool, out_cols: list[str]
 ) -> DataFrame:
@@ -192,7 +209,7 @@ def _apply_scalar_native(
             .groupBy(*pk)
             .agg(F.max(ord_struct).alias("__pdel"))
         )
-        grouped = grouped.join(pdel, pk, "left")
+        grouped = _join_nullsafe(grouped, pdel, pk)
         del_eff = F.coalesce(F.greatest(F.col("__del"), F.col("__pdel")), neg)
     else:
         del_eff = F.coalesce(F.col("__del"), neg)
@@ -307,7 +324,7 @@ def _apply_collection_native(
 
     if ck:
         pdel = changes.where(opI == 4).groupBy(*pk).agg(F.max(ord_struct).alias("__pdel"))
-        base = base.join(pdel, pk, "left")
+        base = _join_nullsafe(base, pdel, pk)
         del_eff = F.coalesce(F.greatest(F.col("__del"), F.col("__pdel")), neg)
     else:
         del_eff = F.coalesce(F.col("__del"), neg)
@@ -350,8 +367,8 @@ def _apply_collection_native(
             F.max("__o").alias("__lo"),
             F.max_by(F.struct(F.col("ia"), F.col("ev")), act_ord).alias("__la"),
         )
-        cut = last.join(
-            base.select(*key, "__D", F.col(f"__rst_{c}").alias("__r")), key, "left"
+        cut = _join_nullsafe(
+            last, base.select(*key, "__D", F.col(f"__rst_{c}").alias("__r")), key
         ).where(
             F.col("__la.ia")
             & (F.col("__lo") > F.col("__D"))
@@ -380,7 +397,7 @@ def _apply_collection_native(
                     F.array_sort(F.collect_list(ent)), lambda x: x["v"]
                 ).alias(f"__c_{c}")
             )
-        base = base.join(coll, key, "left")
+        base = _join_nullsafe(base, coll, key)
 
     # ---- assemble output
     marker_alive = F.coalesce(F.col("__marker") > F.col("__D"), F.lit(False))

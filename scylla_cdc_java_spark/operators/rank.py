@@ -67,12 +67,21 @@ def ranked_frames(
     w_local = Window.partitionBy("__bkt", segment_col).orderBy(*order_exprs)
     local = local.withColumn("__lrank", F.row_number().over(w_local))
     # bounded (n_buckets × |segments|) count matrix → prefix offsets on
-    # the driver; broadcast back. The collect is O(parallelism), not O(rows).
+    # the driver; broadcast back. The collect is O(parallelism), not
+    # O(rows). A NULL segment is a legitimate group (window partitioning
+    # treats NULL keys as one partition): the sort key tolerates None and
+    # only the per-segment BUCKET order matters for the prefix sum.
     counts = sorted(
-        (r["__bkt"], r[segment_col], r["cnt"])
-        for r in local.groupBy("__bkt", segment_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+        (
+            (r["__bkt"], r[segment_col], r["cnt"])
+            for r in local.groupBy("__bkt", segment_col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ),
+        # correctness needs only ASCENDING bucket order per segment (the
+        # prefix sum accumulates per segment independently); str() makes
+        # the tie order deterministic for any segment type incl. None
+        key=lambda t: (t[0], str(t[1])),
     )
     seen: dict = {}
     offsets = []
@@ -97,9 +106,22 @@ def ranked_frames(
     tile = F.when(in_big, ((rank - 1) / big).cast("long") + 1).otherwise(
         rem + ((rank - 1 - rem * big) / F.when(base > 0, base)).cast("long") + 1
     )
+    # NULL-SAFE equi-joins: a plain column-list join drops NULL-segment
+    # rows (NULL = NULL is NULL), silently losing the whole NULL group
+    off2 = off_df.withColumnRenamed(segment_col, "__seg_o").withColumnRenamed(
+        "__bkt", "__bkt_o"
+    )
+    tot2 = tot_df.withColumnRenamed(segment_col, "__seg_t")
+    off_j = local.join(
+        F.broadcast(off2),
+        (F.col("__bkt") == F.col("__bkt_o"))
+        & F.col(segment_col).eqNullSafe(F.col("__seg_o")),
+    ).drop("__bkt_o", "__seg_o")
     return (
-        local.join(F.broadcast(off_df), ["__bkt", segment_col])
-        .join(F.broadcast(tot_df), [segment_col])
+        off_j.join(
+            F.broadcast(tot2), F.col(segment_col).eqNullSafe(F.col("__seg_t"))
+        )
+        .drop("__seg_t")
         .withColumn("rank", rank)
         .withColumn("quartile", tile.cast("int"))
         .withColumn(

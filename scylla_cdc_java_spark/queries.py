@@ -158,7 +158,9 @@ def q_p3_projection_split(spark, sf_dir):
 
 ORACLE_P3 = """
 SELECT user_id, value, props FROM events
-WHERE event_type NOT IN ('signup', 'error')
+-- NULL event_type maps to the adapter's default op (insert), so it
+-- belongs in this projection: a bare NOT IN would 3VL-drop it
+WHERE event_type IS NULL OR event_type NOT IN ('signup', 'error')
 """
 
 
@@ -3002,8 +3004,12 @@ def q_r3_set_delta_ops(spark, sf_dir):
         "grp",
         "user_id",
         F.size("tags").alias("n_elems"),
+        # NULL elements render with an explicit marker (see o3_list_ops)
         F.concat_ws(
-            ",", F.transform(F.col("tags"), lambda x: x.cast("string"))
+            ",",
+            F.transform(
+                F.col("tags"), lambda x: F.coalesce(x.cast("string"), F.lit("∅"))
+            ),
         ).alias("elems"),
     )
 
@@ -3036,7 +3042,7 @@ last AS (
 ),
 present AS (SELECT grp, user_id, e FROM last WHERE rn = 1 AND is_add = 1)
 SELECT grp, user_id, CAST(count(*) AS INT) AS n_elems,
-       string_agg(e::VARCHAR, ',' ORDER BY e) AS elems
+       string_agg(coalesce(e::VARCHAR, '∅'), ',' ORDER BY e) AS elems
 FROM present GROUP BY 1, 2
 """
 
@@ -3052,8 +3058,15 @@ def q_o3_list_ops(spark, sf_dir):
         "grp",
         "user_id",
         F.size("items").alias("n_items"),
+        # NULL elements render as an explicit marker: concat_ws SKIPS
+        # nulls while string_agg of all-nulls returns NULL — an
+        # unmarked NULL element is unrepresentable identically in both
         F.concat_ws(
-            ",", F.transform(F.col("items"), lambda x: x.cast("string"))
+            ",",
+            F.transform(
+                F.col("items"),
+                lambda x: F.coalesce(x.cast("string"), F.lit("∅")),
+            ),
         ).alias("items"),
     )
 
@@ -3073,7 +3086,7 @@ live AS (
   WHERE v.event_id >= COALESCE(o.ow, -1)
 )
 SELECT grp, user_id, CAST(count(*) AS INT) AS n_items,
-       string_agg(e::VARCHAR, ',' ORDER BY event_id) AS items
+       string_agg(coalesce(e::VARCHAR, '∅'), ',' ORDER BY event_id) AS items
 FROM live GROUP BY 1, 2
 """
 
@@ -3168,8 +3181,12 @@ def q_r3_set_delta_ops_native(spark, sf_dir):
         "grp",
         "user_id",
         F.size("tags").alias("n_elems"),
+        # NULL elements render with an explicit marker (see o3_list_ops)
         F.concat_ws(
-            ",", F.transform(F.col("tags"), lambda x: x.cast("string"))
+            ",",
+            F.transform(
+                F.col("tags"), lambda x: F.coalesce(x.cast("string"), F.lit("∅"))
+            ),
         ).alias("elems"),
     )
 
@@ -3184,8 +3201,12 @@ def q_o3_list_ops_native(spark, sf_dir):
         "grp",
         "user_id",
         F.size("items").alias("n_items"),
+        # NULL elements render with an explicit marker (see o3_list_ops)
         F.concat_ws(
-            ",", F.transform(F.col("items"), lambda x: x.cast("string"))
+            ",",
+            F.transform(
+                F.col("items"), lambda x: F.coalesce(x.cast("string"), F.lit("∅"))
+            ),
         ).alias("items"),
     )
 
@@ -6319,7 +6340,7 @@ def q_pipeline_stream_sessionize(spark, sf_dir):
     ).awaitTermination()
     return (
         spark.read.parquet(out)
-        .where(F.col("user_id") >= 0)
+        .where(F.col("user_id").isNull() | (F.col("user_id") >= 0))
         .select("user_id", "start_us", "end_us", "n_events", "total_value")
     )
 
@@ -6371,7 +6392,7 @@ def q_pipeline_stream_tumbling(spark, sf_dir):
     ).awaitTermination()
     return (
         spark.read.parquet(out)
-        .where(F.col("event_type") != "__sentinel")
+        .where(F.col("event_type").isNull() | (F.col("event_type") != "__sentinel"))
         .select("window_start_us", "event_type", "n_events", "total_value")
     )
 
@@ -6442,7 +6463,7 @@ def q_pipeline_stream_crash_tumbling(spark, sf_dir):
     ).awaitTermination()
     return (
         spark.read.parquet(out)
-        .where(F.col("event_type") != "__sentinel")
+        .where(F.col("event_type").isNull() | (F.col("event_type") != "__sentinel"))
         .select("window_start_us", "event_type", "n_events", "total_value")
     )
 
@@ -6498,7 +6519,7 @@ def q_pipeline_stream_late_data(spark, sf_dir):
     ).awaitTermination()
     return (
         spark.read.parquet(out)
-        .where(F.col("event_type") != "__sentinel")
+        .where(F.col("event_type").isNull() | (F.col("event_type") != "__sentinel"))
         .select("window_start_us", "event_type", "n_events", "total_value")
     )
 

@@ -58,6 +58,12 @@ EVENT_QUERIES = ",".join(
         "events_retention_cohorts", "events_sliding_topk",
         "events_anomaly_zscore", "events_pivot_types", "events_lag_lead",
         "events_interval_join", "o3_list_ops", "ttl_apply_visibility",
+        # round-8 late: the NULL-key event rows exposed a native-path
+        # divergence (plain key joins dropping NULL groups) — keep the
+        # whole delta-ops family in the hostile loop
+        "o3_list_ops_native", "r3_set_delta_ops", "r3_set_delta_ops_native",
+        "r3_udt_delta_ops", "r3_udt_delta_ops_native", "r6_range_prefix_bounds",
+        "r3_set_delta", "p7_op_dispatch",
         # round-7: streaming session_window (same-instant bursts all land
         # in one session; ties must agree across engines) + streaming
         # tumbling windows (burst instants on window boundaries)
@@ -230,6 +236,13 @@ def build_events_dir() -> None:
     for d in range(40):
         ts = base + datetime.timedelta(minutes=5 * d)
         add(ts, d % 5, ["insert", "update", "delete", "view"][d % 4], 0.0, '{"d":%d}' % d)
+    # round-8 late: NULL event_type (a groupBy/partition key!) and NULL
+    # user_id — both engines must agree on NULL-group semantics in every
+    # sessionize/rank/pivot/window gate
+    t2 = base + datetime.timedelta(hours=2)
+    add(t2, 3, None, 7.5, '{"n":1}')
+    add(t2 + datetime.timedelta(seconds=5), 3, None, None, None)
+    add(t2 + datetime.timedelta(seconds=9), None, "view", 2.0, '{"n":2}')
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
@@ -272,6 +285,8 @@ def build_emb_dir() -> None:
     rows += [
         (i, [float(x) for x in unit(rng.randn(64))], i % 10) for i in range(10, 60)
     ]
+    # round-8 late: NULL label (the metadata column every gate carries)
+    rows.append((60, [float(x) for x in unit(rng.randn(64))], None))
     con = duckdb.connect()
     con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INT)")
     for r in rows:
@@ -393,6 +408,15 @@ def build_rel_dir() -> None:
     # duplicate (orderkey, linenumber) rows + orphan part/supp keys
     li.append(li[0])
     li.append((999, 424242, 777, 0, 1.0, 10.0, 0.1, 0.0, "A", "O", ts("1996-02-02 00:00:00")))
+    # round-8 late: REAL NULL grouping keys — the cube/rollup/grouping-sets
+    # gates must distinguish a genuine NULL group from a set-level
+    # placeholder via grouping() flags, and every filter/join must agree
+    # on NULL exclusion semantics
+    li.append((998, 1, 1, 0, 2.0, 7.5, 0.1, 0.0, None, None, ts("1996-03-03 00:00:00")))
+    li.append((998, 1, 2, 1, 1.0, 3.0, 0.0, 0.0, None, "F", ts("1996-04-04 00:00:00")))
+    orders.append((210, 1, "O", 2.0, ts("1996-08-08 00:00:00"), None))
+    cust.append((7, "zeta", 2, 1.0, None))
+    parts.append((8, "null type part", "Brand#9", None, 20, 1.0))
 
     con.execute("CREATE TABLE x (c_custkey BIGINT, c_name VARCHAR, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment VARCHAR)")
     for r in cust:
