@@ -98,6 +98,75 @@ def funnel(
     return cur
 
 
+def stream_interval_join(
+    spark,
+    left_dir: str,
+    right_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    window_s: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    available_now: bool = True,
+):
+    """STREAM-STREAM event-time interval join — the attribution shape
+    (every left event joined to the right events of the same key within
+    ``[left.ts, left.ts + window_s]``), the remaining Structured
+    Streaming operator class next to the windowed-agg trio: both sides
+    carry watermarks, so left-side state evicts as soon as no future
+    right event can satisfy the bound.
+
+    INNER-join emission needs no watermark flush (pairs emit when the
+    match arrives; the watermark only bounds state), so unlike the
+    windowed gates no sentinel row is required. Completeness under
+    time-split arrival chunks is exact: a left row old enough to be
+    evicted (older than watermark − window) can only have matched right
+    rows that already arrived — any later right row violates the time
+    bound by construction. Restart-safe: join state lives in the
+    checkpointed state store. Scale posture: state is bounded by the
+    window (rows within ``window_s`` of the watermark), never history;
+    the only shuffle is the stream-stream key co-partitioning.
+    """
+    left = (
+        spark.readStream.schema(schema)
+        .parquet(left_dir)
+        .withWatermark(ts_col, "0 seconds")
+        .alias("l")
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .parquet(right_dir)
+        .withWatermark(ts_col, "0 seconds")
+        .alias("r")
+    )
+    joined = left.join(
+        right,
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (
+            F.col(f"r.{ts_col}")
+            <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {int(window_s)} SECONDS")
+        ),
+        "inner",
+    ).select(
+        F.col(f"l.{key_col}").alias(key_col),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.unix_micros(F.col(f"l.{ts_col}")).alias("left_us"),
+        F.unix_micros(F.col(f"r.{ts_col}")).alias("right_us"),
+    )
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_sessionize(
     spark,
     source_dir: str,

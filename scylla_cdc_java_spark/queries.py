@@ -6468,6 +6468,66 @@ def q_pipeline_stream_crash_tumbling(spark, sf_dir):
     )
 
 
+def q_pipeline_stream_interval_join(spark, sf_dir):
+    """STREAM-STREAM event-time interval join end-to-end (the attribution
+    query): the view stream joined to the purchase stream of the same
+    user within one hour, both sides watermarked, fed in two time-split
+    arrival chunks per side with an engine STOP/RESTART between them —
+    the join state straddling the boundary must survive the restart.
+    Inner-join completeness under time-split chunks is exact (an evicted
+    left row cannot have future matches by the time bound — see
+    stream_interval_join), so the oracle is the plain batch interval
+    join. No sentinel needed: inner pairs emit on match arrival."""
+    import os
+
+    from .pipeline.sessions import stream_interval_join
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(epoch_micros(ev, "ts")).alias("ts"),
+        "event_type",
+    )
+    tmp = _evo_tmpdir()
+    vdir = os.path.join(tmp, "views")
+    pdir = os.path.join(tmp, "purchases")
+    out = os.path.join(tmp, "attrib")
+    ckpt = os.path.join(tmp, "ckpt")
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    views = ev.where(F.col("event_type") == "view")
+    purch = ev.where(F.col("event_type") == "purchase")
+    # chunk 1 (both sides), run, restart, chunk 2 (both sides), run —
+    # coalesce(1): one file per chunk == one micro-batch per chunk
+    views.where(F.col("ts") < split).coalesce(1).write.parquet(vdir)
+    purch.where(F.col("ts") < split).coalesce(1).write.parquet(pdir)
+    stream_interval_join(
+        spark, vdir, pdir, out, ckpt, schema, window_s=3600
+    ).awaitTermination()
+    _evo_mtime_gap()
+    views.where(F.col("ts") >= split).coalesce(1).write.mode("append").parquet(vdir)
+    purch.where(F.col("ts") >= split).coalesce(1).write.mode("append").parquet(pdir)
+    stream_interval_join(
+        spark, vdir, pdir, out, ckpt, schema, window_s=3600
+    ).awaitTermination()
+    return spark.read.parquet(out)
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events
+)
+SELECT v.user_id, v.event_id AS left_id, p.event_id AS right_id,
+       v.tus AS left_us, p.tus AS right_us
+FROM e v
+JOIN e p ON p.user_id = v.user_id
+        AND p.tus >= v.tus AND p.tus <= v.tus + 3600000000
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 def q_pipeline_stream_late_data(spark, sf_dir):
     """LATE DATA under a watermark — the semantics every real stream
     processor must pin down: daily tumbling windows with a 2-day
@@ -7021,6 +7081,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_STREAM_TUMBLING,
         "mid-batch torn-file crash: uncommitted sink file must stay invisible",
     ),
+    "pipeline_stream_interval_join": (
+        q_pipeline_stream_interval_join,
+        ORACLE_STREAM_INTERVAL_JOIN,
+        "stream-stream watermarked interval join (attribution) w/ restart",
+    ),
     "events_value_ntile": (
         q_events_value_ntile,
         ORACLE_EVENTS_NTILE,
@@ -7113,6 +7178,7 @@ _GATE_FRONT: list[str] = [
     "agg_part_supplier_cnt",
     "join_excess_availability",
     "pipeline_stream_crash_tumbling",
+    "pipeline_stream_interval_join",
     "ann_ivf_sq8_cell_topk",
     "text_chunk_windows",
     "text_chunk_dedup",
@@ -7150,7 +7216,6 @@ _GATE_FRONT: list[str] = [
     "events_interval_join",
     "events_pivot_types",
     "events_retention_cohorts",
-    "events_sessionize",
     "events_sliding_topk",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {

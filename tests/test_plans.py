@@ -454,6 +454,7 @@ _AUDIT_SKIP = {
     "pipeline_stream_tumbling",
     "pipeline_stream_late_data",
     "pipeline_stream_crash_tumbling",
+    "pipeline_stream_interval_join",
     "source_jsonl_documents",
     "source_csv_documents",
     "text_bpe_train",

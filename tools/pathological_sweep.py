@@ -63,12 +63,13 @@ EVENT_QUERIES = ",".join(
         # whole delta-ops family in the hostile loop
         "o3_list_ops_native", "r3_set_delta_ops", "r3_set_delta_ops_native",
         "r3_udt_delta_ops", "r3_udt_delta_ops_native", "r6_range_prefix_bounds",
-        "r3_set_delta", "p7_op_dispatch",
+        "r3_set_delta",
         # round-7: streaming session_window (same-instant bursts all land
         # in one session; ties must agree across engines) + streaming
         # tumbling windows (burst instants on window boundaries)
         "pipeline_stream_sessionize", "pipeline_stream_tumbling",
         "pipeline_stream_late_data", "pipeline_stream_crash_tumbling",
+        "pipeline_stream_interval_join",
         # round-7 late: rank-function trio on burst ties / null values
         "events_value_ntile",
     ]
