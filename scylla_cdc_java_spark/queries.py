@@ -3988,7 +3988,10 @@ def q_text_temperature_weights(spark, sf_dir):
 ORACLE_TEMPERATURE = """
 WITH agg AS (
   SELECT source, count(*) AS n_docs,
-         sum(len(string_split(text, ' '))) AS n_tokens
+         -- CAST pins the output type: DuckDB sum(int) returns HUGEINT
+         -- (int128) while the engine emits LongType; equal values hash
+         -- differently through a typed (arrow/pandas) fetch path.
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ),
 t AS (SELECT sum(n_tokens) AS total FROM agg),
@@ -4475,6 +4478,51 @@ def _text_export_dir(spark, sf_dir: str, fmt: str) -> str:
     return tmp
 
 
+# ONE shared column-spec for the whole source-roundtrip family (gate,
+# parquet control, bisection slices, AND their oracles) so engine and
+# oracle cannot drift independently (the r08 HUGEINT defect lived exactly
+# in that drift: three hand-copied oracle strings, one missing CAST).
+# slice -> [(output name, Spark agg builder, DuckDB SQL expr)].
+_SOURCE_AGG_SPEC: dict[str, list] = {
+    "counts": [
+        ("n_docs", lambda: F.count(F.lit(1)), "count(*)"),
+        ("min_doc", lambda: F.min("doc_id"), "min(doc_id)"),
+    ],
+    "tokens": [
+        # CAST pins BIGINT: DuckDB sum(int) returns HUGEINT (int128),
+        # Spark sum(int) returns LongType — equal values hash-diverge
+        # through the driver's typed fetch path without it.
+        (
+            "n_tokens",
+            lambda: F.sum(F.size(F.split(F.col("text"), " "))),
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT)",
+        ),
+    ],
+    "md5": [
+        ("max_md5", lambda: F.max(F.md5(F.col("text"))), "max(md5(text))"),
+    ],
+}
+_SOURCE_AGG_ALL = ("counts", "tokens", "md5")
+
+
+def _source_agg_slices(cols: str) -> list:
+    slices = _SOURCE_AGG_ALL if cols == "all" else (cols,)
+    return [item for s in slices for item in _SOURCE_AGG_SPEC[s]]
+
+
+def _source_spark_agg(df, cols: str = "all"):
+    return df.groupBy("source").agg(
+        *[build().alias(name) for name, build, _ in _source_agg_slices(cols)]
+    )
+
+
+def _source_oracle_sql(cols: str = "all") -> str:
+    exprs = ",\n       ".join(
+        f"{sql} AS {name}" for name, _, sql in _source_agg_slices(cols)
+    )
+    return f"SELECT source, {exprs}\nFROM documents GROUP BY source"
+
+
 def _source_roundtrip_agg(spark, sf_dir, fmt: str, cols: str = "all"):
     """The text-format round-trip probe: reload the export through
     load_table's text-format fallback and aggregate per stratum. ``cols``
@@ -4484,18 +4532,7 @@ def _source_roundtrip_agg(spark, sf_dir, fmt: str, cols: str = "all"):
     from .sources.tables import load_table as _lt
 
     d = _lt(spark, _text_export_dir(spark, sf_dir, fmt), "documents")
-    aggs = {
-        "counts": [
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("min_doc"),
-        ],
-        "tokens": [F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")],
-        "md5": [F.max(F.md5(F.col("text"))).alias("max_md5")],
-    }
-    chosen = (
-        aggs["counts"] + aggs["tokens"] + aggs["md5"] if cols == "all" else aggs[cols]
-    )
-    return d.groupBy("source").agg(*chosen)
+    return _source_spark_agg(d, cols)
 
 
 def q_text_chunk_windows(spark, sf_dir):
@@ -4596,28 +4633,12 @@ def q_source_jsonl_documents(spark, sf_dir):
     return _source_roundtrip_agg(spark, sf_dir, "json", "all")
 
 
-ORACLE_SOURCE_JSONL = """
-SELECT source, count(*) AS n_docs,
-       min(doc_id) AS min_doc,
-       sum(len(string_split(text, ' '))) AS n_tokens,
-       max(md5(text)) AS max_md5
-FROM documents GROUP BY source
-"""
-
-ORACLE_SOURCE_COUNTS = """
-SELECT source, count(*) AS n_docs, min(doc_id) AS min_doc
-FROM documents GROUP BY source
-"""
-
-ORACLE_SOURCE_TOKENS = """
-SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
-FROM documents GROUP BY source
-"""
-
-ORACLE_SOURCE_MD5 = """
-SELECT source, max(md5(text)) AS max_md5
-FROM documents GROUP BY source
-"""
+# Generated from _SOURCE_AGG_SPEC — single source of truth with the
+# Spark side (_source_spark_agg); see the spec for the BIGINT cast note.
+ORACLE_SOURCE_JSONL = _source_oracle_sql("all")
+ORACLE_SOURCE_COUNTS = _source_oracle_sql("counts")
+ORACLE_SOURCE_TOKENS = _source_oracle_sql("tokens")
+ORACLE_SOURCE_MD5 = _source_oracle_sql("md5")
 
 
 def q_source_csv_documents(spark, sf_dir):
@@ -4639,12 +4660,7 @@ def q_source_parquet_documents(spark, sf_dir):
     the divergence is in split/md5/aggregate semantics on the driver's
     fixture — not in the CSV/JSON round-trip; if this is green while a
     round-trip row is red, the export/reload itself drifted."""
-    return _docs(spark, sf_dir).groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("doc_id").alias("min_doc"),
-        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
-        F.max(F.md5(F.col("text"))).alias("max_md5"),
-    )
+    return _source_spark_agg(_docs(spark, sf_dir), "all")
 
 
 def q_source_csv_counts(spark, sf_dir):

@@ -25,6 +25,7 @@ import duckdb  # noqa: E402
 
 from scylla_cdc_java_spark.session import get_spark  # noqa: E402
 from scylla_cdc_java_spark.sources.tables import TABLE_NAMES  # noqa: E402
+from tools.oracle_lint import hugeint_signature_cols, oracle_arrow_schema  # noqa: E402
 
 
 def canon_value(v):
@@ -113,13 +114,24 @@ def main() -> int:
         hash_ok = (
             schema_ok and table_hash(scols, srows) == table_hash(ocols, orows)
         )
+        # Typed-output lint: DuckDB HUGEINT (decimal128(38,0) via arrow,
+        # float64 via pandas) hash-diverges from Spark LongType through the
+        # driver's typed fetch even when fetchall() values are equal — the
+        # r04-r08 six-red-row root cause. Probe types so it's visible HERE.
+        try:
+            type_bad = hugeint_signature_cols(oracle_arrow_schema(con, oracles[name]))
+        except Exception:  # noqa: BLE001
+            type_bad = []
+        type_ok = not type_bad
         entry.update(
-            status="MATCH" if (count_ok and schema_ok and hash_ok) else "MISMATCH",
+            status="MATCH" if (count_ok and schema_ok and hash_ok and type_ok) else "MISMATCH",
             oracle_rows=len(orows),
             count_ok=count_ok,
             schema_ok=schema_ok,
             hash_ok=hash_ok,
         )
+        if type_bad:
+            entry["hugeint_cols"] = type_bad
         if not schema_ok:
             entry["spark_cols"] = scols
             entry["oracle_cols"] = ocols
