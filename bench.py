@@ -96,6 +96,13 @@ HEADLINE = [
     "agg_product_profit",
     "agg_important_stock",
     "events_value_ntile",
+    # round-9 additions: the sliding-window chunk-dedup composition (the
+    # RAG-ingest shape — chunking + window assignment + two-level agg)
+    # and the two-pass rank over the derived partsupp domain. The two
+    # source-fault streaming gates stay OUT for the same reason as
+    # pipeline_stream_cdc_dedup: fixed streaming machinery dominates.
+    "text_chunk_dedup_windowed",
+    "agg_stock_value_ntile",
 ]
 
 

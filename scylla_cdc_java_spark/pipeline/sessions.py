@@ -109,6 +109,7 @@ def stream_interval_join(
     key_col: str = "user_id",
     ts_col: str = "ts",
     available_now: bool = True,
+    delay: str = "0 seconds",
 ):
     """STREAM-STREAM event-time interval join — the attribution shape
     (every left event joined to the right events of the same key within
@@ -116,6 +117,15 @@ def stream_interval_join(
     Streaming operator class next to the windowed-agg trio: both sides
     carry watermarks, so left-side state evicts as soon as no future
     right event can satisfy the bound.
+
+    ``delay`` is the watermark lateness allowance on BOTH sides. With
+    the default ``"0 seconds"``, correctness requires each arrival chunk
+    to be a single time-ordered micro-batch (one file per chunk, rows
+    within a chunk no older than any prior chunk's max event time) —
+    once the watermark advances, an out-of-order row in a LATER batch is
+    silently dropped from the join state. Callers feeding multi-file or
+    out-of-order sources must pass a delay covering their disorder bound
+    (the gate callers enforce the one-file rule with coalesce(1)).
 
     INNER-join emission needs no watermark flush (pairs emit when the
     match arrives; the watermark only bounds state), so unlike the
@@ -131,13 +141,13 @@ def stream_interval_join(
     left = (
         spark.readStream.schema(schema)
         .parquet(left_dir)
-        .withWatermark(ts_col, "0 seconds")
+        .withWatermark(ts_col, delay)
         .alias("l")
     )
     right = (
         spark.readStream.schema(schema)
         .parquet(right_dir)
-        .withWatermark(ts_col, "0 seconds")
+        .withWatermark(ts_col, delay)
         .alias("r")
     )
     joined = left.join(

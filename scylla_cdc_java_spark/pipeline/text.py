@@ -1213,17 +1213,22 @@ def chunk_windows(
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
     toks = tokens_col(text_col)
-    n = F.size(toks)
-    n_chunks = ((F.greatest(n - window, F.lit(0)) + stride - 1) / stride).cast(
-        "long"
-    ) + 1
+    # integer-exact chunk count: `div` (not float `/` + cast, whose
+    # correctness is only coincidental — double division is exact for
+    # realistic token counts but not by construction; the DuckDB oracle
+    # uses integer `//`, so the engine must too)
+    n_chunks = F.expr(
+        f"((greatest(size(__toks) - {int(window)}, 0) + {int(stride) - 1})"
+        f" div {int(stride)}) + 1"
+    ).cast("long")
     start = F.col("chunk_id") * stride + 1
     piece = F.slice(F.col("__toks"), start, window)
     return (
         df.where(F.col(text_col).isNotNull())
+        .select(id_col, toks.alias("__toks"))
         .select(
             id_col,
-            toks.alias("__toks"),
+            "__toks",
             F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
                 "chunk_id"
             ),

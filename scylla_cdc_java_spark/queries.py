@@ -4621,6 +4621,79 @@ FROM (
 """
 
 
+def q_text_chunk_dedup_windowed(spark, sf_dir):
+    """RAG-INGEST composition (chunking × sliding windows × dedup): the
+    corpus arrives over time (arrival hour = doc_id — the deterministic
+    stand-in for an ingest timestamp, shared with the oracle), is
+    chunked, and boilerplate is measured per SLIDING 6-hour window
+    advancing every 3 hours — each chunk lands in exactly two windows
+    (size/slide = 2), so window-local dedup sees every adjacent-batch
+    pair, the shape an incremental ingest dedup runs on. Per window:
+    total chunks, distinct chunk contents, redundant copies (occurrences
+    beyond the first of each repeated md5), and the lexicographically
+    greatest repeated md5 as the content canary. Spark side uses the
+    NATIVE F.window sliding assignment; the oracle replays its closed
+    form (ws = floor(t/slide)·slide − k·slide, k ∈ {0,1}) — so the gate
+    cross-checks Spark's window-instance generation itself. Plan shape:
+    chunking is map+explode (no shuffle), window assignment in-row, then
+    ONE partial-aggregatable shuffle on (window, md5) and a second on
+    window — both keyed finer than or equal to the output, no skew pole.
+    """
+    from .pipeline.text import chunk_windows
+
+    ch = chunk_windows(_docs(spark, sf_dir), window=64, stride=48)
+    arrival = F.timestamp_micros(F.col("doc_id") * F.lit(3_600_000_000))
+    per_md5 = (
+        ch.withColumn("__w", F.window(arrival, "6 hours", "3 hours"))
+        .groupBy(F.unix_micros(F.col("__w.start")).alias("window_start_us"), "chunk_md5")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_md5.groupBy("window_start_us").agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(F.lit(0))).alias(
+            "n_redundant"
+        ),
+        F.max(F.when(F.col("cnt") > 1, F.col("chunk_md5"))).alias("top_boiler_md5"),
+    )
+
+
+ORACLE_CHUNK_DEDUP_WINDOWED = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, (greatest(n - 64, 0) + 47) // 48)) AS chunk_id
+  FROM t
+),
+ch AS (
+  SELECT doc_id, doc_id * 3600000000 AS aus,
+         md5(array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS chunk_md5
+  FROM c
+),
+-- sliding-window instance assignment, closed form of F.window(6h, 3h):
+-- each row joins windows ws = floor(t/slide)*slide - k*slide, k in {0,1}
+w AS (
+  SELECT (ch.aus // 10800000000 - k.k) * 10800000000 AS window_start_us,
+         ch.chunk_md5
+  FROM ch CROSS JOIN (VALUES (0), (1)) k(k)
+),
+g AS (
+  SELECT window_start_us, chunk_md5, count(*) AS cnt
+  FROM w GROUP BY 1, 2
+)
+SELECT window_start_us,
+       CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       count(*) AS n_unique,
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+       max(CASE WHEN cnt > 1 THEN chunk_md5 END) AS top_boiler_md5
+FROM g GROUP BY 1
+"""
+
+
 def q_source_jsonl_documents(spark, sf_dir):
     """Text-format source parity under the EXTERNAL gate (the r05 CSV/JSON
     loader was pytest-only evidence): export the documents table to
@@ -6121,6 +6194,79 @@ def q_join_excess_availability(spark, sf_dir):
     )
 
 
+def q_agg_stock_value_ntile(spark, sf_dir):
+    """Composition of two round-8 surfaces: the TWO-PASS bucketed rank
+    (operators/rank.py — sort parallelism scales with buckets, not with
+    the ~25-nation segment cardinality) over the DERIVED partsupp view
+    (sources/derived.py) — per-nation stock-value quartiles, the
+    inventory-distribution shape of TPC-H Q11 asked as a ranking. The
+    ranked measure is integer-exact cents (availqty × supplycost·100 as
+    BIGINT; no float enters the ORDER BY), tie-broken by the unique
+    (partkey, suppkey), so ntile is deterministic; per-(nation, quartile)
+    totals sum the EXACT decimal and cast to double once at the edge.
+    The oracle is the textbook ntile window over the shared partsupp
+    CTE — proving the two-pass assembly exact on a second, derived
+    input domain."""
+    from .operators.rank import ranked_frames
+    from .sources.derived import derived_partsupp
+
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    vdec = F.col("ps_supplycost") * F.col("ps_availqty").cast("decimal(6,0)")
+    cents = (
+        F.col("ps_availqty").cast("long")
+        * (F.col("ps_supplycost") * F.lit(100).cast("decimal(3,0)")).cast("long")
+    )
+    ps = (
+        derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(sn), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            "n_name",
+            vdec.alias("__vdec"),
+            cents.alias("__cents"),
+        )
+    )
+    ranked = ranked_frames(
+        ps, "n_name", ["__cents", "ps_partkey", "ps_suppkey"], n_tiles=4
+    )
+    return ranked.groupBy("n_name", "quartile").agg(
+        F.count(F.lit(1)).alias("n_ps"),
+        F.sum("__vdec").cast("double").alias("total_value"),
+    )
+
+
+def _oracle_stock_ntile() -> str:
+    return _with_partsupp("""
+sn AS (
+  SELECT s_suppkey, n_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+),
+v AS (
+  SELECT n_name, ps_partkey, ps_suppkey,
+         ps_supplycost * CAST(ps_availqty AS DECIMAL(6,0)) AS vdec,
+         ps_availqty * CAST(ps_supplycost * 100 AS BIGINT) AS cents
+  FROM partsupp JOIN sn ON sn.s_suppkey = ps_suppkey
+),
+r AS (
+  SELECT n_name, vdec,
+         CAST(ntile(4) OVER (PARTITION BY n_name
+              ORDER BY cents ASC NULLS FIRST, ps_partkey, ps_suppkey)
+              AS INT) AS quartile
+  FROM v
+)
+SELECT n_name, quartile, count(*) AS n_ps,
+       CAST(sum(vdec) AS DOUBLE) AS total_value
+FROM r GROUP BY 1, 2""")
+
+
 def _with_partsupp(body: str) -> str:
     from .sources.derived import ORACLE_PARTSUPP_CTE
 
@@ -6482,6 +6628,160 @@ def q_pipeline_stream_crash_tumbling(spark, sf_dir):
         .where(F.col("event_type").isNull() | (F.col("event_type") != "__sentinel"))
         .select("window_start_us", "event_type", "n_events", "total_value")
     )
+
+
+def q_pipeline_stream_source_vanish(spark, sf_dir):
+    """SOURCE-side fault: a source file DELETED between restarts. The
+    reference's resume contract (P2 dedup/resume + T5 retry,
+    scylla-cdc-base WorkerThread / Driver3WorkerCQL.java:162-173) is that
+    already-consumed input never needs to be re-readable; the Spark
+    analog is the FileStreamSource's seen-files log — a file is read
+    exactly once, in the first batch that lists it, and its contribution
+    then lives in the CHECKPOINT (open-window state) and the committed
+    sink, never in the source again. Chunk 1 is processed, its file is
+    deleted from the source directory, chunk 2 (+ flush sentinel)
+    arrives, and the restarted engine must produce the SAME result as
+    the clean tumbling gate over the full data — the oracle is
+    literally ORACLE_STREAM_TUMBLING. A pytest twin proves the fault is
+    real: a naive reader that re-aggregates the source directory loses
+    every chunk-1-only row."""
+    import datetime
+    import glob as _glob
+    import os
+
+    from .pipeline.sessions import stream_tumbling_agg
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id",
+        "event_type",
+        F.timestamp_micros(epoch_micros(ev, "ts")).alias("ts"),
+        "value",
+    )
+    tmp = _evo_tmpdir()
+    src = os.path.join(tmp, "events")
+    out = os.path.join(tmp, "windows")
+    ckpt = os.path.join(tmp, "ckpt")
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev.where(F.col("ts") < split).coalesce(1).write.parquet(src)
+    stream_tumbling_agg(
+        spark, src, out, ckpt, schema, window_s=86400
+    ).awaitTermination()
+    _evo_mtime_gap()
+    # the fault: chunk 1's data file vanishes from the source AFTER its
+    # batch committed (retention kicked in / upstream compacted it away)
+    for p in _glob.glob(os.path.join(src, "part-*")):
+        os.remove(p)
+    mx = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, "__sentinel", mx + datetime.timedelta(days=3), 0.0)], schema
+    )
+    ev.where(F.col("ts") >= split).unionByName(sentinel).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_tumbling_agg(
+        spark, src, out, ckpt, schema, window_s=86400
+    ).awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_type").isNull() | (F.col("event_type") != "__sentinel"))
+        .select("window_start_us", "event_type", "n_events", "total_value")
+    )
+
+
+def q_pipeline_stream_source_replace(spark, sf_dir):
+    """SOURCE-side fault: a source file REPLACED IN PLACE (same path, new
+    content, newer mtime) between restarts. Spark's FileStreamSource
+    identifies files by PATH in its checkpointed seen-files log, so a
+    modified file is never reprocessed — exactly-once here means
+    FIRST-WRITER-WINS per path. Chunk 1 arrives as the EVEN-event_id
+    half, is processed, then the same file is overwritten with the ODD
+    half (an upstream job "fixing" its output in place); chunk 2 (+
+    sentinel) arrives under a new name and the engine restarts. The
+    result must contain the even half and chunk 2 — never the odd half —
+    and the oracle replays that rule verbatim. If the engine ever
+    re-ingested the replaced file the doubled/odd windows break the
+    hash."""
+    import datetime
+    import glob as _glob
+    import os
+    import shutil as _sh
+
+    from .pipeline.sessions import stream_tumbling_agg
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id",
+        "event_type",
+        F.timestamp_micros(epoch_micros(ev, "ts")).alias("ts"),
+        "value",
+    )
+    tmp = _evo_tmpdir()
+    src = os.path.join(tmp, "events")
+    out = os.path.join(tmp, "windows")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(src)
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    chunk1 = ev.where(F.col("ts") < split)
+
+    def _stage_single_file(df, dest):
+        stage = os.path.join(tmp, f"stage_{os.path.basename(dest)}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            p
+            for p in _glob.glob(os.path.join(stage, "part-*"))
+            if p.endswith(".parquet")
+        )
+        _sh.copyfile(part, dest)
+
+    _stage_single_file(
+        chunk1.where(F.col("event_id") % 2 == 0), os.path.join(src, "chunk1.parquet")
+    )
+    stream_tumbling_agg(
+        spark, src, out, ckpt, schema, window_s=86400
+    ).awaitTermination()
+    _evo_mtime_gap()
+    # the fault: same path, different content (the odd half)
+    _stage_single_file(
+        chunk1.where(F.col("event_id") % 2 != 0), os.path.join(src, "chunk1.parquet")
+    )
+    mx = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, "__sentinel", mx + datetime.timedelta(days=3), 0.0)], schema
+    )
+    _stage_single_file(
+        ev.where(F.col("ts") >= split).unionByName(sentinel),
+        os.path.join(src, "chunk2.parquet"),
+    )
+    stream_tumbling_agg(
+        spark, src, out, ckpt, schema, window_s=86400
+    ).awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_type").isNull() | (F.col("event_type") != "__sentinel"))
+        .select("window_start_us", "event_type", "n_events", "total_value")
+    )
+
+
+# first-writer-wins replay: chunk-1 (pre-split) rows exist only in their
+# EVEN-event_id first write; the odd in-place replacement is never read.
+ORACLE_STREAM_SOURCE_REPLACE = """
+WITH e AS (
+  SELECT epoch_us(ts) AS tus, event_id, event_type, value FROM events
+),
+kept AS (
+  SELECT * FROM e
+  WHERE tus >= epoch_us(TIMESTAMP '2024-01-16 00:00:00') OR event_id % 2 = 0
+)
+SELECT CAST(tus // 86400000000 * 86400000000 AS BIGINT) AS window_start_us,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM kept GROUP BY 1, 2
+"""
 
 
 def q_pipeline_stream_interval_join(spark, sf_dir):
@@ -7102,6 +7402,26 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_STREAM_INTERVAL_JOIN,
         "stream-stream watermarked interval join (attribution) w/ restart",
     ),
+    "pipeline_stream_source_vanish": (
+        q_pipeline_stream_source_vanish,
+        ORACLE_STREAM_TUMBLING,
+        "source file deleted after its batch committed; restart keeps it",
+    ),
+    "pipeline_stream_source_replace": (
+        q_pipeline_stream_source_replace,
+        ORACLE_STREAM_SOURCE_REPLACE,
+        "source file replaced in place; first-writer-wins per path",
+    ),
+    "text_chunk_dedup_windowed": (
+        q_text_chunk_dedup_windowed,
+        ORACLE_CHUNK_DEDUP_WINDOWED,
+        "chunk-level dedup per sliding arrival window (RAG-ingest shape)",
+    ),
+    "agg_stock_value_ntile": (
+        q_agg_stock_value_ntile,
+        _oracle_stock_ntile(),
+        "per-nation stock-value quartiles: two-pass rank over derived partsupp",
+    ),
     "events_value_ntile": (
         q_events_value_ntile,
         ORACLE_EVENTS_NTILE,
@@ -7167,19 +7487,21 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
 # CORRECTNESS_r03.json) move to the back.  New queries added in round 4+ are
 # appended to _GATE_FRONT so they are verified in the round that adds them.
 _GATE_FRONT: list[str] = [
-    # --- round-8 window head -----------------------------------------
-    # (1) PINNED REDS (r07 verdict "What's wrong" #3): any row red in its
-    # latest driver appearance occupies the head of the window until
-    # green — rotation must never evict an unproven row again. All three
-    # carry round-8 fixes: the CSV convention is now total (dynamic
-    # sentinel + sidecar), and the temperature normalizer folds SORTED
-    # pw doubles (order-independent z).
+    # --- round-9 window head -----------------------------------------
+    # (1) PINNED REDS — window hygiene rule: any row red in its latest
+    # driver appearance holds the head until green. The r08 bisection
+    # evidence isolated ONE root cause for all six: un-CAST integer-sum
+    # oracle columns (DuckDB sum(int) = HUGEINT vs Spark LongType —
+    # equal values, typed-fetch hash divergence). Fixed this round by
+    # pinning every such column to BIGINT (single shared column-spec
+    # generates both engine agg and oracle SQL) + a registry-wide arrow
+    # typing lint so the class cannot recur.
     "source_csv_documents",
     "source_jsonl_documents",
     "text_temperature_weights",
-    # (2) bisection diagnostics for the pinned family: the parquet-direct
-    # CONTROL (no round-trip) plus per-column slices, so a driver-side
-    # red localizes to the diverging column from the correctness file
+    # (2) their bisection diagnostics (parquet-direct control + column
+    # slices); the three *_tokens/parquet rows shared the defect and must
+    # turn green with it
     "source_parquet_documents",
     "source_csv_counts",
     "source_csv_tokens",
@@ -7187,52 +7509,53 @@ _GATE_FRONT: list[str] = [
     "source_jsonl_counts",
     "source_jsonl_tokens",
     "source_jsonl_md5",
-    # (3) new round-8 gates needing their first driver row
-    "join_min_cost_supplier",
-    "agg_product_profit",
-    "agg_important_stock",
-    "agg_part_supplier_cnt",
-    "join_excess_availability",
-    "pipeline_stream_crash_tumbling",
-    "pipeline_stream_interval_join",
-    "ann_ivf_sq8_cell_topk",
+    # (3) new round-9 gates needing their first driver row
+    "pipeline_stream_source_vanish",
+    "pipeline_stream_source_replace",
+    "text_chunk_dedup_windowed",
+    "agg_stock_value_ntile",
+    # (4) implementations that changed this round: chunk count moved to
+    # integer `div` arithmetic (consumed by both chunk gates); interval
+    # join grew the watermark-delay parameter
     "text_chunk_windows",
     "text_chunk_dedup",
-    "ann_pq_rotated_topk",
-    "ann_ivf_pq_rotated_topk",
-    # (4) implementations/oracles that changed this round: two-pass rank
-    # rewrite, phash-oracle NULL filter, chunk-coalesce determinism
-    "events_value_ntile",
-    "mm_phash_pairs",
-    "pipeline_stream_sessionize",
-    "pipeline_stream_tumbling",
+    "pipeline_stream_interval_join",
     # --- backfill: refresh the OLDEST driver evidence ----------------
-    # last green r04
-    "agg_cube_revenue",
-    "events_lag_lead",
-    "set_ops_customers",
-    "text_distinct_hll",
-    "text_length_histogram",
-    "text_tfidf_topk",
-    # last green r05
-    "agg_rollup_revenue",
-    "dedup_containment",
-    "dedup_embedding_pairs_exact",
-    "dedup_exact_substring",
-    "dedup_exact_substring_capped",
-    "dedup_incremental",
-    "dedup_line_spans",
-    "dedup_ngram_jaccard_exact",
-    "dedup_simhash_hamming",
-    "dedup_winnow",
-    "dedup_winnow_pairs",
-    "events_anomaly_zscore",
-    "events_asof_join",
-    "events_funnel",
-    "events_interval_join",
-    "events_pivot_types",
-    "events_retention_cohorts",
-    "events_sliding_topk",
+    # last green r05 (the whole text-pipeline mid-family)
+    "events_sessionize",
+    "join_bucketed_revenue",
+    "join_promo_revenue",
+    "join_salted_revenue",
+    "pipeline_end_to_end",
+    "text_bm25",
+    "text_bpe_encode",
+    "text_bpe_pairs",
+    "text_bpe_train",
+    "text_contamination",
+    "text_countmin_probe",
+    "text_length_quantiles",
+    "text_length_quantiles_approx",
+    "text_lm_score",
+    "text_mixture_weights",
+    "text_pack_sequences",
+    "text_quality_filter",
+    "text_redact",
+    "text_repetition",
+    "text_stratified_sample",
+    "text_stratified_take",
+    "text_stratified_take_exact",
+    "text_train_order",
+    "text_vocab_by_source",
+    "text_weighted_sample",
+    # last green r06 (oldest slice)
+    "a1_stream_task_grouping",
+    "a2_min_generation_after",
+    "a3_consumed_barrier",
+    "agg_lineitem_pushdown",
+    "ann_index_extend",
+    "ann_ivf_pq_topk",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

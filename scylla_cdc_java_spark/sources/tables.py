@@ -223,6 +223,35 @@ def _load_text_format(spark: SparkSession, path: str, fmt: str, name: str) -> Da
         .option("mode", "FAILFAST")
         .csv(path)
     )
+    if not conv:
+        # No sidecar on the strict (FAILFAST) reload path: the writer may
+        # have ESCALATED the sentinel (data contained a literal `\N`), in
+        # which case guessing the default silently reloads real NULLs as
+        # literal `\N1`-shaped strings AND literal-`\N` data as NULLs —
+        # the exact data-loss class the dynamic sentinel closed. Probe
+        # for escalated-sentinel-shaped values (one column-pruned pass,
+        # rlike pushed to the scan) and refuse to guess when found.
+        str_cols = [
+            f.name for f in csv_schema.fields if f.dataType.simpleString() == "string"
+        ]
+        if str_cols:
+            suspicious = (
+                df.select(
+                    F.explode(F.array(*[F.col(c) for c in str_cols])).alias("v")
+                )
+                .where(F.col("v").rlike(r"^\\N[0-9]+$"))
+                .limit(1)
+                .count()
+            )
+            if suspicious:
+                raise ValueError(
+                    f"CSV at {path} contains escalated-sentinel-shaped values"
+                    f" (\\N<digits>) but no {_CSV_CONVENTION_FILE} sidecar —"
+                    " the null convention is ambiguous; restore the sidecar"
+                    " written next to the export (engine exports always"
+                    " carry one) instead of reloading with the default"
+                    f" sentinel {CSV_NULL_SENTINEL!r}"
+                )
     for c, t in arr_cols.items():
         df = df.withColumn(c, F.from_json(F.col(c), t))
     return df

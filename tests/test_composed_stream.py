@@ -170,6 +170,85 @@ def test_torn_sink_file_visible_to_listing_but_not_manifest(spark):
     assert raw > manifest_rows + sentinel_rows
 
 
+def test_vanished_source_file_unrecoverable_by_naive_reread(spark):
+    """The source-vanish gate's fault twin: after the gate runs, chunk 1's
+    data file is GONE from the source directory — a naive engine that
+    re-derives state by re-reading the source (instead of trusting its
+    checkpoint + committed sink) loses every chunk-1 row. The gate's own
+    manifest-read result keeps them (hash-gated against the full-data
+    oracle)."""
+    from scylla_cdc_java_spark.queries import QUERIES
+    from scylla_cdc_java_spark.sources.tables import load_table
+
+    df = QUERIES["pipeline_stream_source_vanish"][0](spark, "/root/testdata/sf0.001")
+    total_events = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    engine_events = df.agg({"n_events": "sum"}).first()[0]
+    assert engine_events == total_events  # nothing lost through the fault
+    src_files = [f for f in df.inputFiles() if "/windows/" in f]
+    src = src_files[0].split("/windows/")[0].replace("file:", "") + "/events"
+    naive = spark.read.parquet(src)
+    # the source now holds ONLY chunk 2 (+ sentinel): a re-read loses data
+    assert naive.count() < total_events
+    assert naive.where(naive.event_type != "__sentinel").count() < total_events
+
+
+def test_replaced_source_file_poison_on_disk_but_not_ingested(spark):
+    """The source-replace gate's fault twin: the replacement content (odd
+    event_ids) IS what a naive directory read returns for chunk1.parquet,
+    but the engine's first-writer-wins seen-file log ingested the even
+    half — so the committed result counts evens, never odds."""
+    from scylla_cdc_java_spark.queries import QUERIES
+    from scylla_cdc_java_spark.sources.tables import epoch_micros, load_table
+
+    from pyspark.sql import functions as F
+
+    df = QUERIES["pipeline_stream_source_replace"][0](spark, "/root/testdata/sf0.001")
+    src_files = [f for f in df.inputFiles() if "/windows/" in f]
+    src = src_files[0].split("/windows/")[0].replace("file:", "") + "/events"
+    on_disk = spark.read.parquet(f"{src}/chunk1.parquet")
+    # poison is real: the file on disk is entirely the ODD half
+    assert on_disk.count() > 0
+    assert on_disk.where(F.col("event_id") % 2 == 0).count() == 0
+    # ...but the engine's totals are the EVEN half + chunk 2
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    split_us = 1705363200000000  # 2024-01-16T00:00:00Z
+    expected = ev.where(
+        (epoch_micros(ev, "ts") >= split_us) | (F.col("event_id") % 2 == 0)
+    ).count()
+    assert df.agg({"n_events": "sum"}).first()[0] == expected
+
+
+def test_file_vanished_between_plan_and_execute_semantics(spark, tmp_path):
+    """The OTHER source-vanish timing — a file deleted after the scan is
+    PLANNED but before it executes (the crash window where a streaming
+    restart replays an offset whose file is gone): the default is a loud
+    FileNotFound failure (no silent loss), and
+    `spark.sql.files.ignoreMissingFiles=true` is the documented recovery
+    knob that completes the read minus the vanished file — explicit,
+    bounded loss instead of a wedged stream. Pins both behaviors."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "vanish_batch")
+    spark.range(100).withColumn("part", (F.col("id") % 2).cast("int")).write.partitionBy(
+        "part"
+    ).parquet(d)
+    df = spark.read.parquet(d)  # plan over the current listing
+    victim_dir = os.path.join(d, "part=1")
+    for f in os.listdir(victim_dir):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(victim_dir, f))
+    with _pytest.raises(Exception, match="(?i)file.*(not exist|deleted|notfound)"):
+        df.count()
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try:
+        assert spark.read.parquet(d).count() == 50  # the surviving half
+    finally:
+        spark.conf.set("spark.sql.files.ignoreMissingFiles", "false")
+
+
 def test_dedup_changes_ignores_null_raw_time_column(spark):
     """Regression (round 6): a change frame read under the descriptor's
     wire schema carries an all-NULL ``cdc$time`` string column; dedup

@@ -439,6 +439,10 @@ _AUDIT_ALLOW: dict[str, tuple[int, bool]] = {
     "join_excess_availability": (4, False),  # Q20: ranked sup + part_f + eur + region
     # two-pass rank: broadcast prefix-offset + totals maps (bounded N×|segments|)
     "events_value_ntile": (2, False),
+    # round-9: two-pass rank over derived partsupp — ranked sup dim,
+    # nation dim inside the supplier⋈nation build, the built sn dim
+    # itself, + the rank assembly's offset/total maps (all bounded dims)
+    "agg_stock_value_ntile": (5, False),
 }
 
 # These EXECUTE real work at query-construction time (streaming runs,
@@ -455,6 +459,8 @@ _AUDIT_SKIP = {
     "pipeline_stream_late_data",
     "pipeline_stream_crash_tumbling",
     "pipeline_stream_interval_join",
+    "pipeline_stream_source_vanish",
+    "pipeline_stream_source_replace",
     "source_jsonl_documents",
     "source_csv_documents",
     "text_bpe_train",

@@ -134,6 +134,42 @@ class TestTextFormatSources:
         back = {r["doc_id"]: (r["text"], r["lang"]) for r in _lt(spark, out, "documents").collect()}
         assert back == {d: (t, lg) for d, t, lg, _, _ in rows}
 
+    def test_csv_missing_sidecar_with_escalated_values_refuses(self, spark, tmp_path):
+        """An ESCALATED export (sentinel \\N1+) read without its
+        _convention.json sidecar must RAISE, not guess: guessing the
+        default reloads real NULLs as literal '\\N1' strings and literal
+        '\\N' data as NULLs — the data-loss class the dynamic sentinel
+        closed, reopened behind a missing file. With the sidecar intact
+        the same export round-trips; a clean export (default sentinel,
+        no escalated-shaped values) still loads sidecar-less."""
+        import os as _os
+
+        import pytest as _pytest
+
+        from scylla_cdc_java_spark.sources.tables import load_table as _lt
+        from scylla_cdc_java_spark.sources.tables import write_csv_table
+
+        rows = [(0, "\\N", "en", "src0", 2), (1, None, "en", "src0", 0)]
+        out = str(tmp_path / "nosidecar_sf")
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        assert write_csv_table(df, f"{out}/documents.csv", coalesce=1) == "\\N1"
+        _lt(spark, out, "documents").collect()  # sidecar present: fine
+        _os.remove(f"{out}/documents.csv/_convention.json")
+        with _pytest.raises(ValueError, match="sidecar"):
+            _lt(spark, out, "documents").collect()
+
+        clean = str(tmp_path / "cleanside_sf")
+        cdf = spark.createDataFrame(
+            [(0, "plain", "en", "s", 5), (1, None, "en", "s", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        write_csv_table(cdf, f"{clean}/documents.csv", coalesce=1)
+        _os.remove(f"{clean}/documents.csv/_convention.json")
+        back = {r["doc_id"]: r["text"] for r in _lt(spark, clean, "documents").collect()}
+        assert back == {0: "plain", 1: None}
+
     def test_csv_default_sentinel_when_clean(self, spark, tmp_path):
         from scylla_cdc_java_spark.sources.tables import write_csv_table
 

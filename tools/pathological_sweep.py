@@ -70,6 +70,10 @@ EVENT_QUERIES = ",".join(
         "pipeline_stream_sessionize", "pipeline_stream_tumbling",
         "pipeline_stream_late_data", "pipeline_stream_crash_tumbling",
         "pipeline_stream_interval_join",
+        # round-9: source-side fault gates (file vanished after commit;
+        # file replaced in place — first-writer-wins) on the burst/NULL
+        # event shapes
+        "pipeline_stream_source_vanish", "pipeline_stream_source_replace",
         # round-7 late: rank-function trio on burst ties / null values
         "events_value_ntile",
     ]
@@ -131,6 +135,10 @@ DOC_QUERIES = ",".join(
         # char docs exercise the short-last-window and md5 canary paths)
         # + the composed cross-doc repeated-chunk detector
         "text_chunk_windows", "text_chunk_dedup",
+        # round-9: sliding-arrival-window chunk dedup (doc_id-derived
+        # arrival hours; the hostile ids stress the k∈{0,1} window
+        # instance assignment incl. doc_id 0's negative-start window)
+        "text_chunk_dedup_windowed",
     ]
 )
 
@@ -319,6 +327,9 @@ REL_QUERIES = ",".join(
         "join_min_cost_supplier", "agg_product_profit",
         "agg_important_stock", "agg_part_supplier_cnt",
         "join_excess_availability",
+        # round-9: ntile over the derived view — the hostile key space
+        # stresses the integer-cents order + unique (part,supp) tiebreak
+        "agg_stock_value_ntile",
     ]
 )
 

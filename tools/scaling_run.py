@@ -67,6 +67,12 @@ HEAVY = [
     "agg_product_profit",
     "ann_ivf_sq8_cell_topk",
     "text_chunk_windows",
+    # round-9 extension: the sliding-window chunk-dedup composition
+    # (chunk count scales with tokens; window fan-out is a fixed ×2) and
+    # the two-pass rank over the derived-partsupp domain (part×4 rows —
+    # scales with the part table)
+    "text_chunk_dedup_windowed",
+    "agg_stock_value_ntile",
 ]
 
 SF_DIRS = {
