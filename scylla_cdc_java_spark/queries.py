@@ -6194,6 +6194,118 @@ def q_join_excess_availability(spark, sf_dir):
     )
 
 
+def q_agg_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12-shaped anchor (shipping modes and order priority — the
+    last uncovered Q-shape beside Q19): per return-flag class (the
+    fixture's stand-in for l_shipmode), count LATE lines (shipped more
+    than 60 days after the order date — the fixture has no
+    commit/receipt dates, so ship lag is the late predicate) split into
+    high-priority (1-URGENT/2-HIGH) vs low-priority CASE sums, over a
+    one-year ship window. Plan: the ship-window filter pushes to the
+    lineitem scan (raw-ns pushdown via ts_filter); the orderkey join is
+    the canonical fact-fact shuffle; CASE counts partial-aggregate
+    map-side. Counts CAST to BIGINT both sides (the HUGEINT lint's
+    class: DuckDB sum(int) is int128)."""
+    li = ts_filter(
+        ts_filter(
+            load_table(spark, sf_dir, "lineitem"),
+            "l_shipdate", ">=", "1997-01-01 00:00:00",
+        ),
+        "l_shipdate", "<", "1998-01-01 00:00:00",
+    ).where(F.col("l_returnflag").isin("A", "R"))
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .where(late)
+        .groupBy("l_returnflag")
+        .agg(
+            # CASE/otherwise, NOT boolean-cast sums: a NULL priority must
+            # land in the ELSE arm like SQL CASE (sum(~NULL) silently
+            # skips it — the 3VL trap the hostile fixture caught)
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12_LATE_PRIORITY = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_returnflag IN ('A', 'R')
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+
+
+def q_join_bracketed_revenue(spark, sf_dir):
+    """TPC-H Q19-shaped anchor (discounted revenue under OR-of-AND
+    brackets — the disjunctive-predicate join): three (brand, size
+    range, quantity range) brackets OR'd together across the part⋈
+    lineitem join. The 100 TB plan: the part-only disjunction (brand +
+    size) is hand-pushed to the part scan (Catalyst cannot factor a
+    mixed OR across a join), the lineitem-only envelope (quantity in
+    the union of brackets) to the fact scan, the filtered part dim
+    broadcasts, and the full bracket predicate applies post-join —
+    revenue summed in exact decimal, one output row."""
+    b1 = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    part_f = load_table(spark, sf_dir, "part").where(
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15))
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 30)
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    )
+    return (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .where(b1 | b2 | b3)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q19_BRACKETED = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_agg_stock_value_ntile(spark, sf_dir):
     """Composition of two round-8 surfaces: the TWO-PASS bucketed rank
     (operators/rank.py — sort parallelism scales with buckets, not with
@@ -7422,6 +7534,16 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         _oracle_stock_ntile(),
         "per-nation stock-value quartiles: two-pass rank over derived partsupp",
     ),
+    "agg_late_shipment_priority": (
+        q_agg_late_shipment_priority,
+        ORACLE_Q12_LATE_PRIORITY,
+        "Q12-shape late-line priority CASE counts over the orderkey join",
+    ),
+    "join_bracketed_revenue": (
+        q_join_bracketed_revenue,
+        ORACLE_Q19_BRACKETED,
+        "Q19-shape OR-of-AND bracket revenue w/ hand-pushed disjunctions",
+    ),
     "events_value_ntile": (
         q_events_value_ntile,
         ORACLE_EVENTS_NTILE,
@@ -7547,6 +7669,9 @@ _GATE_FRONT: list[str] = [
     "text_train_order",
     "text_vocab_by_source",
     "text_weighted_sample",
+    # late round-9 gates (new gates outrank backfill for window slots)
+    "agg_late_shipment_priority",
+    "join_bracketed_revenue",
     # last green r06 (oldest slice)
     "a1_stream_task_grouping",
     "a2_min_generation_after",
@@ -7554,8 +7679,6 @@ _GATE_FRONT: list[str] = [
     "agg_lineitem_pushdown",
     "ann_index_extend",
     "ann_ivf_pq_topk",
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

@@ -443,6 +443,8 @@ _AUDIT_ALLOW: dict[str, tuple[int, bool]] = {
     # nation dim inside the supplier⋈nation build, the built sn dim
     # itself, + the rank assembly's offset/total maps (all bounded dims)
     "agg_stock_value_ntile": (5, False),
+    # round-9: Q19 broadcasts the bracket-filtered part dim
+    "join_bracketed_revenue": (1, False),
 }
 
 # These EXECUTE real work at query-construction time (streaming runs,

@@ -330,6 +330,10 @@ REL_QUERIES = ",".join(
         # round-9: ntile over the derived view — the hostile key space
         # stresses the integer-cents order + unique (part,supp) tiebreak
         "agg_stock_value_ntile",
+        # round-9 late: Q12/Q19 shapes — NULL returnflags hit the IN
+        # filter's 3VL, boundary timestamps hit the ship-window edges,
+        # and the bracket OR runs over the unicode/empty part rows
+        "agg_late_shipment_priority", "join_bracketed_revenue",
     ]
 )
 
@@ -429,6 +433,44 @@ def build_rel_dir() -> None:
     orders.append((210, 1, "O", 2.0, ts("1996-08-08 00:00:00"), None))
     cust.append((7, "zeta", 2, 1.0, None))
     parts.append((8, "null type part", "Brand#9", None, 20, 1.0))
+    # round-9: Q12-shape coverage — 1997 ship window with the late
+    # predicate EXACTLY on its 60-day boundary (== must be excluded by
+    # the strict >, both engines), one late high-priority, one late
+    # low-priority, one late NULL-priority (3VL: counts in the ELSE
+    # arm), and a NULL returnflag inside the window (IN-filter 3VL)
+    orders += [
+        (220, 1, "O", 1.0, ts("1997-02-01 00:00:00"), "1-URGENT"),
+        (221, 1, "O", 1.0, ts("1997-02-01 00:00:00"), "5-LOW"),
+        (222, 1, "O", 1.0, ts("1997-02-01 00:00:00"), None),
+    ]
+    li += [
+        # exactly +60 days: NOT late under strict >
+        (220, 1, 1, 0, 1.0, 5.0, 0.0, 0.0, "A", "O", ts("1997-04-02 00:00:00")),
+        # +61 days: late, high priority
+        (220, 1, 1, 1, 1.0, 5.0, 0.0, 0.0, "R", "O", ts("1997-04-03 00:00:00")),
+        # late, low priority
+        (221, 1, 2, 0, 1.0, 5.0, 0.0, 0.0, "A", "F", ts("1997-06-01 00:00:00")),
+        # late, NULL priority (counts as low: NOT IN a NULL is the CASE
+        # ELSE arm both sides)
+        (222, 1, 2, 0, 1.0, 5.0, 0.0, 0.0, "R", "O", ts("1997-07-01 00:00:00")),
+        # late but NULL returnflag: the IN ('A','R') filter drops it
+        (220, 1, 1, 2, 1.0, 5.0, 0.0, 0.0, None, "O", ts("1997-05-01 00:00:00")),
+    ]
+    # round-9: Q19-shape coverage — bracket-boundary rows: Brand#1 does
+    # not match any bracket (brands are Brand#11/12/13); add parts ON
+    # the bracket edges and lineitems on the quantity edges
+    parts += [
+        (9, "bracket lo", "Brand#11", "STANDARD", 5, 1.0),   # size edge (<=5)
+        (10, "bracket hi", "Brand#12", "STANDARD", 10, 1.0),  # size edge (<=10)
+        (11, "bracket out", "Brand#13", "STANDARD", 16, 1.0),  # size 16 > 15: out
+    ]
+    li += [
+        (223, 9, 1, 0, 11.0, 4.0, 0.0, 0.0, "N", "O", ts("1996-02-02 00:00:00")),  # qty edge in
+        (223, 9, 1, 1, 12.0, 4.0, 0.0, 0.0, "N", "O", ts("1996-02-02 00:00:00")),  # qty 12 > 11: out
+        (223, 10, 2, 2, 10.0, 4.0, 0.5, 0.0, "N", "O", ts("1996-02-02 00:00:00")),  # bracket 2 in
+        (223, 11, 2, 3, 25.0, 4.0, 0.0, 0.0, "N", "O", ts("1996-02-02 00:00:00")),  # size out
+    ]
+    orders.append((223, 3, "O", 1.0, ts("1996-02-02 00:00:00"), "4-NOT SPECIFIED"))
 
     con.execute("CREATE TABLE x (c_custkey BIGINT, c_name VARCHAR, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment VARCHAR)")
     for r in cust:
