@@ -177,6 +177,49 @@ def stream_interval_join(
     return writer.start()
 
 
+def stream_dedup_watermark(
+    spark,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay_s: int = 172800,
+    available_now: bool = True,
+):
+    """Native streaming exactly-once admission:
+    ``dropDuplicatesWithinWatermark`` keyed on ``keys`` — the Spark
+    primitive for the reference's P2 dedup/resume contract (at-least-once
+    CDC re-delivery suppressed at ingest; scylla-cdc-base
+    ``WorkerThread``'s lastConsumedChangeId resume,
+    scylla-cdc-lib/.../worker/Worker.java region). Rows emit in the
+    batch they arrive (dedup holds no emission back); state holds one
+    entry per key until the watermark passes its event time + delay.
+
+    The suppression guarantee under a MONOTONE watermark is total for
+    re-deliveries carrying their ORIGINAL event time: while the first
+    occurrence is in state a duplicate is dropped as a duplicate, and
+    once the state entry is evicted (event time + delay < watermark) any
+    re-delivery is necessarily OLDER than the watermark itself and is
+    dropped as late — so an admitted row is never emitted twice. The
+    gate's oracle is therefore plain DISTINCT over the logical input.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    dedup = stream.withWatermark(ts_col, f"{int(delay_s)} seconds").dropDuplicatesWithinWatermark(
+        keys
+    )
+    writer = (
+        dedup.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_sessionize(
     spark,
     source_dir: str,

@@ -1037,6 +1037,101 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM ranked WHERE
 """
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """ANN QUALITY measurement — recall@k of the IVF index against the
+    exact brute-force top-k, per query: the metric every ANN deployment
+    tunes nprobe/nlist against (an index without a recall harness is an
+    index you cannot trust). Both rankings are the engine's own
+    (ivf_topk, cosine_topk_bruteforce — each independently hash-gated),
+    joined on (query, neighbor); recall = |approx ∩ exact| / k with a
+    null-safe 0 for queries the probe set misses entirely. Plan: two
+    top-k computations (the expensive side — the brute GEMM — runs ONCE)
+    and one tiny (queries × k)-row join; at 100 TB recall is measured on
+    a SAMPLE of queries, which this shape already is (fixed query set).
+    The oracle replays both chains verbatim and the same intersection."""
+    from .pipeline.similarity import cosine_topk_bruteforce as _bf
+    from .pipeline.similarity import ivf_topk as _ivf
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = _bf(emb, queries, k=3).select("query_id", "neighbor_id")
+    approx = _ivf(emb, queries, k=3, nprobe=2).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("__h"), F.lit(0)) / F.lit(3.0)).alias("recall"),
+        )
+    )
+
+
+ORACLE_ANN_IVF_RECALL = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+-- exact brute-force chain (mirrors ORACLE_ANN)
+bscored AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(qq.qv, c.qv) AS BIGINT) AS dot_q
+  FROM q qq JOIN q c ON qq.vec_id < 5 AND c.vec_id <> qq.vec_id
+),
+branked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM bscored
+),
+b AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 3),
+-- IVF chain (mirrors ORACLE_ANN_IVF)
+cent AS (SELECT vec_id AS cid, qv AS cv FROM q
+         ORDER BY {{seed}}, vec_id LIMIT 16),
+assign AS (
+  SELECT q.vec_id, cent.cid,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST(list_dot_product(q.qv, cent.cv) AS BIGINT) DESC, cent.cid
+         ) AS rn
+  FROM q CROSS JOIN cent
+),
+corpus_assign AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM assign WHERE rn <= 2 AND vec_id < 5),
+cand AS (
+  SELECT p.query_id, ca.vec_id AS neighbor_id
+  FROM probes p JOIN corpus_assign ca ON ca.cid = p.cid
+  WHERE ca.vec_id <> p.query_id
+),
+iscored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(list_dot_product(qq.qv, nn.qv) AS BIGINT) AS dot_q
+  FROM cand c
+  JOIN q qq ON qq.vec_id = c.query_id
+  JOIN q nn ON nn.vec_id = c.neighbor_id
+),
+iranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM iscored
+),
+a AS (SELECT query_id, neighbor_id FROM iranked WHERE rank <= 3),
+h AS (
+  SELECT b.query_id, count(*) AS n_hits
+  FROM b JOIN a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY 1
+)
+SELECT qs.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) / 3.0 AS recall
+FROM (SELECT DISTINCT query_id FROM b) qs
+LEFT JOIN h ON h.query_id = qs.query_id
+""".replace("{seed}", _seed_hash_sql("vec_id"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (hyperplane signs): the documented
     scale path for similarity search — candidates restricted to the
@@ -6896,6 +6991,80 @@ FROM kept GROUP BY 1, 2
 """
 
 
+def q_pipeline_stream_dedup_watermark(spark, sf_dir):
+    """NATIVE streaming ingest dedup end-to-end — the P2 dedup/resume
+    contract as Spark's own ``dropDuplicatesWithinWatermark`` (the
+    composed cdc-dedup gate implements admission by hand; this pins the
+    built-in operator). The feed plants BOTH duplicate classes the
+    reference's at-least-once delivery produces: intra-batch duplicates
+    (every 10th chunk-1 row delivered twice in the same file) and
+    cross-restart re-deliveries (every 7th chunk-1 row re-delivered —
+    with its ORIGINAL event time — in chunk 2 after an engine restart).
+    Suppression is total under a monotone watermark (in-state → dropped
+    as duplicate; evicted → necessarily older than the watermark →
+    dropped as late; see stream_dedup_watermark), so the oracle is
+    plain DISTINCT over the logical events — any emitted duplicate
+    doubles a count and breaks the hash. A pytest twin runs the same
+    feed WITHOUT dedup and proves the duplicates are real rows."""
+    import os
+
+    from .pipeline.sessions import stream_dedup_watermark
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(epoch_micros(ev, "ts")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    tmp = _evo_tmpdir()
+    src = os.path.join(tmp, "events")
+    out = os.path.join(tmp, "deduped")
+    ckpt = os.path.join(tmp, "ckpt")
+    schema = (
+        "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    c1 = ev.where(F.col("ts") < split)
+    # intra-batch duplicates: identical rows, same file, same micro-batch
+    c1_feed = c1.unionByName(c1.where(F.col("event_id") % 10 == 0))
+    c1_feed.coalesce(1).write.parquet(src)
+    stream_dedup_watermark(
+        spark, src, out, ckpt, schema, keys=["event_id"], delay_s=172800
+    ).awaitTermination()
+    _evo_mtime_gap()
+    # cross-restart re-delivery: original event times, arriving late
+    redeliver = c1.where(F.col("event_id") % 7 == 0)
+    c2_feed = ev.where(F.col("ts") >= split).unionByName(redeliver)
+    c2_feed.coalesce(1).write.mode("append").parquet(src)
+    stream_dedup_watermark(
+        spark, src, out, ckpt, schema, keys=["event_id"], delay_s=172800
+    ).awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+# the suppression guarantee makes the oracle plain DISTINCT: every
+# logical event emitted exactly once, every planted duplicate invisible
+ORACLE_STREAM_DEDUP_WM = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT event_id) AS n_distinct,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_pipeline_stream_interval_join(spark, sf_dir):
     """STREAM-STREAM event-time interval join end-to-end (the attribution
     query): the view stream joined to the purchase stream of the same
@@ -7152,6 +7321,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
     ),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN, "ANN brute-force top-k"),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF, "ANN IVF scale path"),
+    "ann_ivf_recall": (
+        q_ann_ivf_recall,
+        ORACLE_ANN_IVF_RECALL,
+        "recall@k of the IVF index vs exact brute-force top-k",
+    ),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH, "ANN LSH-bucketed scale path"),
     "mm_feature_extract": (q_mm_feature_extract, ORACLE_MM_FEATURES, "multimodal features"),
     "mm_frame_sample": (q_mm_frame_sample, ORACLE_MM_FRAMES, "video frame sampling"),
@@ -7519,6 +7693,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_STREAM_TUMBLING,
         "source file deleted after its batch committed; restart keeps it",
     ),
+    "pipeline_stream_dedup_watermark": (
+        q_pipeline_stream_dedup_watermark,
+        ORACLE_STREAM_DEDUP_WM,
+        "native dropDuplicatesWithinWatermark ingest dedup across restart",
+    ),
     "pipeline_stream_source_replace": (
         q_pipeline_stream_source_replace,
         ORACLE_STREAM_SOURCE_REPLACE,
@@ -7672,13 +7851,13 @@ _GATE_FRONT: list[str] = [
     # late round-9 gates (new gates outrank backfill for window slots)
     "agg_late_shipment_priority",
     "join_bracketed_revenue",
+    "pipeline_stream_dedup_watermark",
+    "ann_ivf_recall",
     # last green r06 (oldest slice)
     "a1_stream_task_grouping",
     "a2_min_generation_after",
     "a3_consumed_barrier",
     "agg_lineitem_pushdown",
-    "ann_index_extend",
-    "ann_ivf_pq_topk",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

@@ -218,6 +218,26 @@ def test_replaced_source_file_poison_on_disk_but_not_ingested(spark):
     assert df.agg({"n_events": "sum"}).first()[0] == expected
 
 
+def test_stream_dedup_watermark_duplicates_are_real(spark, tmp_path):
+    """The dedup gate's fault twin: the SAME planted feed (intra-batch
+    doubles + cross-restart re-deliveries) run WITHOUT
+    dropDuplicatesWithinWatermark emits strictly more rows than the
+    logical event count — proving the gate's DISTINCT-matching result is
+    the dedup operator's doing, not an accidentally-clean feed."""
+    from scylla_cdc_java_spark.queries import QUERIES
+    from scylla_cdc_java_spark.sources.tables import load_table
+
+    df = QUERIES["pipeline_stream_dedup_watermark"][0](spark, "/root/testdata/sf0.001")
+    total = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    assert df.agg({"n_events": "sum"}).first()[0] == total
+    src_files = [f for f in df.inputFiles() if "/deduped/" in f]
+    src = src_files[0].split("/deduped/")[0].replace("file:", "") + "/events"
+    raw = spark.read.parquet(src)
+    assert raw.count() > total  # the planted duplicates are real rows
+    # and they are genuine duplicates by key, not new events
+    assert raw.select("event_id").distinct().count() == total
+
+
 def test_file_vanished_between_plan_and_execute_semantics(spark, tmp_path):
     """The OTHER source-vanish timing — a file deleted after the scan is
     PLANNED but before it executes (the crash window where a streaming

@@ -445,6 +445,10 @@ _AUDIT_ALLOW: dict[str, tuple[int, bool]] = {
     "agg_stock_value_ntile": (5, False),
     # round-9: Q19 broadcasts the bracket-filtered part dim
     "join_bracketed_revenue": (1, False),
+    # round-9: recall gate composes the brute chain (broadcast query set,
+    # 1-row dims probe) + the IVF chain (broadcast probes) + a broadcast
+    # of the tiny (queries×k) hit join
+    "ann_ivf_recall": (3, True),
 }
 
 # These EXECUTE real work at query-construction time (streaming runs,
@@ -463,6 +467,7 @@ _AUDIT_SKIP = {
     "pipeline_stream_interval_join",
     "pipeline_stream_source_vanish",
     "pipeline_stream_source_replace",
+    "pipeline_stream_dedup_watermark",
     "source_jsonl_documents",
     "source_csv_documents",
     "text_bpe_train",

@@ -74,6 +74,9 @@ EVENT_QUERIES = ",".join(
         # file replaced in place — first-writer-wins) on the burst/NULL
         # event shapes
         "pipeline_stream_source_vanish", "pipeline_stream_source_replace",
+        # round-9 late: native ingest dedup — burst instants make same-
+        # batch duplicates and the NULL event_type groups the output
+        "pipeline_stream_dedup_watermark",
         # round-7 late: rank-function trio on burst ties / null values
         "events_value_ntile",
     ]
@@ -97,6 +100,9 @@ EMB_QUERIES = ",".join(
         # round-8: locally-adaptive per-cell SQ8 tier + rotated PQ
         "ann_ivf_sq8_cell_topk", "ann_pq_rotated_topk",
         "ann_ivf_pq_rotated_topk",
+        # round-9: recall@k of IVF vs brute force — the tie storms make
+        # the intersection itself tie-sensitive, the hard case
+        "ann_ivf_recall",
     ]
 )
 
