@@ -3822,6 +3822,77 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_pq_recall(spark, sf_dir):
+    """ANN QUALITY measurement for the QUANTIZED tier: recall@k of
+    PQ-ADC ranking against the exact brute-force top-k — the companion
+    of ann_ivf_recall (that one measures the PARTITION approximation,
+    this one the CODE approximation; m/n_codes are tuned against exactly
+    this number). Same shape: both rankings are the engine's own
+    hash-gated operators, the intersection is a (queries × k)-row join,
+    and the oracle replays the unrolled-Lloyd PQ chain next to the brute
+    chain and intersects them identically."""
+    from .pipeline.similarity import cosine_topk_bruteforce as _bf
+    from .pipeline.similarity import pq_topk as _pq
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 5)
+    exact = _bf(emb, qs, k=5).select("query_id", "neighbor_id")
+    approx = _pq(emb, qs, k=5, m=8).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("__h"), F.lit(0)) / F.lit(5.0)).alias("recall"),
+        )
+    )
+
+
+ORACLE_ANN_PQ_RECALL = f"""
+WITH {_pq_cte_chain()},
+pscored AS (
+  SELECT l.query_id, co.vid AS neighbor_id, CAST(sum(l.part) AS BIGINT) AS adc
+  FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code
+  WHERE l.query_id <> co.vid
+  GROUP BY 1, 2
+),
+pranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id) AS rank
+  FROM pscored
+),
+a AS (SELECT query_id, neighbor_id FROM pranked WHERE rank <= 5),
+bscored AS (
+  SELECT qq.vid AS query_id, c.vid AS neighbor_id,
+         CAST(list_dot_product(qq.qv, c.qv) AS BIGINT) AS dot_q
+  FROM q qq JOIN q c ON qq.vid < 5 AND c.vid <> qq.vid
+),
+branked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM bscored
+),
+b AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5),
+h AS (
+  SELECT b.query_id, count(*) AS n_hits
+  FROM b JOIN a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY 1
+)
+SELECT qs.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) / 5.0 AS recall
+FROM (SELECT DISTINCT query_id FROM b) qs
+LEFT JOIN h ON h.query_id = qs.query_id
+"""
+
+
 def q_ann_pq_rotated_topk(spark, sf_dir):
     """Rotated PQ (the OPQ random-rotation baseline, Ge et al. 2013 §RR):
     a seeded SIGNED PERMUTATION — the orthogonal transform that keeps
@@ -7326,6 +7397,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_ANN_IVF_RECALL,
         "recall@k of the IVF index vs exact brute-force top-k",
     ),
+    "ann_pq_recall": (
+        q_ann_pq_recall,
+        ORACLE_ANN_PQ_RECALL,
+        "recall@k of PQ-ADC ranking vs exact brute-force top-k",
+    ),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH, "ANN LSH-bucketed scale path"),
     "mm_feature_extract": (q_mm_feature_extract, ORACLE_MM_FEATURES, "multimodal features"),
     "mm_frame_sample": (q_mm_frame_sample, ORACLE_MM_FRAMES, "video frame sampling"),
@@ -7853,11 +7929,11 @@ _GATE_FRONT: list[str] = [
     "join_bracketed_revenue",
     "pipeline_stream_dedup_watermark",
     "ann_ivf_recall",
+    "ann_pq_recall",
     # last green r06 (oldest slice)
     "a1_stream_task_grouping",
     "a2_min_generation_after",
     "a3_consumed_barrier",
-    "agg_lineitem_pushdown",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

@@ -269,6 +269,54 @@ def test_file_vanished_between_plan_and_execute_semantics(spark, tmp_path):
         spark.conf.set("spark.sql.files.ignoreMissingFiles", "false")
 
 
+def test_lost_checkpoint_is_swallowed_by_manifest_sink_not_duplicated(spark, tmp_path):
+    """CHECKPOINT LOSS semantics — the dual of the source-fault gates:
+    re-running a stream with a FRESH checkpoint into an EXISTING parquet
+    sink does NOT double-count (the naive fear) and does NOT append — the
+    sink's _spark_metadata batch-id log already contains the new query's
+    batch ids, so its writes are silently invisible to manifest reads.
+    Recovery from a lost checkpoint therefore requires a fresh SINK
+    directory as well; pinning this stops a 'just delete the checkpoint'
+    runbook from silently freezing a pipeline's output."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_java_spark.pipeline.sessions import stream_tumbling_agg
+
+    tmp = str(tmp_path)
+    src, out = os.path.join(tmp, "src"), os.path.join(tmp, "out")
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    df = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 00:00:00", 1.0),
+            (2, "b", "2024-01-01 01:00:00", 2.0),
+            (9, "__sentinel", "2024-02-01 00:00:00", 0.0),
+        ],
+        "event_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(src)
+    stream_tumbling_agg(
+        spark, src, out, os.path.join(tmp, "ck1"), schema, window_s=86400
+    ).awaitTermination()
+    first = spark.read.parquet(out).count()
+    assert first == 2
+    # "recovery" with a fresh checkpoint into the SAME sink
+    stream_tumbling_agg(
+        spark, src, out, os.path.join(tmp, "ck2"), schema, window_s=86400
+    ).awaitTermination()
+    assert spark.read.parquet(out).count() == first  # no duplication...
+    # ...but the re-run DID write data files — they are manifest-invisible
+    assert len(glob.glob(os.path.join(out, "part-*"))) > 1
+    # a fresh sink + fresh checkpoint is the correct recovery
+    out2 = os.path.join(tmp, "out2")
+    stream_tumbling_agg(
+        spark, src, out2, os.path.join(tmp, "ck3"), schema, window_s=86400
+    ).awaitTermination()
+    assert spark.read.parquet(out2).count() == first
+
+
 def test_dedup_changes_ignores_null_raw_time_column(spark):
     """Regression (round 6): a change frame read under the descriptor's
     wire schema carries an all-NULL ``cdc$time`` string column; dedup

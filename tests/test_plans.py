@@ -449,6 +449,8 @@ _AUDIT_ALLOW: dict[str, tuple[int, bool]] = {
     # 1-row dims probe) + the IVF chain (broadcast probes) + a broadcast
     # of the tiny (queries×k) hit join
     "ann_ivf_recall": (3, True),
+    # same composition with the PQ chain's per-query LUT broadcast
+    "ann_pq_recall": (3, True),
 }
 
 # These EXECUTE real work at query-construction time (streaming runs,

@@ -100,9 +100,9 @@ EMB_QUERIES = ",".join(
         # round-8: locally-adaptive per-cell SQ8 tier + rotated PQ
         "ann_ivf_sq8_cell_topk", "ann_pq_rotated_topk",
         "ann_ivf_pq_rotated_topk",
-        # round-9: recall@k of IVF vs brute force — the tie storms make
-        # the intersection itself tie-sensitive, the hard case
-        "ann_ivf_recall",
+        # round-9: recall@k of IVF / PQ-ADC vs brute force — the tie
+        # storms make the intersection itself tie-sensitive, the hard case
+        "ann_ivf_recall", "ann_pq_recall",
     ]
 )
 
