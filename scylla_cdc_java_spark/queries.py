@@ -4636,6 +4636,10 @@ def _text_export_dir(spark, sf_dir: str, fmt: str) -> str:
     tmp = _evo_tmpdir()
     if fmt == "csv":
         write_csv_table(_docs(spark, sf_dir), os.path.join(tmp, "documents.csv"), coalesce=1)
+    elif fmt == "orc":
+        _docs(spark, sf_dir).coalesce(1).write.mode("overwrite").orc(
+            os.path.join(tmp, "documents.orc")
+        )
     else:
         _docs(spark, sf_dir).coalesce(1).write.mode("overwrite").json(
             os.path.join(tmp, "documents.jsonl")
@@ -4878,6 +4882,18 @@ ORACLE_SOURCE_JSONL = _source_oracle_sql("all")
 ORACLE_SOURCE_COUNTS = _source_oracle_sql("counts")
 ORACLE_SOURCE_TOKENS = _source_oracle_sql("tokens")
 ORACLE_SOURCE_MD5 = _source_oracle_sql("md5")
+
+
+def q_source_orc_documents(spark, sf_dir):
+    """ORC source parity — the THIRD format behind the external gate
+    (CSV is positional text with a negotiated null convention, JSON-lines
+    is by-name text, ORC is columnar-binary like parquet but a different
+    on-disk family entirely: Spark's built-in ORC reader/writer). A
+    columnar export should round-trip bytes trivially — this gate proves
+    it against the same shared column-spec oracle as the text formats,
+    so a regression in the ORC path (type mapping, unicode, NULLs)
+    surfaces as a hash break rather than an assumption."""
+    return _source_roundtrip_agg(spark, sf_dir, "orc", "all")
 
 
 def q_source_csv_documents(spark, sf_dir):
@@ -7402,6 +7418,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_ANN_PQ_RECALL,
         "recall@k of PQ-ADC ranking vs exact brute-force top-k",
     ),
+    "source_orc_documents": (
+        q_source_orc_documents,
+        ORACLE_SOURCE_JSONL,
+        "ORC export/reload parity on the shared source column-spec",
+    ),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH, "ANN LSH-bucketed scale path"),
     "mm_feature_extract": (q_mm_feature_extract, ORACLE_MM_FEATURES, "multimodal features"),
     "mm_frame_sample": (q_mm_frame_sample, ORACLE_MM_FRAMES, "video frame sampling"),
@@ -7930,10 +7951,10 @@ _GATE_FRONT: list[str] = [
     "pipeline_stream_dedup_watermark",
     "ann_ivf_recall",
     "ann_pq_recall",
+    "source_orc_documents",
     # last green r06 (oldest slice)
     "a1_stream_task_grouping",
     "a2_min_generation_after",
-    "a3_consumed_barrier",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

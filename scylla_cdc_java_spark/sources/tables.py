@@ -166,6 +166,11 @@ def _load_text_format(spark: SparkSession, path: str, fmt: str, name: str) -> Da
     # round-tripping instants through it silently truncates to .SSS)
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]"
     ddl = TABLE_SCHEMAS.get(name)
+    if fmt == "orc":
+        # ORC is columnar and self-describing (typed schema, binary
+        # payloads) — no null-sentinel/quoting convention to negotiate;
+        # the round-trip gate exists to prove exactly that
+        return spark.read.orc(path)
     if fmt == "json":
         # FAILFAST only when the schema is explicit: under PERMISSIVE a
         # malformed line silently becomes NULLs — the same silent-drift
@@ -279,7 +284,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if not _os.path.exists(path):
         base = f"{sf_dir.rstrip('/')}/{name}"
-        for ext, fmt in ((".jsonl", "json"), (".json", "json"), (".csv", "csv")):
+        for ext, fmt in ((".jsonl", "json"), (".json", "json"), (".csv", "csv"), (".orc", "orc")):
             if _os.path.exists(base + ext):
                 return _load_text_format(spark, base + ext, fmt, name)
     ns_cols = _nanos_timestamp_columns(path)

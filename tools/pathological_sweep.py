@@ -131,6 +131,9 @@ DOC_QUERIES = ",".join(
         "source_parquet_documents", "source_csv_counts", "source_csv_tokens",
         "source_csv_md5", "source_jsonl_counts", "source_jsonl_tokens",
         "source_jsonl_md5",
+        # round-9: ORC (columnar-binary third format) must round-trip the
+        # literal-sentinel/BOM/CRLF/NULL docs byte-exactly too
+        "source_orc_documents",
         # round-7: perceptual-hash media dedup (unicode codepoints ARE the
         # fake pixel stream here, so the hostile docs hit it directly)
         "mm_phash_pairs", "mm_phash_dedup",

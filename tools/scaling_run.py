@@ -73,6 +73,9 @@ HEAVY = [
     # scales with the part table)
     "text_chunk_dedup_windowed",
     "agg_stock_value_ntile",
+    # round-9 wave 2: the recall harness — brute chain is O(corpus) per
+    # query (fixed query set), IVF chain probe-bounded; must stay linear
+    "ann_ivf_recall",
 ]
 
 SF_DIRS = {
