@@ -50,6 +50,46 @@ _SEED_A = 1_103_515_245
 _SEED_B = 12_345
 
 
+def validate_embeddings(
+    df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Input-quality screen for an embedding column — the validation a
+    large-scale pipeline runs BEFORE any index build or similarity job
+    (every ANN operator here assumes clean input; this op makes that
+    contract checkable): per vector, its dimensionality, the count of
+    NULL elements, NaN/Inf presence, and the zero-vector flag (undefined
+    cosine). Pure column expressions over the array — one scan, no
+    shuffle, no Python. NULL embeddings report NULL dim (not Spark's
+    size()=-1 sentinel) with all flags NULL, so a missing vector is
+    distinguishable from a malformed one."""
+    e = F.col(emb_col)
+    x_dbl = lambda x: x.cast("double")  # noqa: E731
+    dim = F.when(e.isNull(), F.lit(None).cast("int")).otherwise(F.size(e))
+    n_null = F.when(e.isNull(), F.lit(None).cast("int")).otherwise(
+        F.size(F.filter(e, lambda x: x.isNull()))
+    )
+    # predicates are null-guarded so exists() never goes three-valued
+    # over a NULL element (a NULL element is counted, not NaN/Inf)
+    has_nan = F.when(e.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.exists(e, lambda x: x.isNotNull() & F.isnan(x_dbl(x)))
+    )
+    has_inf = F.when(e.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.exists(e, lambda x: x.isNotNull() & (F.abs(x_dbl(x)) == F.lit(float("inf"))))
+    )
+    is_zero = F.when(e.isNull(), F.lit(None).cast("boolean")).otherwise(
+        (F.size(e) > 0)
+        & ~F.exists(e, lambda x: x.isNotNull() & (x_dbl(x) != 0.0))
+    )
+    return df.select(
+        id_col,
+        dim.alias("dim"),
+        n_null.alias("n_null_elems"),
+        has_nan.alias("has_nan"),
+        has_inf.alias("has_inf"),
+        is_zero.alias("is_zero"),
+    )
+
+
 def seed_hash(c: Column | str) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     return F.pmod(

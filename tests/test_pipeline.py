@@ -378,6 +378,37 @@ def test_salted_join_matches_plain_join(spark):
     assert got_left == plain_left
 
 
+def test_validate_embeddings_malformed_edges(spark):
+    """The validation screen's reason to exist: the malformed shapes the
+    fixtures (deliberately) never contain — NULL embedding, NaN/Inf
+    elements, NULL elements, the empty vector — each flagged exactly,
+    with NULL-embedding rows reporting NULL dim (not Spark's size()=-1
+    sentinel) so missing and malformed are distinguishable."""
+    from scylla_cdc_java_spark.pipeline.similarity import validate_embeddings
+
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (0, None),
+        (1, [nan, 1.0]),
+        (2, [1.0, -inf]),
+        (3, [None, 0.0]),
+        (4, [0.0, 0.0, 0.0]),
+        (5, []),
+        (6, [0.5, -0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in validate_embeddings(df).collect()}
+    assert got[0]["dim"] is None and got[0]["has_nan"] is None
+    assert got[1]["has_nan"] and not got[1]["has_inf"]
+    assert got[2]["has_inf"] and not got[2]["has_nan"]
+    assert got[3]["n_null_elems"] == 1 and got[3]["is_zero"]  # no nonzero elem
+    assert got[4]["is_zero"] and got[4]["n_null_elems"] == 0
+    assert got[5]["dim"] == 0 and not got[5]["is_zero"]  # empty ≠ zero vector
+    assert got[6]["dim"] == 2 and not any(
+        (got[6]["has_nan"], got[6]["has_inf"], got[6]["is_zero"])
+    )
+
+
 def test_resize_and_chunk_multimodal(spark):
     from scylla_cdc_java_spark.pipeline.multimodal import (
         chunk_audio,

@@ -103,6 +103,9 @@ EMB_QUERIES = ",".join(
         # round-9: recall@k of IVF / PQ-ADC vs brute force — the tie
         # storms make the intersection itself tie-sensitive, the hard case
         "ann_ivf_recall", "ann_pq_recall",
+        # round-9: input-quality screen — the zero vector and one-hot
+        # axes are exactly its flag cases
+        "emb_validate",
     ]
 )
 
