@@ -584,6 +584,118 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.25
 """
 
 
+def q_dedup_minhash_quality(spark, sf_dir):
+    """Dedup QUALITY measurement — the MinHash-LSH analog of the ANN
+    recall harnesses: classify the banded-LSH candidate pairs against
+    the exact n-gram-Jaccard truth set (tp / fp / fn with precision and
+    recall), the numbers k / band_rows / threshold are tuned against.
+    Both pair lists are the engine's own hash-gated operators; the
+    classification is one full-outer join on the pair key and a single
+    aggregate row. Precision < 1 is EXPECTED (banding admits estimator
+    false positives by design, and the two operators deliberately use
+    their production thresholds: exact >= 0.2, estimate >= 0.25) — the
+    gate pins the measurement, the oracle replays both chains from the
+    SAME shingle CTE and classifies identically."""
+    docs = _docs(spark, sf_dir)
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
+    approx = minhash_lsh_pairs(docs, k=32, band_rows=4, threshold=0.25).select(
+        "doc_a", "doc_b"
+    )
+    j = truth.withColumn("__t", F.lit(1)).join(
+        approx.withColumn("__a", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    stats = j.agg(
+        F.sum(
+            F.when(F.col("__t").isNotNull() & F.col("__a").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("__t").isNull(), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(F.col("__a").isNull(), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    return stats.select(
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6),
+        ).alias("recall"),
+    )
+
+
+ORACLE_MINHASH_QUALITY = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+-- exact-truth chain (mirrors ORACLE_NGRAM_JACCARD)
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.2
+),
+-- banded-LSH chain (mirrors ORACLE_MINHASH)
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h FROM sh
+),
+perms AS (SELECT unnest(generate_series(0, 31)) AS i),
+sig AS (
+  SELECT doc_id, i, min(((2*i + 1) * h + 7919 * i) % 2147483647) AS mh
+  FROM hashed, perms GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+approx AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 32.0, 6) AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
+    GROUP BY 1, 2
+  ) WHERE est_jaccard >= 0.25
+),
+cls AS (
+  SELECT t.doc_a IS NOT NULL AS in_t, a.doc_a IS NOT NULL AS in_a
+  FROM truth t FULL OUTER JOIN approx a
+    ON a.doc_a = t.doc_a AND a.doc_b = t.doc_b
+),
+stats AS (
+  SELECT CAST(sum(CASE WHEN in_t AND in_a THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM cls
+)
+SELECT tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall
+FROM stats
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: connected components (large-star/small-star
     contraction, O(log n) rounds) over the n-gram Jaccard pair list —
@@ -7460,6 +7572,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_EMB_VALIDATE,
         "embedding input-quality screen: dim/NULL/NaN/Inf/zero flags",
     ),
+    "dedup_minhash_quality": (
+        q_dedup_minhash_quality,
+        ORACLE_MINHASH_QUALITY,
+        "LSH candidate precision/recall vs exact Jaccard truth",
+    ),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH, "ANN LSH-bucketed scale path"),
     "mm_feature_extract": (q_mm_feature_extract, ORACLE_MM_FEATURES, "multimodal features"),
     "mm_frame_sample": (q_mm_frame_sample, ORACLE_MM_FRAMES, "video frame sampling"),
@@ -7990,8 +8107,7 @@ _GATE_FRONT: list[str] = [
     "ann_pq_recall",
     "source_orc_documents",
     "emb_validate",
-    # last green r06 (oldest slice)
-    "a1_stream_task_grouping",
+    "dedup_minhash_quality",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

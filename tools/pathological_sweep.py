@@ -151,6 +151,10 @@ DOC_QUERIES = ",".join(
         # arrival hours; the hostile ids stress the k∈{0,1} window
         # instance assignment incl. doc_id 0's negative-start window)
         "text_chunk_dedup_windowed",
+        # round-9: LSH-vs-exact quality classification — the planted
+        # near/exact dup groups are the tp mass, the estimator noise the
+        # fp/fn edges
+        "dedup_minhash_quality",
     ]
 )
 
