@@ -103,6 +103,14 @@ HEADLINE = [
     # pipeline_stream_cdc_dedup: fixed streaming machinery dominates.
     "text_chunk_dedup_windowed",
     "agg_stock_value_ntile",
+    # round-10 additions: the quality-harness matrix completions (SQ8 and
+    # residual recall@k — each runs its tier AND the brute chain, so they
+    # are the heaviest ANN rows by construction) and the simhash-vs-
+    # Jaccard classification. t7_dynamic_task_add stays OUT like every
+    # streaming gate: fixed Structured-Streaming machinery dominates.
+    "ann_sq8_recall",
+    "ann_residual_recall",
+    "dedup_simhash_quality",
 ]
 
 

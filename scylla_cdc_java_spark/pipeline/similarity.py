@@ -90,6 +90,84 @@ def validate_embeddings(
     )
 
 
+def screen_embeddings(
+    df: DataFrame,
+    mode: str | None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Enforcement arm of :func:`validate_embeddings` — the ``validate=``
+    mode every ANN entry point accepts (the screen existed since r09;
+    this wires it into the operators whose clean-input assumption it
+    checks).
+
+    * ``None``/``"off"`` — returned unchanged: plan-identical, the
+      default (preserves every gate hash).
+    * ``"quarantine"`` — lazily filter to clean vectors (non-NULL, no
+      NULL elements, no NaN/Inf, and ``dim`` when given): one extra
+      predicate on the existing scan — no shuffle, no action.
+    * ``"reject"`` — run one bounded aggregate over the validation flags
+      and raise ``ValueError`` with per-flag counts if ANY vector is
+      bad (an eager action by design: an index build over poisoned
+      input should fail loudly before burning the cluster).
+
+    Zero vectors are flagged by ``validate_embeddings`` but NOT screened
+    here — the integer-dot metric is well-defined on them; callers that
+    need unit norms filter ``is_zero`` themselves."""
+    if mode is None or mode == "off":
+        return df
+    if mode not in ("reject", "quarantine"):
+        raise ValueError(
+            f"validate must be None, 'off', 'reject' or 'quarantine'; got {mode!r}"
+        )
+    if mode == "quarantine":
+        e = F.col(emb_col)
+        clean = (
+            e.isNotNull()
+            & ~F.exists(e, lambda x: x.isNull())
+            & ~F.exists(e, lambda x: F.isnan(x.cast("double")))
+            & ~F.exists(e, lambda x: F.abs(x.cast("double")) == F.lit(float("inf")))
+        )
+        if dim is not None:
+            clean = clean & (F.size(e) == int(dim))
+        # the filter alone is NOT enough under ANSI: InferFiltersFromGenerate
+        # derives size(transform(emb, <cast to long>)) > 0 from a downstream
+        # posexplode and PushDownPredicates folds it into THIS filter node,
+        # where subexpression elimination evaluates the quantizing cast on
+        # pre-filter rows — a NaN element then throws CAST_OVERFLOW before
+        # the clean predicate can drop the row. Rewriting the column to an
+        # empty array on dirty rows makes any such hoisted expression a
+        # no-op (transform/exists over [] never evaluates the lambda).
+        return df.where(clean).withColumn(
+            emb_col, F.when(clean, e).otherwise(F.slice(e, 1, 0))
+        )
+    v = validate_embeddings(df, id_col=id_col, emb_col=emb_col)
+    bad_dim = (
+        F.col("dim").isNull()
+        if dim is None
+        else (F.col("dim").isNull() | (F.col("dim") != int(dim)))
+    )
+    counts = (
+        v.agg(
+            F.sum(F.when(bad_dim, 1).otherwise(0)).alias("n_bad_dim"),
+            F.sum(F.when(F.col("n_null_elems") > 0, 1).otherwise(0)).alias("n_null_elem"),
+            F.sum(F.when(F.col("has_nan"), 1).otherwise(0)).alias("n_nan"),
+            F.sum(F.when(F.col("has_inf"), 1).otherwise(0)).alias("n_inf"),
+        )
+        .first()
+    )
+    n_bad = sum(counts[k] or 0 for k in ("n_bad_dim", "n_null_elem", "n_nan", "n_inf"))
+    if n_bad:
+        raise ValueError(
+            "embedding validation failed: "
+            f"bad_dim={counts['n_bad_dim'] or 0}, "
+            f"null_elem={counts['n_null_elem'] or 0}, "
+            f"nan={counts['n_nan'] or 0}, inf={counts['n_inf'] or 0}"
+        )
+    return df
+
+
 def seed_hash(c: Column | str) -> Column:
     c = F.col(c) if isinstance(c, str) else c
     return F.pmod(
@@ -135,12 +213,14 @@ def cosine_topk_bruteforce(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate: str | None = None,
 ) -> DataFrame:
     """Exact top-k by quantized dot; broadcast the query side.
 
     Output: (query_id, neighbor_id, rank, dot_q) — deterministic tie-break
     on neighbor id.
     """
+    corpus = screen_embeddings(corpus, validate, id_col=id_col, emb_col=vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize_embedding(vec_col).alias("qv")
     )
@@ -423,6 +503,7 @@ def ivf_topk(
     scale: int = 1000,
     centroids: DataFrame | None = None,
     centroid_mod: int | None = None,
+    validate: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the partitioned scale path.
 
@@ -440,6 +521,7 @@ def ivf_topk(
     the SQL oracle. At 100 TB the corpus pass stays embarrassingly
     parallel; only the (small) candidate set shuffles on the bucket key.
     """
+    corpus = screen_embeddings(corpus, validate, id_col=id_col, emb_col=vec_col)
     import numpy as np
 
     cent_q = (
@@ -963,6 +1045,7 @@ def pq_topk(
     vec_col: str = "embedding",
     scale: int = 1000,
     seed_mod: int | None = None,
+    validate: str | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k by inner product: corpus vectors live only
     as code ids; each query builds an m x |codebook| lookup table of
@@ -978,6 +1061,7 @@ def pq_topk(
     same ADC loop. Approximate by construction: gate rows bound recall
     against the exact scan instead of value-matching ranks.
     """
+    corpus = screen_embeddings(corpus, validate, id_col=id_col, emb_col=vec_col)
     cb = pq_codebooks(corpus, m=m, n_codes=n_codes, seed_mod=seed_mod,
                       id_col=id_col, vec_col=vec_col, scale=scale)
     codes = pq_encode(corpus, cb, m=m, id_col=id_col, vec_col=vec_col, scale=scale)
@@ -1093,6 +1177,7 @@ def sq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    validate: str | None = None,
 ) -> DataFrame:
     """Scalar-quantized (SQ8) brute-force top-k by inner product: corpus
     vectors are scored through their DEQUANTIZED form ``lo + code·step``
@@ -1105,6 +1190,7 @@ def sq8_topk(
     100 TB it composes with IVF exactly like PQ does. Everything is
     integer, so the DuckDB oracle replays scores bit-for-bit (hash gate,
     not just a recall bound)."""
+    corpus = screen_embeddings(corpus, validate, id_col=id_col, emb_col=vec_col)
     lo_arr, step_arr = _sq8_literal_arrays(sq8_stats(corpus, vec_col, scale))
     dq = F.transform(
         quantize_embedding(vec_col, scale),
@@ -1135,6 +1221,7 @@ def ivf_sq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    validate: str | None = None,
 ) -> DataFrame:
     """IVF + SQ8: inverted-file candidate restriction (fixed-k coarse
     centroids, nprobe cells per query) with SQ8-dequantized scoring
@@ -1147,6 +1234,7 @@ def ivf_sq8_topk(
     Plan: one coarse-assign GEMM pass over the corpus (no shuffle), a
     broadcast (query, probed-cell) table, per-pair integer dot, one
     window top-k."""
+    corpus = screen_embeddings(corpus, validate, id_col=id_col, emb_col=vec_col)
     import numpy as np
 
     cent_q = corpus.select(
@@ -1339,6 +1427,7 @@ def ivf_pq_topk(
     scale: int = 1000,
     centroid_mod: int | None = None,
     seed_mod: int | None = None,
+    validate: str | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed 100 TB ANN architecture (coarse inverted file
     restricts candidates, product-quantization ADC scores them) — exactly
@@ -1357,6 +1446,7 @@ def ivf_pq_topk(
     scoring), so the gate treatment matches ``ann_pq_topk`` (rows-only;
     clustered-data recall pinned in tests).
     """
+    corpus = screen_embeddings(corpus, validate, id_col=id_col, emb_col=vec_col)
     import numpy as np
 
     cent_q = corpus.select(
@@ -1450,6 +1540,7 @@ def build_embedding_index(
     vec_col: str = "embedding",
     centroid_mod: int | None = None,
     seed_mod: int | None = None,
+    validate: str | None = None,
 ) -> DataFrame:
     """The composed ANN **index build** end-to-end: LSH-bucketed near-dup
     pairs → large/small-star connected components → keep one vector per
@@ -1462,6 +1553,7 @@ def build_embedding_index(
     nothing all-pairs, nothing single-task. An empty corpus yields an
     empty index.
     """
+    corpus = screen_embeddings(corpus, validate, id_col=id_col, emb_col=vec_col)
     import numpy as np
 
     from .dedup import dedup_clusters
@@ -1567,6 +1659,7 @@ def ivf_pq_residual_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    validate: str | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the textbook IVF-ADC layout (Jégou
     et al. 2011 §III): PQ codebooks train on ``x − centroid(x)`` instead
@@ -1593,6 +1686,7 @@ def ivf_pq_residual_topk(
     one (query, vid) partial-agg sum. Everything is deterministic integer
     arithmetic, so the DuckDB oracle replays the whole build bit-for-bit.
     """
+    corpus = screen_embeddings(corpus, validate, id_col=id_col, emb_col=vec_col)
     import numpy as np
 
     cent_q = corpus.select(

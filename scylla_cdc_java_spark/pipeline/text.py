@@ -1174,19 +1174,25 @@ def temperature_weights(
     zarr = F.array_sort(F.collect_list(pw).over(Window.partitionBy()))
     z = F.aggregate(zarr, F.lit(0.0), lambda acc, x: acc + x)
     p = pw / z
-    # DECIMAL(18,6), not round(double): pow() in two engines can differ in
-    # the last ulp, and round(x, 6) re-emits a double whose nearest
-    # representable value then differs bit-for-bit — every digit a reader
-    # cares about matches while a byte-exact hasher diverges. A decimal
-    # cast canonicalizes both engines to the identical 6-digit value
-    # (gate convention for any float-emitting share/ratio column)
+    # DECIMAL(18,6) THEN back to DOUBLE: the decimal cast canonicalizes
+    # both engines to the identical 6-digit value (pow()'s last-ulp
+    # cross-engine drift means round(x, 6) alone can re-emit doubles that
+    # differ bit-for-bit), and the outer double cast fixes the RENDER —
+    # a decimal OUTPUT column is typed-fetch poison: Spark's toPandas
+    # keeps object Decimal('0.945490') (scale-6 trailing zeros) while
+    # DuckDB's fetch_df converts DECIMAL to float64 0.94549, so equal
+    # values hash differently. Gate convention for any float-emitting
+    # share/ratio column: decimal fixes the value, double fixes the type.
+    def _share(col):
+        return col.cast("decimal(18,6)").cast("double")
+
     return agg.select(
         stratum_col,
         "n_docs",
         "n_tokens",
-        f.cast("decimal(18,6)").alias("natural_share"),
-        p.cast("decimal(18,6)").alias("annealed_share"),
-        (p / f).cast("decimal(18,6)").alias("weight"),
+        _share(f).alias("natural_share"),
+        _share(p).alias("annealed_share"),
+        _share(p / f).alias("weight"),
     )
 
 

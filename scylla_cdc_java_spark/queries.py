@@ -601,6 +601,13 @@ def q_dedup_minhash_quality(spark, sf_dir):
     approx = minhash_lsh_pairs(docs, k=32, band_rows=4, threshold=0.25).select(
         "doc_a", "doc_b"
     )
+    return _pair_quality_stats(truth, approx)
+
+
+def _pair_quality_stats(truth, approx):
+    """Shared precision/recall frame for the dedup quality harnesses:
+    classify a detector's candidate pairs against an exact truth set —
+    one full-outer join on the pair key, a single aggregate row."""
     j = truth.withColumn("__t", F.lit(1)).join(
         approx.withColumn("__a", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
     )
@@ -677,6 +684,86 @@ approx AS (
     JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
     GROUP BY 1, 2
   ) WHERE est_jaccard >= 0.25
+),
+cls AS (
+  SELECT t.doc_a IS NOT NULL AS in_t, a.doc_a IS NOT NULL AS in_a
+  FROM truth t FULL OUTER JOIN approx a
+    ON a.doc_a = t.doc_a AND a.doc_b = t.doc_b
+),
+stats AS (
+  SELECT CAST(sum(CASE WHEN in_t AND in_a THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM cls
+)
+SELECT tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall
+FROM stats
+"""
+
+
+def q_dedup_simhash_quality(spark, sf_dir):
+    """Dedup QUALITY measurement for the SIMHASH detector — the
+    precision/recall twin of dedup_minhash_quality: classify the
+    banded-Hamming simhash pairs (radius <= 3, candidate generation
+    exact by pigeonhole) against the exact n-gram-Jaccard truth set.
+    Unlike the MinHash harness (which measures the ESTIMATOR of the same
+    Jaccard metric), this measures a DIFFERENT similarity signal's
+    agreement with Jaccard truth — the number the radius/band-count
+    trade is tuned against. Both pair lists are the engine's own
+    hash-gated operators; precision AND recall < 1 are expected
+    (simhash distance orders by cosine-of-token-sets, not Jaccard)."""
+    docs = _docs(spark, sf_dir)
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
+    approx = q_dedup_simhash_hamming(spark, sf_dir).select("doc_a", "doc_b")
+    return _pair_quality_stats(truth, approx)
+
+
+ORACLE_SIMHASH_QUALITY = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+-- exact-truth chain (mirrors ORACLE_NGRAM_JACCARD)
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.2
+),
+-- simhash chain (mirrors ORACLE_SIMHASH_HAMMING)
+utoks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+uhashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS h FROM utoks
+),
+bits AS (SELECT unnest(generate_series(0, 31)) AS j),
+contrib AS (
+  SELECT doc_id, j, (1::BIGINT << j) AS pow2,
+         2 * ((h // (1::BIGINT << j)) % 2) - 1 AS c
+  FROM uhashed, bits
+),
+bitvals AS (SELECT doc_id, j, pow2, sum(c) AS s FROM contrib GROUP BY 1, 2, 3),
+shh AS (
+  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitvals GROUP BY doc_id
+),
+approx AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shh a JOIN shh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ),
 cls AS (
   SELECT t.doc_a IS NOT NULL AS in_t, a.doc_a IS NOT NULL AS in_a
@@ -1149,6 +1236,30 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM ranked WHERE
 """
 
 
+def _recall_frame(queries, exact, approx, k: int):
+    """Shared recall@k frame for every ANN quality harness: per-query
+    |approx ∩ exact| / k. The query universe comes from the QUERY SAMPLE
+    scan (a pushed-down parquet read), not from exact's keys — so the
+    brute-force chain appears in exactly ONE plan branch and genuinely
+    runs once, with no cache to pin. (Also the better semantics: a query
+    with zero exact neighbors still reports recall 0 instead of
+    vanishing.)"""
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("__h"), F.lit(0)) / F.lit(float(k))).alias("recall"),
+        )
+    )
+
+
 def q_ann_ivf_recall(spark, sf_dir):
     """ANN QUALITY measurement — recall@k of the IVF index against the
     exact brute-force top-k, per query: the metric every ANN deployment
@@ -1168,21 +1279,7 @@ def q_ann_ivf_recall(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5)
     exact = _bf(emb, queries, k=3).select("query_id", "neighbor_id")
     approx = _ivf(emb, queries, k=3, nprobe=2).select("query_id", "neighbor_id")
-    hits = (
-        exact.join(approx, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("__h"))
-    )
-    return (
-        exact.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("n_hits"),
-            (F.coalesce(F.col("__h"), F.lit(0)) / F.lit(3.0)).alias("recall"),
-        )
-    )
+    return _recall_frame(queries, exact, approx, k=3)
 
 
 ORACLE_ANN_IVF_RECALL = f"""
@@ -1239,7 +1336,7 @@ h AS (
 SELECT qs.query_id,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        coalesce(h.n_hits, 0) / 3.0 AS recall
-FROM (SELECT DISTINCT query_id FROM b) qs
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) qs
 LEFT JOIN h ON h.query_id = qs.query_id
 """.replace("{seed}", _seed_hash_sql("vec_id"))
 
@@ -2015,13 +2112,18 @@ WITH agg AS (
 sh AS (
   SELECT source, n_docs, n_tokens,
          round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS actual_share,
-         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
-                     WHEN 'src2' THEN 0.2 ELSE 0.0 END AS target_share
+         -- CAST pins the type: bare 0.5/0.3 literals are DECIMAL in
+         -- DuckDB (engine side emits DOUBLE), and a decimal output
+         -- column renders differently through the two typed fetch paths
+         CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                          WHEN 'src2' THEN 0.2 ELSE 0.0 END AS DOUBLE)
+           AS target_share
   FROM agg
 )
 SELECT source, n_docs, n_tokens, actual_share, target_share,
-       CASE WHEN actual_share > 0 THEN round(target_share / actual_share, 6)
-            ELSE 0.0 END AS weight
+       CAST(CASE WHEN actual_share > 0
+                 THEN round(target_share / actual_share, 6)
+                 ELSE 0.0 END AS DOUBLE) AS weight
 FROM sh
 """
 
@@ -3976,21 +4078,7 @@ def q_ann_pq_recall(spark, sf_dir):
     qs = emb.where(F.col("vec_id") < 5)
     exact = _bf(emb, qs, k=5).select("query_id", "neighbor_id")
     approx = _pq(emb, qs, k=5, m=8).select("query_id", "neighbor_id")
-    hits = (
-        exact.join(approx, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("__h"))
-    )
-    return (
-        exact.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("n_hits"),
-            (F.coalesce(F.col("__h"), F.lit(0)) / F.lit(5.0)).alias("recall"),
-        )
-    )
+    return _recall_frame(qs, exact, approx, k=5)
 
 
 ORACLE_ANN_PQ_RECALL = f"""
@@ -4026,9 +4114,109 @@ h AS (
 SELECT qs.query_id,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        coalesce(h.n_hits, 0) / 5.0 AS recall
-FROM (SELECT DISTINCT query_id FROM b) qs
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) qs
 LEFT JOIN h ON h.query_id = qs.query_id
 """
+
+
+def q_ann_sq8_recall(spark, sf_dir):
+    """ANN QUALITY measurement for the SCALAR-QUANTIZED tier: recall@k of
+    SQ8 asymmetric scoring against the exact brute-force top-k —
+    completes the recall matrix next to ann_ivf_recall (partition
+    approximation) and ann_pq_recall (code approximation); this one
+    measures the per-dimension QUANTIZATION approximation the byte-code
+    tier trades for 4x memory. Same shape: both rankings are the
+    engine's own hash-gated operators (sq8_topk, cosine_topk_bruteforce),
+    one (queries x k) intersection, query universe from the sample scan
+    so the brute chain runs once."""
+    from .pipeline.similarity import cosine_topk_bruteforce as _bf
+    from .pipeline.similarity import sq8_topk as _sq
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 5)
+    exact = _bf(emb, qs, k=5).select("query_id", "neighbor_id")
+    approx = _sq(emb, qs, k=5).select("query_id", "neighbor_id")
+    return _recall_frame(qs, exact, approx, k=5)
+
+
+ORACLE_ANN_SQ8_RECALL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+-- SQ8 chain (mirrors ORACLE_ANN_SQ8)
+pe AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(qv))) AS pos,
+         unnest(list_transform(generate_series(1, len(qv)), i -> qv[i])) AS val
+  FROM q
+),
+st AS (
+  SELECT pos, min(val) AS lo,
+         greatest(1, ((max(val) - min(val)) + 254) // 255) AS step
+  FROM pe GROUP BY pos
+),
+dq AS (
+  SELECT pe.vec_id, pe.pos, pe.val - ((pe.val - st.lo) % st.step) AS dv
+  FROM pe JOIN st USING (pos)
+),
+ascored AS (
+  SELECT qe.vec_id AS query_id, dq.vec_id AS neighbor_id,
+         CAST(sum(qe.val * dq.dv) AS BIGINT) AS adc
+  FROM pe qe JOIN dq ON dq.pos = qe.pos
+  WHERE qe.vec_id < 5 AND dq.vec_id <> qe.vec_id
+  GROUP BY 1, 2
+),
+aranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id) AS rank
+  FROM ascored
+),
+a AS (SELECT query_id, neighbor_id FROM aranked WHERE rank <= 5),
+-- exact brute-force chain (mirrors ORACLE_ANN)
+bscored AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(qq.qv, c.qv) AS BIGINT) AS dot_q
+  FROM q qq JOIN q c ON qq.vec_id < 5 AND c.vec_id <> qq.vec_id
+),
+branked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM bscored
+),
+b AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5),
+h AS (
+  SELECT b.query_id, count(*) AS n_hits
+  FROM b JOIN a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY 1
+)
+SELECT qs.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) / 5.0 AS recall
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) qs
+LEFT JOIN h ON h.query_id = qs.query_id
+"""
+
+
+def q_ann_residual_recall(spark, sf_dir):
+    """ANN QUALITY measurement for the RESIDUAL IVF-PQ tier (the textbook
+    IVF-ADC layout, the deepest composition in the index family):
+    recall@k of coarse-dot + residual-ADC ranking against the exact
+    brute-force top-k. With SQ8 / IVF / PQ this completes the recall
+    matrix — every approximate tier now ships with its oracle-gated
+    tuning metric. The oracle replays the full residual build
+    (fixed-k coarse centroids, per-vector residuals, the seeded Lloyd
+    chain over residual subvectors, per-query raw-query LUTs) next to
+    the brute chain and intersects identically."""
+    from .pipeline.similarity import cosine_topk_bruteforce as _bf
+    from .pipeline.similarity import ivf_pq_residual_topk as _res
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 5)
+    exact = _bf(emb, qs, k=5).select("query_id", "neighbor_id")
+    approx = _res(emb, qs, k=5, nprobe=4, m=8).select("query_id", "neighbor_id")
+    return _recall_frame(qs, exact, approx, k=5)
 
 
 def q_ann_pq_rotated_topk(spark, sf_dir):
@@ -4311,9 +4499,13 @@ p AS (
 z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(pw))),
                          (acc, x) -> acc + x) AS z FROM p)
 SELECT source, n_docs, n_tokens,
-       CAST(f AS DECIMAL(18,6)) AS natural_share,
-       CAST(pw / z.z AS DECIMAL(18,6)) AS annealed_share,
-       CAST((pw / z.z) / f AS DECIMAL(18,6)) AS weight
+       -- inner DECIMAL cast canonicalizes the 6-digit VALUE across
+       -- engines; outer DOUBLE cast fixes the TYPE — a decimal output
+       -- column renders differently through the two typed fetch paths
+       -- (Spark object Decimal('0.945490') vs DuckDB float64 0.94549)
+       CAST(CAST(f AS DECIMAL(18,6)) AS DOUBLE) AS natural_share,
+       CAST(CAST(pw / z.z AS DECIMAL(18,6)) AS DOUBLE) AS annealed_share,
+       CAST(CAST((pw / z.z) / f AS DECIMAL(18,6)) AS DOUBLE) AS weight
 FROM p, z
 """
 
@@ -4478,6 +4670,82 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
 FROM ranked WHERE rank <= 5
+"""
+
+
+ORACLE_RESIDUAL_RECALL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, qv AS cv FROM q
+         ORDER BY {_seed_hash_sql("vec_id")}, vec_id LIMIT 16),
+coarse AS (
+  SELECT q.vec_id AS vid, cent.cid,
+         CAST(list_dot_product(q.qv, cent.cv) AS BIGINT) AS cdot,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST(list_dot_product(q.qv, cent.cv) AS BIGINT) DESC, cent.cid
+         ) AS rn
+  FROM q CROSS JOIN cent
+),
+ca AS (SELECT vid, cid FROM coarse WHERE rn = 1),
+sq AS (
+  SELECT q.vec_id AS vid,
+         list_transform(generate_series(1, len(q.qv)),
+                        i -> q.qv[i] - c.cv[i]) AS qv
+  FROM q JOIN ca ON ca.vid = q.vec_id JOIN cent c ON c.cid = ca.cid
+),
+{_pq_cte_chain(q_cte="sq", with_queries=False)},
+probes AS (SELECT vid AS query_id, cid, cdot FROM coarse WHERE rn <= 4 AND vid < 5),
+qsubs AS (
+  SELECT q.vec_id AS query_id, s.sub, q.qv[s.sub*8+1 : s.sub*8+8] AS sv
+  FROM q, (SELECT unnest(generate_series(0, 7)) AS sub) s
+  WHERE q.vec_id < 5
+),
+lut AS (
+  SELECT qs.query_id, qs.sub, c.code,
+         CAST(list_dot_product(qs.sv, c.cw) AS BIGINT) AS part
+  FROM qsubs qs JOIN cb2 c ON c.sub = qs.sub
+),
+ascored AS (
+  SELECT l.query_id, co.vid AS neighbor_id,
+         CAST(p.cdot + sum(l.part) AS BIGINT) AS adc
+  FROM codes co
+  JOIN ca ON ca.vid = co.vid
+  JOIN probes p ON p.cid = ca.cid
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = co.sub AND l.code = co.code
+  WHERE l.query_id <> co.vid
+  GROUP BY 1, 2, p.cdot
+),
+aranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, neighbor_id) AS rank
+  FROM ascored
+),
+a AS (SELECT query_id, neighbor_id FROM aranked WHERE rank <= 5),
+bscored AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(qq.qv, c.qv) AS BIGINT) AS dot_q
+  FROM q qq JOIN q c ON qq.vec_id < 5 AND c.vec_id <> qq.vec_id
+),
+branked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM bscored
+),
+b AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5),
+h AS (
+  SELECT b.query_id, count(*) AS n_hits
+  FROM b JOIN a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+  GROUP BY 1
+)
+SELECT qs.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) / 5.0 AS recall
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) qs
+LEFT JOIN h ON h.query_id = qs.query_id
 """
 
 
@@ -6675,10 +6943,17 @@ def q_agg_stock_value_ntile(spark, sf_dir):
     ranked = ranked_frames(
         ps, "n_name", ["__cents", "ps_partkey", "ps_suppkey"], n_tiles=4
     )
-    return ranked.groupBy("n_name", "quartile").agg(
+    out = ranked.groupBy("n_name", "quartile").agg(
         F.count(F.lit(1)).alias("n_ps"),
         F.sum("__vdec").cast("double").alias("total_value"),
     )
+    # both of ranked_frames' EAGER passes (approxQuantile + the offsets
+    # collect) have run by now; release the pin so a long-lived session
+    # composing many ranked frames doesn't accumulate cached inputs. The
+    # lazy third pass recomputes the narrow projection — measured ~0.2 s
+    # at sf0.1, the right trade against an unbounded cache pin.
+    ps.unpersist(blocking=False)
+    return out
 
 
 def _oracle_stock_ntile() -> str:
@@ -7066,6 +7341,113 @@ def q_pipeline_stream_crash_tumbling(spark, sf_dir):
         .where(F.col("event_type").isNull() | (F.col("event_type") != "__sentinel"))
         .select("window_start_us", "event_type", "n_events", "total_value")
     )
+
+
+def q_t7_dynamic_task_add(spark, sf_dir):
+    """T7 — tablet-mode DYNAMIC TASK ADD, oracle-gated end-to-end (the
+    last §2 streaming row previously on pytest-only evidence): a second
+    table's tasks join a RUNNING consumer group mid-stream, with a full
+    stop/restart spanning the addition (reference ``Worker.addTasks``,
+    scylla-cdc-base/.../worker/Worker.java:192-217, dispatched by
+    ``LocalTransport.configureWorkers``, LocalTransport.java:107-140;
+    per-table generation discovery TableCDCController.java:67-102).
+
+    Epoch 1: table A (even users) replicates its early window (ts
+    split); table B's (odd users) early log files ALREADY EXIST on disk
+    but B is not yet scheduled — the tablet table hasn't been
+    discovered. B's early/late split is by ARRIVAL (event_id % 3), not
+    timestamp — the files a late-discovered table has accumulated are in
+    arbitrary arrival order, and ~2/3 of B's users have their FINAL
+    state in the early files at every SF, so the backfill is
+    load-bearing, not vacuous. Discovery: the TableCDCController's
+    catalog gains B's generation, and its task-set diff against the
+    scheduled set (``added_tasks`` — the T7 signal) is what reconfigures
+    the group. Epoch 2: both tables receive late windows and the
+    RESTARTED group (same work root — A resumes from its checkpoint and
+    reads only new files; B starts fresh and must process its
+    pre-addition EARLY windows too) catches up. Output is both tables'
+    materialized LWW state under a table tag; the oracle replays the
+    parity-split LWW. The pytest twin proves the fault is real: a naive
+    plan that only consumes B's post-addition files reports a stale or
+    missing state for every user whose final write was early."""
+    import os
+    from dataclasses import replace
+
+    from .model.generations import (
+        GenerationCatalog,
+        GenerationMetadata,
+        TableCDCController,
+    )
+    from .streaming.multi import MultiTableConsumer
+
+    ev = _events(spark, sf_dir)
+    cdc_a = events_as_cdc(spark, sf_dir, events=ev.where(F.col("user_id") % 2 == 0))
+    cdc_b = events_as_cdc(spark, sf_dir, events=ev.where(F.col("user_id") % 2 == 1))
+    desc_a = replace(USER_STATE_DESC, name="user_state_a", uses_tablets=True)
+    desc_b = replace(USER_STATE_DESC, name="user_state_b", uses_tablets=True)
+
+    tmp = _evo_tmpdir()
+    src_a = os.path.join(tmp, "src_a")
+    src_b = os.path.join(tmp, "src_b")
+    work = os.path.join(tmp, "work")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    early_a = F.col("cdc$time_ts") < cutoff
+    # B splits by arrival, not ts: cdc$batch_seq_no carries event_id
+    early_b = F.col("cdc$batch_seq_no") % 3 != 0
+
+    # epoch 1: A's early window replicates; B's early files exist on disk
+    # but carry no scheduled task yet
+    cdc_a.where(early_a).write.parquet(src_a)
+    cdc_b.where(early_b).write.parquet(src_b)
+    log_schema = spark.read.parquet(src_a).schema
+    group1 = MultiTableConsumer(spark, work, n_buckets=8).add_table(
+        "user_state_a", src_a, desc_a, schema=log_schema
+    )
+    group1.replicate_available_now()
+
+    # discovery (S7/T7): B's per-table generation appears in the catalog;
+    # the task diff against the (empty) scheduled set is the add signal.
+    # Stream-id metadata is bounded (vnodes, not rows) — planning-time
+    # driver state, exactly like MicroBatchStream.planInputPartitions.
+    sids = tuple(
+        sorted(
+            bytes(r[0])
+            for r in cdc_b.select("cdc$stream_id").distinct().collect()
+        )
+    )
+    ctl = TableCDCController()
+    ctl.set_catalog("ks", "user_state_b", GenerationCatalog([GenerationMetadata(0, None, sids)]))
+    added = ctl.added_tasks("ks", "user_state_b", 0, set())
+    if not added:
+        raise ValueError("T7 discovery produced no added tasks")
+
+    # epoch 2: late windows land for BOTH tables; the restarted group
+    # spans the addition — A resumes from checkpoint, B backfills from
+    # its generation start (early files) before the new ones
+    _evo_mtime_gap()
+    cdc_a.where(~early_a).write.mode("append").parquet(src_a)
+    cdc_b.where(~early_b).write.mode("append").parquet(src_b)
+    group2 = (
+        MultiTableConsumer(spark, work, n_buckets=8)
+        .add_table("user_state_a", src_a, desc_a, schema=log_schema)
+        .add_table("user_state_b", src_b, desc_b, schema=log_schema)
+    )
+    states = group2.replicate_available_now()
+    return states["user_state_a"].select(F.lit("a").alias("tab"), "*").unionByName(
+        states["user_state_b"].select(F.lit("b").alias("tab"), "*")
+    )
+
+
+ORACLE_T7_DYNAMIC_ADD = """
+SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS tab,
+       user_id, value, props
+FROM (
+  SELECT user_id, value, props,
+         CASE event_type WHEN 'signup' THEN 2 WHEN 'error' THEN 3 ELSE 1 END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND op <> 3
+"""
 
 
 def q_pipeline_stream_source_vanish(spark, sf_dir):
@@ -7562,6 +7944,21 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_ANN_PQ_RECALL,
         "recall@k of PQ-ADC ranking vs exact brute-force top-k",
     ),
+    "ann_sq8_recall": (
+        q_ann_sq8_recall,
+        ORACLE_ANN_SQ8_RECALL,
+        "recall@k of SQ8 asymmetric scoring vs exact brute-force top-k",
+    ),
+    "ann_residual_recall": (
+        q_ann_residual_recall,
+        ORACLE_RESIDUAL_RECALL,
+        "recall@k of residual IVF-PQ (IVF-ADC) vs exact brute-force top-k",
+    ),
+    "dedup_simhash_quality": (
+        q_dedup_simhash_quality,
+        ORACLE_SIMHASH_QUALITY,
+        "precision/recall of banded simhash-Hamming pairs vs Jaccard truth",
+    ),
     "source_orc_documents": (
         q_source_orc_documents,
         ORACLE_SOURCE_JSONL,
@@ -7954,6 +8351,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_STREAM_SOURCE_REPLACE,
         "source file replaced in place; first-writer-wins per path",
     ),
+    "t7_dynamic_task_add": (
+        q_t7_dynamic_task_add,
+        ORACLE_T7_DYNAMIC_ADD,
+        "T7: tablet table's tasks join a running group mid-stream w/ restart",
+    ),
     "text_chunk_dedup_windowed": (
         q_text_chunk_dedup_windowed,
         ORACLE_CHUNK_DEDUP_WINDOWED,
@@ -8039,75 +8441,77 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
 # CORRECTNESS_r03.json) move to the back.  New queries added in round 4+ are
 # appended to _GATE_FRONT so they are verified in the round that adds them.
 _GATE_FRONT: list[str] = [
-    # --- round-9 window head -----------------------------------------
-    # (1) PINNED REDS — window hygiene rule: any row red in its latest
-    # driver appearance holds the head until green. The r08 bisection
-    # evidence isolated ONE root cause for all six: un-CAST integer-sum
-    # oracle columns (DuckDB sum(int) = HUGEINT vs Spark LongType —
-    # equal values, typed-fetch hash divergence). Fixed this round by
-    # pinning every such column to BIGINT (single shared column-spec
-    # generates both engine agg and oracle SQL) + a registry-wide arrow
-    # typing lint so the class cannot recur.
-    "source_csv_documents",
-    "source_jsonl_documents",
+    # --- round-10 window head ----------------------------------------
+    # (1) PINNED RED — red in r04-r09, the only gate never driver-green.
+    # r10 fix (judge-diagnosed): the three ratio columns were
+    # DECIMAL(18,6) on BOTH sides — value-equal but render-divergent
+    # through the two typed fetch paths (Spark object Decimal('0.945490')
+    # vs DuckDB float64 0.94549). Both sides now cast
+    # DECIMAL(18,6) -> DOUBLE at the edge (decimal pins the 6-digit
+    # value, double pins the render); oracle_lint generalized to full
+    # engine-vs-oracle output-schema parity so the genus is dead.
     "text_temperature_weights",
-    # (2) their bisection diagnostics (parquet-direct control + column
-    # slices); the three *_tokens/parquet rows shared the defect and must
-    # turn green with it
-    "source_parquet_documents",
-    "source_csv_counts",
-    "source_csv_tokens",
-    "source_csv_md5",
-    "source_jsonl_counts",
-    "source_jsonl_tokens",
-    "source_jsonl_md5",
-    # (3) new round-9 gates needing their first driver row
-    "pipeline_stream_source_vanish",
-    "pipeline_stream_source_replace",
-    "text_chunk_dedup_windowed",
-    "agg_stock_value_ntile",
-    # (4) implementations that changed this round: chunk count moved to
-    # integer `div` arithmetic (consumed by both chunk gates); interval
-    # join grew the watermark-delay parameter
-    "text_chunk_windows",
-    "text_chunk_dedup",
-    "pipeline_stream_interval_join",
-    # --- backfill: refresh the OLDEST driver evidence ----------------
-    # last green r05 (the whole text-pipeline mid-family)
-    "events_sessionize",
-    "join_bucketed_revenue",
-    "join_promo_revenue",
-    "join_salted_revenue",
-    "pipeline_end_to_end",
-    "text_bm25",
-    "text_bpe_encode",
-    "text_bpe_pairs",
-    "text_bpe_train",
-    "text_contamination",
-    "text_countmin_probe",
-    "text_length_quantiles",
-    "text_length_quantiles_approx",
-    "text_lm_score",
+    # (2) oracles/impls changed this round, re-verify: mixture's decimal
+    # CASE literals -> DOUBLE (was green by luck); both recall harnesses
+    # now derive the query universe from the sample scan (brute chain in
+    # ONE plan branch); stock ntile unpersists its input post-offsets;
+    # minhash_lsh's oracle banding moved to integer division (i // 4)
+    # after its last green row (r07)
     "text_mixture_weights",
-    "text_pack_sequences",
-    "text_quality_filter",
-    "text_redact",
-    "text_repetition",
-    "text_stratified_sample",
-    "text_stratified_take",
-    "text_stratified_take_exact",
-    "text_train_order",
-    "text_vocab_by_source",
-    "text_weighted_sample",
-    # late round-9 gates (new gates outrank backfill for window slots)
-    "agg_late_shipment_priority",
-    "join_bracketed_revenue",
-    "pipeline_stream_dedup_watermark",
     "ann_ivf_recall",
     "ann_pq_recall",
-    "source_orc_documents",
-    "emb_validate",
-    "dedup_minhash_quality",
+    "agg_stock_value_ntile",
+    "dedup_minhash_lsh",
+    # (3) new round-10 gates needing their first driver row: T7 dynamic
+    # task add (the last §2 streaming row on pytest-only evidence, now
+    # oracle-gated end-to-end) + the quality-harness matrix completions
+    "t7_dynamic_task_add",
+    "ann_sq8_recall",
+    "ann_residual_recall",
+    "dedup_simhash_quality",
+    # --- backfill: the r06-aged cohort (oldest evidence block; 40 of 46
+    # fit — the 6 deferred to r11 are the stable text unigram ops
+    # text_fingerprint/langid/quality/split_assign/token_count/vocab) ---
+    "a1_stream_task_grouping",
+    "a2_min_generation_after",
+    "a3_consumed_barrier",
+    "agg_lineitem_pushdown",
+    "ann_index_extend",
+    "ann_ivf_pq_topk",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "ann_kmeans_train",
+    "ann_pq_topk",
+    "f1_timeuuid_roundtrip",
+    "f3_vnode_extract",
+    "f4_f5_renders",
+    "j1_range_delete_pairing",
+    "j2_postimage_pairing",
+    "j3_preimage_verify",
+    "join_broadcast_revenue",
+    "k3_stream_replicate",
+    "o3_list_reconstruct",
+    "p3_projection_split",
+    "p5_ttl_trim",
+    "p7_op_dispatch",
+    "pipeline_embeddings_index",
+    "pipeline_stream_cdc_dedup",
+    "r1_apply_delta",
+    "r1_apply_lww_fast",
+    "r3_set_delta",
+    "r4_row_delete_effect",
+    "r5_partition_delete",
+    "r6_range_delete",
+    "r8_postimage_apply",
+    "r9_delta_full_mix",
+    "s1_window_scan",
+    "s4_ordered_stream_read",
+    "t1_tumbling_windows",
+    "t2_confidence_window",
+    "t6_generation_rollover",
+    "t9_schema_evolution",
+    "t9_udt_evolution",
+    "ttl_apply_visibility",
 ]
 QUERIES = {k: QUERIES[k] for k in _GATE_FRONT} | {
     k: v for k, v in QUERIES.items() if k not in set(_GATE_FRONT)

@@ -192,6 +192,51 @@ def test_vanished_source_file_unrecoverable_by_naive_reread(spark):
     assert naive.where(naive.event_type != "__sentinel").count() < total_events
 
 
+def test_t7_added_table_must_backfill_early_windows(spark, tmp_path):
+    """The T7 gate's fault twin (Worker.addTasks, Worker.java:192-217): a
+    table whose tasks join a RUNNING group mid-generation must be
+    consumed from its GENERATION START — a naive plan that only ingests
+    the added table's post-addition files loses every user whose final
+    state was written in the early window. Replays the gate's table-B
+    split and shows the naive single-epoch consumer diverges from the
+    full LWW truth the gate hash-matches."""
+    from scylla_cdc_java_spark.sources.events_cdc import USER_STATE_DESC, events_as_cdc
+    from scylla_cdc_java_spark.sources.tables import load_table
+    from scylla_cdc_java_spark.streaming.replicator import replicate_available_now
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").where(F.col("user_id") % 2 == 1)
+    cdc_b = events_as_cdc(spark, sf, events=ev)
+    # the gate's table-B split: by ARRIVAL (event_id), so ~2/3 of users'
+    # FINAL writes live in the pre-addition files
+    early = F.col("cdc$batch_seq_no") % 3 != 0
+    src = str(tmp_path / "src_b")
+    cdc_b.where(early).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    _mtime_gap()
+    cdc_b.where(~early).write.mode("append").parquet(src)
+
+    # full truth: LWW over the whole log (what the gate's restarted group
+    # produces for table B, hash-gated against the oracle)
+    full = replicate_available_now(
+        spark, src, schema, USER_STATE_DESC, str(tmp_path / "w_full"), n_buckets=4
+    )
+    # the naive plan: only the post-addition files are ever offered
+    src_late = str(tmp_path / "src_late")
+    cdc_b.where(~early).write.parquet(src_late)
+    naive = replicate_available_now(
+        spark, src_late, schema, USER_STATE_DESC, str(tmp_path / "w_naive"), n_buckets=4
+    )
+    full_state = {r["user_id"]: (r["value"], r["props"]) for r in full.collect()}
+    naive_state = {r["user_id"]: (r["value"], r["props"]) for r in naive.collect()}
+    stale_or_missing = {
+        u for u, s in full_state.items() if naive_state.get(u) != s
+    }
+    assert stale_or_missing, (
+        "fixture defect: no user's final state depends on the early files"
+    )
+
+
 def test_replaced_source_file_poison_on_disk_but_not_ingested(spark):
     """The source-replace gate's fault twin: the replacement content (odd
     event_ids) IS what a naive directory read returns for chunk1.parquet,

@@ -409,6 +409,74 @@ def test_validate_embeddings_malformed_edges(spark):
     )
 
 
+def test_screen_embeddings_enforced_in_every_ann_tier(spark):
+    """validate= wiring (VERDICT r09 #6): a planted NaN vector either
+    raises (reject) or is excluded from every tier's output
+    (quarantine); validate=None is the default and leaves the plan
+    IDENTICAL (no extra filter/shuffle) so every gate hash is preserved."""
+    import pytest as _pytest
+
+    from scylla_cdc_java_spark.pipeline.similarity import (
+        cosine_topk_bruteforce,
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+        ivf_sq8_topk,
+        ivf_topk,
+        pq_topk,
+        sq8_topk,
+    )
+
+    rng_rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) / 5.0 for j in range(8)])
+        for i in range(40)
+    ]
+    poison = rng_rows + [(99, [float("nan")] + [0.1] * 7)]
+    clean = spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>")
+    dirty = spark.createDataFrame(poison, "vec_id long, embedding array<float>")
+    qs_clean = clean.where(F.col("vec_id") < 3)
+
+    tiers = [
+        lambda c, q, v: cosine_topk_bruteforce(c, q, k=3, validate=v),
+        lambda c, q, v: ivf_topk(c, q, k=3, nprobe=2, n_centroids=8, validate=v),
+        lambda c, q, v: pq_topk(c, q, k=3, m=4, n_codes=8, validate=v),
+        lambda c, q, v: sq8_topk(c, q, k=3, validate=v),
+        lambda c, q, v: ivf_sq8_topk(c, q, k=3, nprobe=2, n_centroids=8, validate=v),
+        lambda c, q, v: ivf_pq_topk(
+            c, q, k=3, nprobe=2, n_centroids=8, m=4, n_codes=8, validate=v
+        ),
+        lambda c, q, v: ivf_pq_residual_topk(
+            c, q, k=3, nprobe=2, n_centroids=8, m=4, n_codes=8, validate=v
+        ),
+    ]
+    for tier in tiers:
+        # reject: fails loudly with per-flag counts
+        with _pytest.raises(ValueError, match="nan=1"):
+            tier(dirty, qs_clean, "reject").collect()
+        # quarantine: the poisoned vector never reaches the index/output
+        got = tier(dirty, qs_clean, "quarantine")
+        assert not [r for r in got.collect() if r["neighbor_id"] == 99]
+    # default is plan-identical by construction: screen_embeddings(df,
+    # None) IS df (object identity — pinned in the next test), so the
+    # gate hashes of every unvalidated call are untouched.
+
+
+def test_screen_embeddings_clean_pass_and_dim(spark):
+    """reject on a clean corpus is a no-op passthrough; the optional dim
+    pin catches ragged corpora both ways."""
+    import pytest as _pytest
+
+    from scylla_cdc_java_spark.pipeline.similarity import screen_embeddings
+
+    rows = [(0, [0.1, 0.2]), (1, [0.3, 0.4]), (2, [0.5, 0.6, 0.7])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert screen_embeddings(df, "reject", dim=None) is df is screen_embeddings(df, None)
+    with _pytest.raises(ValueError, match="bad_dim=1"):
+        screen_embeddings(df, "reject", dim=2)
+    assert screen_embeddings(df, "quarantine", dim=2).count() == 2
+    with _pytest.raises(ValueError, match="validate must be"):
+        screen_embeddings(df, "bogus")
+
+
 def test_resize_and_chunk_multimodal(spark):
     from scylla_cdc_java_spark.pipeline.multimodal import (
         chunk_audio,

@@ -470,6 +470,7 @@ _AUDIT_SKIP = {
     "pipeline_stream_source_vanish",
     "pipeline_stream_source_replace",
     "pipeline_stream_dedup_watermark",
+    "t7_dynamic_task_add",
     "source_jsonl_documents",
     "source_csv_documents",
     "text_bpe_train",

@@ -1,0 +1,230 @@
+"""Streaming-replicator NULL differentials (VERDICT r09 #7).
+
+Round 9 proved the BATCH apply kernel NULL-clean: 16 differentials plus a
+180-statement NULL fuzz against the pure-Python replay oracle found zero
+divergence (tests/test_apply_nulls.py). This file gives the STREAMING
+apply path the same certificate: every NULL-heavy statement shape runs
+through the real Structured Streaming pipeline — file-stream source,
+watermark dedup, foreachBatch ReplicatorSink with checkpointed restart
+BETWEEN epochs, cross-epoch at-least-once redelivery — and the
+materialized state must equal the same replay oracle. The epoch split
+lands mid-script, so cross-batch seeding (apply_cdc_log's initial_state
+merge) sees tombstones, NULL cells, and collection deltas layered onto
+snapshot state, which the batch differential never exercises.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from scylla_cdc_java_spark.model.schema import build_cdc_log_schema
+from scylla_cdc_java_spark.streaming import replicate_available_now
+from scylla_cdc_java_spark.testing import CdcLogGenerator, FIXTURE_TABLES
+
+from test_streaming import _assert_state_matches, _write_chunks
+
+
+def run_stream_diff(spark, tmp_path, table: str, dml: list[tuple], split=None):
+    """Stream *dml* in two epochs with a full engine restart between
+    (shared checkpoint + sink manifest), epoch-2 files redelivering ~20%
+    of epoch-1 rows (at-least-once), then diff the materialized state
+    against the pure-Python replay oracle."""
+    desc = FIXTURE_TABLES[table]
+    rng = random.Random(hash(table) & 0xFFFF)
+    rows = CdcLogGenerator(desc).encode(dml)
+    if split is None:
+        split = max(1, len(rows) // 2)
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    schema = build_cdc_log_schema(desc)
+
+    _write_chunks(spark, schema, rows[:split], src, 2, rng)
+    replicate_available_now(spark, src, schema, desc, work, n_buckets=4)
+    # restart: epoch 2 lands with redeliveries of already-applied rows
+    _write_chunks(spark, schema, rows[split:], src, 2, rng, replay_frac=0.0)
+    replayed = [dict(r) for r in rows[:split] if rng.random() < 0.2]
+    if replayed:
+        spark.createDataFrame(replayed, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    state = replicate_available_now(spark, src, schema, desc, work, n_buckets=4)
+    _assert_state_matches(desc, state, dml)
+    return state
+
+
+# The 16 r09 NULL shapes (test_apply_nulls.py), re-aimed at the streaming
+# path. Each case is (table, dml, split-row-index-or-None); splits are
+# chosen so the NULL-bearing statement crosses the restart whenever the
+# script allows it (the delta then applies onto SNAPSHOT state).
+NULL_CASES = {
+    "insert_all_null_payload": (
+        "tbl_simple",
+        [("insert", ("a",), (1,), {"v1": None, "v2": None})],
+        None,
+    ),
+    "update_all_null_on_absent_row": (
+        "tbl_simple",
+        [("update", ("a",), (1,), {"v1": None, "v2": None})],
+        None,
+    ),
+    "null_value_null_cell_cycle": (
+        "tbl_simple",
+        [
+            ("insert", ("a",), (1,), {"v1": None}),
+            ("update", ("a",), (1,), {"v1": 5}),
+            ("update", ("a",), (1,), {"v1": None}),
+        ],
+        2,
+    ),
+    "explicit_vs_absent_null_ttl": (
+        "tbl_simple",
+        [
+            ("insert", ("a",), (1,), {"v1": 1, "v2": "explicit"}, None),
+            ("insert", ("a",), (2,), {"v1": 2, "v2": "absent"}),
+        ],
+        1,
+    ),
+    "udt_null_field_is_noop": (
+        "tbl_udts",
+        [
+            ("insert", ("a",), (1,), {"v": {"fields": {"a": 1, "b": 2, "c": "x"}}}),
+            ("update", ("a",), (1,), {"v": {"fields": {"a": None, "b": 20}}}),
+        ],
+        None,
+    ),
+    "udt_all_null_fields_with_remove": (
+        "tbl_udts",
+        [
+            ("insert", ("a",), (1,), {"v": {"fields": {"a": 1, "b": 2, "c": "x"}}}),
+            ("update", ("a",), (1,), {"v": {"fields": {"a": None}, "remove_idx": [2]}}),
+        ],
+        None,
+    ),
+    "udt_overwrite_null_then_field_write": (
+        "tbl_udts",
+        [
+            ("insert", ("a",), (1,), {"v": {"fields": {"a": 1, "b": 2, "c": "x"}}}),
+            ("update", ("a",), (1,), {"v": {"overwrite_null": True, "fields": {"b": 9}}}),
+        ],
+        None,
+    ),
+    "frozen_tuple_null_elements": (
+        "tbl_tuples",
+        [
+            ("insert", ("a",), (1,), {"v": (None, "s")}),
+            ("insert", ("a",), (2,), {"v": (7, None)}),
+            ("insert", ("a",), (3,), {"v": (None, None)}),
+            ("insert", ("a",), (4,), {"v": (1, "x")}),
+            ("update", ("a",), (4,), {"v": None}),
+        ],
+        3,
+    ),
+    "set_add_empty_delta_noop": (
+        "tbl_sets",
+        [
+            ("insert", ("a",), (1,), {"v": {"overwrite": [1, 2]}}),
+            ("update", ("a",), (1,), {"v": {"add": []}}),
+        ],
+        None,
+    ),
+    "set_overwrite_null_tombstone_rebuild": (
+        "tbl_sets",
+        [
+            ("insert", ("a",), (1,), {"v": {"overwrite": [1, 2]}}),
+            ("update", ("a",), (1,), {"v": {"overwrite": None}}),
+            ("update", ("a",), (1,), {"v": {"add": [9]}}),
+        ],
+        2,
+    ),
+    "map_overwrite_empty_vs_null": (
+        "tbl_maps",
+        [
+            ("insert", ("a",), (1,), {"v": {"overwrite": {1: 10}}}),
+            ("update", ("a",), (1,), {"v": {"overwrite": {}}}),
+            ("insert", ("b",), (1,), {"v": {"overwrite": {2: 20}}}),
+            ("update", ("b",), (1,), {"v": {"overwrite": None}}),
+        ],
+        2,
+    ),
+    "map_remove_last_key_kills_cell": (
+        "tbl_maps",
+        [
+            ("insert", ("a",), (1,), {"v": {"overwrite": {1: 10, 2: 20}}}),
+            ("update", ("a",), (1,), {"v": {"remove": [2, 99]}}),
+            ("update", ("a",), (1,), {"v": {"remove": [1]}}),
+        ],
+        2,
+    ),
+    "list_append_null_element": (
+        "tbl_lists",
+        [
+            ("insert", ("a",), (1,), {"v": {"overwrite": [7]}}),
+            ("update", ("a",), (1,), {"v": {"add": [None, 9]}}),
+        ],
+        None,
+    ),
+    "map_delta_null_valued_entry_verbatim": (
+        "tbl_maps",
+        [
+            ("insert", ("a",), (1,), {"v": {"overwrite": {1: 10, 2: 20}}}),
+            ("update", ("a",), (1,), {"v": {"add": {2: None, 3: 30}}}),
+        ],
+        None,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(NULL_CASES))
+def test_stream_null_case(spark, tmp_path, name):
+    table, dml, split = NULL_CASES[name]
+    # split indexes STATEMENTS; map to encoded-row index (collections may
+    # encode one statement as several rows, so re-encode a prefix to count)
+    row_split = None
+    if split is not None:
+        probe = CdcLogGenerator(FIXTURE_TABLES[table])
+        row_split = len(probe.encode(dml[:split]))
+    run_stream_diff(spark, tmp_path, table, dml, split=row_split)
+
+
+def test_stream_null_fuzz_differential(spark, tmp_path):
+    """The r09 NULL fuzz mix (half of scalar writes NULL; collections mix
+    empty/None payloads) through the streaming path — one epoch split per
+    table, cross-epoch redelivery on."""
+    rng = random.Random(909)
+    for table in ("tbl_simple", "tbl_sets", "tbl_maps"):
+        dml = []
+        for i in range(40):
+            pk = (rng.choice("abc"),)
+            ck = (rng.randrange(4),)
+            if table == "tbl_simple":
+                cells = {
+                    "v1": None if rng.random() < 0.5 else rng.randrange(100),
+                    "v2": None if rng.random() < 0.5 else f"s{i}",
+                }
+                kind = rng.choice(["insert", "update", "row_delete"])
+                dml.append(
+                    (kind, pk, ck) if kind == "row_delete" else (kind, pk, ck, cells)
+                )
+            else:
+                mode = rng.choice(["overwrite", "add", "remove"])
+                if mode == "remove":
+                    cw = {"remove": [rng.randrange(6)]}
+                elif table == "tbl_maps":
+                    payload = (
+                        None
+                        if rng.random() < 0.2
+                        else {rng.randrange(6): rng.randrange(100) for _ in range(2)}
+                    )
+                    cw = {mode: payload}
+                else:
+                    payload = (
+                        None
+                        if rng.random() < 0.2
+                        else [rng.randrange(6) for _ in range(2)]
+                    )
+                    cw = {mode: payload}
+                kind = rng.choice(["insert", "update"])
+                dml.append((kind, pk, ck, {"v": cw}))
+        run_stream_diff(spark, tmp_path / table, table, dml)

@@ -25,7 +25,7 @@ import duckdb  # noqa: E402
 
 from scylla_cdc_java_spark.session import get_spark  # noqa: E402
 from scylla_cdc_java_spark.sources.tables import TABLE_NAMES  # noqa: E402
-from tools.oracle_lint import hugeint_signature_cols, oracle_arrow_schema  # noqa: E402
+from tools.oracle_lint import oracle_arrow_schema, type_parity_violations  # noqa: E402
 
 
 def canon_value(v):
@@ -114,12 +114,16 @@ def main() -> int:
         hash_ok = (
             schema_ok and table_hash(scols, srows) == table_hash(ocols, orows)
         )
-        # Typed-output lint: DuckDB HUGEINT (decimal128(38,0) via arrow,
-        # float64 via pandas) hash-diverges from Spark LongType through the
-        # driver's typed fetch even when fetchall() values are equal — the
-        # r04-r08 six-red-row root cause. Probe types so it's visible HERE.
+        # Typed-output lint, FULL parity (VERDICT r09 #2): compare the
+        # engine's Spark schema to the oracle's LIMIT-0 arrow schema by
+        # render class. Catches the whole "value-equal, render-divergent"
+        # genus — HUGEINT int-vs-float (r04-r08 source family) AND decimal
+        # outputs on either side (r04-r09 text_temperature_weights) — that
+        # a fetchall()-based value compare is blind to by construction.
         try:
-            type_bad = hugeint_signature_cols(oracle_arrow_schema(con, oracles[name]))
+            type_bad = type_parity_violations(
+                df.schema, oracle_arrow_schema(con, oracles[name])
+            )
         except Exception:  # noqa: BLE001
             type_bad = []
         type_ok = not type_bad
@@ -131,7 +135,7 @@ def main() -> int:
             hash_ok=hash_ok,
         )
         if type_bad:
-            entry["hugeint_cols"] = type_bad
+            entry["type_violations"] = type_bad
         if not schema_ok:
             entry["spark_cols"] = scols
             entry["oracle_cols"] = ocols

@@ -77,6 +77,9 @@ EVENT_QUERIES = ",".join(
         # round-9 late: native ingest dedup — burst instants make same-
         # batch duplicates and the NULL event_type groups the output
         "pipeline_stream_dedup_watermark",
+        # round-10: T7 dynamic task add — the burst/NULL users split
+        # across the two tablet tables and the arrival-split backfill
+        "t7_dynamic_task_add",
         # round-7 late: rank-function trio on burst ties / null values
         "events_value_ntile",
     ]
@@ -103,6 +106,9 @@ EMB_QUERIES = ",".join(
         # round-9: recall@k of IVF / PQ-ADC vs brute force — the tie
         # storms make the intersection itself tie-sensitive, the hard case
         "ann_ivf_recall", "ann_pq_recall",
+        # round-10: the remaining recall tiers (SQ8 quantization-lossless
+        # edge on one-hot dims; residual chain on degenerate centroids)
+        "ann_sq8_recall", "ann_residual_recall",
         # round-9: input-quality screen — the zero vector and one-hot
         # axes are exactly its flag cases
         "emb_validate",
@@ -155,6 +161,9 @@ DOC_QUERIES = ",".join(
         # near/exact dup groups are the tp mass, the estimator noise the
         # fp/fn edges
         "dedup_minhash_quality",
+        # round-10: simhash-vs-Jaccard-truth classification (different
+        # similarity signal; unicode/empty docs stress both chains)
+        "dedup_simhash_quality",
     ]
 )
 
