@@ -111,6 +111,7 @@ HEADLINE = [
     "ann_sq8_recall",
     "ann_residual_recall",
     "dedup_simhash_quality",
+    "dedup_winnow_quality",
 ]
 
 

@@ -473,6 +473,50 @@ def winnow_fingerprints(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int | None = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS passage-pair candidates: documents sharing >= ``min_shared``
+    winnowing fingerprints (the match step over
+    :func:`winnow_fingerprints`).
+
+    ``max_df`` is the same skew guard as :func:`ngram_jaccard_pairs`'s —
+    and here it is NOT optional hygiene but the difference between a
+    plan that scales and one that dies: a fingerprint present in d docs
+    emits d² candidate rows, and boilerplate k-grams are UBIQUITOUS (at
+    sf0.1 the hottest fingerprint sits in 77% of all docs — the uncapped
+    self-join measured 70 s where the capped one is ~2 s, and at 100 TB
+    one such key is a single-reducer death). Ubiquitous fingerprints
+    carry no discriminative signal (every MOSS deployment drops them —
+    Schleimer et al. §5 "too common to be interesting"), so the cap
+    loses only pairs whose ONLY evidence was boilerplate. ``None`` keeps
+    exact semantics for bounded corpora."""
+    fp = winnow_fingerprints(df, k=k, w=w, id_col=id_col).cache()
+    fpj = fp
+    if max_df is not None:
+        hot = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("fp")
+        )
+        fpj = fp.join(F.broadcast(hot), "fp", "left_anti")
+    a = fpj.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fpj.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash_expr(df: DataFrame, bits: int = 32, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
     """Per-ROW SimHash as a pure column expression — bit-identical to the
     groupBy form in :func:`simhash` (same h31 token hash, same distinct-token

@@ -2680,19 +2680,15 @@ SELECT doc_id, unnest(fps) AS fp FROM w
 def q_dedup_winnow_pairs(spark, sf_dir):
     """Local-similarity near-dup pairs: docs sharing >= 3 winnowing
     fingerprints (the MOSS match step) — catches copied PASSAGES that
-    whole-doc hashing misses and positional overlap MinHash dilutes."""
-    from .pipeline.dedup import winnow_fingerprints
+    whole-doc hashing misses and positional overlap MinHash dilutes.
+    r10: moved onto the df-capped production path (max_df=50, mirroring
+    dedup_ngram_jaccard's cap) after the quality harness measured the
+    uncapped self-join at 13x wall at 10x data — the hottest fingerprint
+    lives in 77% of sf0.1 docs, and a fingerprint in d docs emits d²
+    candidates. The oracle replays the cap."""
+    from .pipeline.dedup import winnow_pairs
 
-    fp = winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
-    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= 3)
-    )
+    return winnow_pairs(_docs(spark, sf_dir), k=8, w=4, min_shared=3, max_df=50)
 
 
 ORACLE_WINNOW_PAIRS = """
@@ -2709,10 +2705,92 @@ w AS (
              j -> list_min(hs[j:j+3]))) AS fps
   FROM g WHERE len(hs) >= 4
 ),
-fp AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+-- df cap: ubiquitous fingerprints leave the inverted index (skew guard)
+hotf AS (SELECT fp FROM fp GROUP BY 1 HAVING count(*) > 50),
+fpc AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hotf))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
+def q_dedup_winnow_quality(spark, sf_dir):
+    """Dedup QUALITY measurement for the WINNOWING detector — third row
+    of the quality matrix next to dedup_minhash_quality (estimator of
+    the same metric) and dedup_simhash_quality (cosine-family signal):
+    classify the MOSS passage-pair candidates (>= 3 shared winnowing
+    fingerprints) against the exact n-gram-Jaccard truth set. Winnowing
+    is a LOCAL-similarity detector, so low precision against whole-doc
+    Jaccard truth is itself the measurement (passage copies are not
+    whole-doc near-dups) — the number k/w/min-shared/max_df are tuned
+    against. The detector side is the df-capped production path; this
+    harness is what CAUGHT the uncapped plan's 13x-at-10x blowup."""
+    docs = _docs(spark, sf_dir)
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
+    approx = q_dedup_winnow_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _pair_quality_stats(truth, approx)
+
+
+ORACLE_WINNOW_QUALITY = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+-- exact-truth chain (mirrors ORACLE_NGRAM_JACCARD)
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.2
+),
+-- winnowing chain (mirrors ORACLE_WINNOW_PAIRS, incl. the df cap)
+wt AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text) - 7),
+             i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT % 2147483647) AS hs
+  FROM wt
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(hs) - 3),
+             j -> list_min(hs[j:j+3]))) AS fps
+  FROM g WHERE len(hs) >= 4
+),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+hotf AS (SELECT fp FROM fp GROUP BY 1 HAVING count(*) > 50),
+fpc AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hotf)),
+approx AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+cls AS (
+  SELECT t.doc_a IS NOT NULL AS in_t, a.doc_a IS NOT NULL AS in_a
+  FROM truth t FULL OUTER JOIN approx a
+    ON a.doc_a = t.doc_a AND a.doc_b = t.doc_b
+),
+stats AS (
+  SELECT CAST(sum(CASE WHEN in_t AND in_a THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM cls
+)
+SELECT tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall
+FROM stats
 """
 
 
@@ -7959,6 +8037,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_SIMHASH_QUALITY,
         "precision/recall of banded simhash-Hamming pairs vs Jaccard truth",
     ),
+    "dedup_winnow_quality": (
+        q_dedup_winnow_quality,
+        ORACLE_WINNOW_QUALITY,
+        "precision/recall of winnowing passage pairs vs Jaccard truth",
+    ),
     "source_orc_documents": (
         q_source_orc_documents,
         ORACLE_SOURCE_JSONL,
@@ -8456,12 +8539,15 @@ _GATE_FRONT: list[str] = [
     # now derive the query universe from the sample scan (brute chain in
     # ONE plan branch); stock ntile unpersists its input post-offsets;
     # minhash_lsh's oracle banding moved to integer division (i // 4)
-    # after its last green row (r07)
+    # after its last green row (r07); winnow_pairs moved to the df-capped
+    # production path (the uncapped self-join was a measured 13x-at-10x
+    # scale killer — see BASELINE round-10 extension)
     "text_mixture_weights",
     "ann_ivf_recall",
     "ann_pq_recall",
     "agg_stock_value_ntile",
     "dedup_minhash_lsh",
+    "dedup_winnow_pairs",
     # (3) new round-10 gates needing their first driver row: T7 dynamic
     # task add (the last §2 streaming row on pytest-only evidence, now
     # oracle-gated end-to-end) + the quality-harness matrix completions
@@ -8469,9 +8555,12 @@ _GATE_FRONT: list[str] = [
     "ann_sq8_recall",
     "ann_residual_recall",
     "dedup_simhash_quality",
-    # --- backfill: the r06-aged cohort (oldest evidence block; 40 of 46
-    # fit — the 6 deferred to r11 are the stable text unigram ops
-    # text_fingerprint/langid/quality/split_assign/token_count/vocab) ---
+    "dedup_winnow_quality",
+    # --- backfill: the r06-aged cohort (oldest evidence block; 38 of 46
+    # fit — deferred to r11: the stable text unigram ops
+    # text_fingerprint/langid/quality/split_assign/token_count/vocab,
+    # join_broadcast_revenue (four r09-green join kin) and
+    # ann_ivf_trained_topk (the ANN family adds two new recall rows) ---
     "a1_stream_task_grouping",
     "a2_min_generation_after",
     "a3_consumed_barrier",
@@ -8479,7 +8568,6 @@ _GATE_FRONT: list[str] = [
     "ann_index_extend",
     "ann_ivf_pq_topk",
     "ann_ivf_topk",
-    "ann_ivf_trained_topk",
     "ann_kmeans_train",
     "ann_pq_topk",
     "f1_timeuuid_roundtrip",
@@ -8488,7 +8576,6 @@ _GATE_FRONT: list[str] = [
     "j1_range_delete_pairing",
     "j2_postimage_pairing",
     "j3_preimage_verify",
-    "join_broadcast_revenue",
     "k3_stream_replicate",
     "o3_list_reconstruct",
     "p3_projection_split",

@@ -536,6 +536,29 @@ def test_winnow_guarantee_and_short_docs(spark):
     assert by.get(3)
 
 
+def test_winnow_pairs_df_cap_drops_boilerplate_only(spark):
+    """The r10 scale fix: a boilerplate passage shared by EVERY doc (the
+    77%-df fingerprint shape that made the uncapped self-join 13x at
+    10x) must not generate pairs on its own once capped, while a real
+    shared passage between two docs still does; max_df=None reproduces
+    the old exact semantics (boilerplate-only pairs reappear)."""
+    from scylla_cdc_java_spark.pipeline.dedup import winnow_pairs
+
+    boiler = "this footer appears on every single page of the corpus"
+    passage = "zqxjkvbwpy mfgthl unique copied passage here indeed"
+    rows = [(i, f"doc {i} body text {i*7} " + boiler) for i in range(20)]
+    rows += [(100, "alpha " + passage + " omega " + boiler),
+             (101, "gamma " + passage + " delta " + boiler)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in winnow_pairs(docs, k=8, w=4, min_shared=3, max_df=5).collect()}
+    assert (100, 101) in capped, "real shared passage must survive the cap"
+    assert all(p == (100, 101) for p in capped), f"boilerplate-only pairs leaked: {sorted(capped)[:5]}"
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in winnow_pairs(docs, k=8, w=4, min_shared=3, max_df=None).collect()}
+    assert len(exact) > len(capped), "uncapped mode must re-admit boilerplate pairs"
+
+
 def test_sq8_lossless_when_range_fits_one_byte(spark):
     """With every per-dim range <= 255 the SQ8 step is 1 and dequant is
     the identity — adc must EQUAL the exact quantized dot and the

@@ -451,6 +451,18 @@ _AUDIT_ALLOW: dict[str, tuple[int, bool]] = {
     "ann_ivf_recall": (3, True),
     # same composition with the PQ chain's per-query LUT broadcast
     "ann_pq_recall": (3, True),
+    # round-10: SQ8 recall composes brute (broadcast query set) + SQ8
+    # (broadcast query set again) + the tiny hit join
+    "ann_sq8_recall": (3, True),
+    # round-10: residual recall composes brute + the residual chain's
+    # probe-cid / per-query-LUT / probe-cdot broadcasts + the hit join
+    "ann_residual_recall": (5, True),
+    # round-10: winnow pairs/quality broadcast the hot-fingerprint list
+    # (<= df-cap rows), the df-cap skew guard itself — the anti-join
+    # subtree appears under BOTH sides of the fp self-join, so the hint
+    # counts twice in the logical plan (one physical broadcast)
+    "dedup_winnow_pairs": (2, False),
+    "dedup_winnow_quality": (2, False),
 }
 
 # These EXECUTE real work at query-construction time (streaming runs,

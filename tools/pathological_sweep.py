@@ -161,9 +161,10 @@ DOC_QUERIES = ",".join(
         # near/exact dup groups are the tp mass, the estimator noise the
         # fp/fn edges
         "dedup_minhash_quality",
-        # round-10: simhash-vs-Jaccard-truth classification (different
-        # similarity signal; unicode/empty docs stress both chains)
-        "dedup_simhash_quality",
+        # round-10: simhash-vs-Jaccard and winnow-vs-Jaccard truth
+        # classification (different similarity signals; unicode/empty/
+        # sub-8-char docs stress both chains' length guards)
+        "dedup_simhash_quality", "dedup_winnow_quality",
     ]
 )
 
