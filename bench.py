@@ -112,6 +112,7 @@ HEADLINE = [
     "ann_residual_recall",
     "dedup_simhash_quality",
     "dedup_winnow_quality",
+    "events_zorder_stats",
 ]
 
 

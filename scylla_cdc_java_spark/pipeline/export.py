@@ -84,3 +84,87 @@ def load_corpus(spark: SparkSession, path: str) -> DataFrame:
     columns (hive-style discovery), and filters on them prune at the
     directory level before any file is opened."""
     return spark.read.parquet(path)
+
+
+def zvalue(cols, bits: int = 16):
+    """Morton / Z-order value: interleave the low ``bits`` bits of each
+    input column (col j's bit i lands at position ``i*n + j``).
+
+    THE multi-dimensional layout key for parquet data skipping: sorting
+    by one column gives perfect row-group min/max pruning on that column
+    and none on the others; sorting by the z-value bounds EVERY input
+    dimension's span within each run of rows, so point/range predicates
+    on ANY of the interleaved columns prune row groups. Pure integer
+    column arithmetic (division/modulo — no engine-specific shift
+    semantics), so an SQL oracle replays it bit-for-bit. Inputs are
+    masked to ``bits`` via ``pmod`` (hash or bucketize wider domains
+    first — interleaving only the low bits of a monotone id is what
+    keeps the curve locality-preserving)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cs)
+    if not (1 <= n * bits <= 62):
+        raise ValueError(f"n_cols*bits must fit a signed long, got {n}x{bits}")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cs):
+        m = F.pmod(c.cast("long"), F.lit(1 << bits))
+        for i in range(bits):
+            bit = (m / F.lit(1 << i)).cast("long") % F.lit(2)
+            z = z + bit * F.lit(1 << (i * n + j))
+    return z
+
+
+def quantile_bucket(df: DataFrame, col: str, bits: int = 8):
+    """Rank-normalize ``col`` into ``2^bits`` quantile buckets — the
+    Delta-style preprocessing that makes Z-ordering work on columns of
+    ANY domain width or skew: interleaving RAW bits wastes positions
+    when one column's domain is narrower than another's (its high bits
+    are constant zeros, so the curve degenerates to a single-column
+    sort). Boundaries come from one ``approxQuantile`` pass (bounded
+    driver state: 2^bits doubles per column, the ranked_frames
+    discipline) and bake into the expression as an array literal —
+    bucket id = #boundaries <= value, a map-side scan of a 256-element
+    array, no join."""
+    n = 1 << bits
+    qs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.stat.approxQuantile(col, qs, 0.001)))
+    if not bounds:
+        return F.lit(0)
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    v = F.col(col).cast("double")
+    return F.size(F.filter(barr, lambda b: b <= v))
+
+
+def export_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int | None = None,
+    max_records_per_file: int = 1_000_000,
+    compression: str = "zstd",
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` Z-ORDER clustered on ``cols``: rank-normalize each
+    column into ``2^bits`` quantile buckets (:func:`quantile_bucket` —
+    raw-bit interleaving degenerates whenever domains have unequal
+    widths), interleave the bucket ids into the Morton value, then
+    range-partition by it (contiguous curve segments per file — the
+    locality the curve exists for; hash-partitioning would scatter
+    them) and sort within partitions. Parquet row-group min/max stats
+    come out tight on EVERY clustered column, so a reader's predicate
+    on any of them skips most of the corpus. The z column is dropped
+    before the write — it is a layout key, not data."""
+    buckets = [quantile_bucket(df, c, bits=bits) for c in cols]
+    out = df.withColumn("__z", zvalue(buckets, bits=bits))
+    if n_files is not None:
+        out = out.repartitionByRange(int(n_files), F.col("__z"))
+    else:
+        out = out.repartitionByRange(F.col("__z"))
+    (
+        out.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.option("maxRecordsPerFile", max_records_per_file)
+        .option("compression", compression)
+        .mode(mode)
+        .parquet(path)
+    )

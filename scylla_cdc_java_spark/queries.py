@@ -2794,6 +2794,68 @@ FROM stats
 """
 
 
+def q_events_zorder_stats(spark, sf_dir):
+    """Z-ORDER layout quality gate (pipeline/export.py::zvalue — the
+    multi-dimensional data-skipping key behind export_zorder): interleave
+    (user_id, hour) bits into the Morton value, bucket the curve into
+    2^16-wide segments, and emit each segment's row count and PER-DIMENSION
+    min/max span. The spans ARE the pruning property: a parquet reader's
+    row-group stats on a z-sorted file are exactly these bounded
+    per-segment ranges on EVERY interleaved column (single-column sort
+    gives this on one column and nothing on the rest). All integer
+    arithmetic — the oracle replays the interleave bit-for-bit. One
+    map-side projection + one partial-agg shuffle; the expression is the
+    same at any corpus size."""
+    from .pipeline.export import zvalue
+    from .sources.tables import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    d0 = ev.select(
+        F.col("user_id").cast("long").alias("u"),
+        epoch_micros(ev, "ts").alias("tus"),
+    )
+    d = d0.select(
+        F.pmod(F.col("u"), F.lit(65536)).alias("x"),
+        F.pmod(F.expr("tus div 3600000000"), F.lit(65536)).alias("y"),
+    )
+    d = d.select("x", "y", zvalue(["x", "y"], bits=16).alias("zv"))
+    return (
+        d.groupBy(F.expr("zv div 65536").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+def _zorder_interleave_sql(xcol: str, ycol: str, bits: int = 16) -> str:
+    """DuckDB mirror of zvalue([x, y], bits): Σ_i bit_i(x)<<(2i) +
+    bit_i(y)<<(2i+1), as plain division/modulo integer arithmetic."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xcol} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+ORACLE_ZORDER_STATS = f"""
+WITH e AS (
+  SELECT user_id % 65536 AS x,
+         (epoch_us(ts) // 3600000000) % 65536 AS y
+  FROM events
+),
+z AS (SELECT x, y, {_zorder_interleave_sql("x", "y")} AS zv FROM e)
+SELECT zv // 65536 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+FROM z GROUP BY 1
+"""
+
+
 def q_events_sliding_topk(spark, sf_dir):
     """Sliding-window trending top-k: 2-day windows sliding by 1 day, the
     3 most frequent event types per window. Each event native-explodes
@@ -8042,6 +8104,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_WINNOW_QUALITY,
         "precision/recall of winnowing passage pairs vs Jaccard truth",
     ),
+    "events_zorder_stats": (
+        q_events_zorder_stats,
+        ORACLE_ZORDER_STATS,
+        "Z-order curve segments: per-dimension min/max spans (data skipping)",
+    ),
     "source_orc_documents": (
         q_source_orc_documents,
         ORACLE_SOURCE_JSONL,
@@ -8556,16 +8623,17 @@ _GATE_FRONT: list[str] = [
     "ann_residual_recall",
     "dedup_simhash_quality",
     "dedup_winnow_quality",
-    # --- backfill: the r06-aged cohort (oldest evidence block; 38 of 46
+    "events_zorder_stats",
+    # --- backfill: the r06-aged cohort (oldest evidence block; 37 of 46
     # fit — deferred to r11: the stable text unigram ops
     # text_fingerprint/langid/quality/split_assign/token_count/vocab,
-    # join_broadcast_revenue (four r09-green join kin) and
-    # ann_ivf_trained_topk (the ANN family adds two new recall rows) ---
+    # join_broadcast_revenue (four r09-green join kin),
+    # ann_ivf_trained_topk and ann_index_extend (the ANN family adds two
+    # new recall rows this round) ---
     "a1_stream_task_grouping",
     "a2_min_generation_after",
     "a3_consumed_barrier",
     "agg_lineitem_pushdown",
-    "ann_index_extend",
     "ann_ivf_pq_topk",
     "ann_ivf_topk",
     "ann_kmeans_train",

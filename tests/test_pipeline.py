@@ -942,3 +942,59 @@ def test_stream_tumbling_late_data_boundary(spark, tmp_path):
         (us(d0 + day), "a"): (1, 200.0),         # late row 3 admitted
         (us(d0 + 2 * day), "a"): (1, 2.0),
     }
+
+
+def test_export_zorder_bounds_per_file_spans(spark, tmp_path):
+    """export_zorder's reason to exist, verified on REAL parquet footers:
+    a z-ordered layout bounds every file's min/max span on BOTH
+    clustered columns (so a reader's predicate on either prunes files /
+    row groups), while a single-column-sorted layout of the same data
+    leaves the other column's per-file span at ~the full domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from scylla_cdc_java_spark.pipeline.export import export_zorder
+    from scylla_cdc_java_spark.sources.tables import epoch_micros, load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    base = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        epoch_micros(ev, "ts").alias("tus"),
+    ).select("user_id", F.expr("tus div 3600000000").alias("hour"))
+
+    zdir, tdir = str(tmp_path / "z"), str(tmp_path / "t")
+    export_zorder(base, zdir, ["user_id", "hour"], bits=8, n_files=16)
+    base.repartitionByRange(16, F.col("hour")).sortWithinPartitions(
+        "hour"
+    ).write.parquet(tdir)
+
+    def user_spans(d):
+        spans = []
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "user_id" and col.statistics:
+                        los.append(col.statistics.min)
+                        his.append(col.statistics.max)
+            if los:
+                spans.append(max(his) - min(los))
+        return spans
+
+    full = base.agg(
+        (F.max("user_id") - F.min("user_id")).alias("s")
+    ).first()["s"]
+    z_spans = user_spans(zdir)
+    t_spans = user_spans(tdir)
+    assert z_spans and t_spans
+    # the hour-sorted layout scatters users across ~the full domain in
+    # every file (zero skipping on user_id); the z layout bounds the
+    # typical file's user span to a fraction of it
+    assert min(t_spans) >= full * 0.8, (t_spans, full)
+    mean_z = sum(z_spans) / len(z_spans)
+    mean_t = sum(t_spans) / len(t_spans)
+    assert mean_z <= mean_t * 0.6, (z_spans, t_spans)

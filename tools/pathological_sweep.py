@@ -80,6 +80,10 @@ EVENT_QUERIES = ",".join(
         # round-10: T7 dynamic task add — the burst/NULL users split
         # across the two tablet tables and the arrival-split backfill
         "t7_dynamic_task_add",
+        # round-10: z-order curve segments over the burst/NULL events
+        # (same-instant bursts collapse hour buckets; NULL users hit the
+        # pmod/cast path)
+        "events_zorder_stats",
         # round-7 late: rank-function trio on burst ties / null values
         "events_value_ntile",
     ]
