@@ -7521,8 +7521,16 @@ def q_t7_dynamic_task_add(spark, sf_dir):
     from .streaming.multi import MultiTableConsumer
 
     ev = _events(spark, sf_dir)
+    # NULL user_id routes to table B, mirroring the oracle's CASE ELSE —
+    # a bare parity filter is 3VL-NULL and silently drops the NULL-key
+    # group from BOTH tables (the r08 hostile-fixture lesson: the split
+    # must partition EVERY row of any log, not just well-formed keys)
     cdc_a = events_as_cdc(spark, sf_dir, events=ev.where(F.col("user_id") % 2 == 0))
-    cdc_b = events_as_cdc(spark, sf_dir, events=ev.where(F.col("user_id") % 2 == 1))
+    cdc_b = events_as_cdc(
+        spark,
+        sf_dir,
+        events=ev.where((F.col("user_id") % 2 == 1) | F.col("user_id").isNull()),
+    )
     desc_a = replace(USER_STATE_DESC, name="user_state_a", uses_tablets=True)
     desc_b = replace(USER_STATE_DESC, name="user_state_b", uses_tablets=True)
 
@@ -7553,6 +7561,10 @@ def q_t7_dynamic_task_add(spark, sf_dir):
         sorted(
             bytes(r[0])
             for r in cdc_b.select("cdc$stream_id").distinct().collect()
+            # a NULL-key row has no derivable stream id; generation
+            # metadata carries real streams only (the data itself still
+            # replicates — discovery and the data plane are separate)
+            if r[0] is not None
         )
     )
     ctl = TableCDCController()
