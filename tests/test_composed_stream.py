@@ -237,6 +237,35 @@ def test_t7_added_table_must_backfill_early_windows(spark, tmp_path):
     )
 
 
+def test_t7_null_key_users_route_to_exactly_one_table(spark):
+    """Pin of the round-10 hostile find: the T7 gate's parity split must
+    partition EVERY row — a NULL user_id is a legitimate LWW group (the
+    r08 NULL-key lesson) and belongs to exactly one table (B, mirroring
+    the oracle's CASE ELSE), not silently to neither."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, None, datetime.datetime(2024, 1, 10), "view", 2.0, '{"n":2}'),
+        (2, None, datetime.datetime(2024, 1, 20), "view", 3.0, '{"n":3}'),
+        (3, 4, datetime.datetime(2024, 1, 10), "view", 1.0, None),
+        (4, 5, datetime.datetime(2024, 1, 10), "view", 1.5, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    a_filter = F.col("user_id") % 2 == 0
+    b_filter = (F.col("user_id") % 2 == 1) | F.col("user_id").isNull()
+    a_ids = {r["event_id"] for r in df.where(a_filter).collect()}
+    b_ids = {r["event_id"] for r in df.where(b_filter).collect()}
+    assert a_ids == {3}
+    assert b_ids == {1, 2, 4}
+    assert a_ids | b_ids == {1, 2, 3, 4} and not (a_ids & b_ids)
+
+
 def test_replaced_source_file_poison_on_disk_but_not_ingested(spark):
     """The source-replace gate's fault twin: the replacement content (odd
     event_ids) IS what a naive directory read returns for chunk1.parquet,
