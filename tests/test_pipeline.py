@@ -459,6 +459,18 @@ def test_screen_embeddings_enforced_in_every_ann_tier(spark):
     # None) IS df (object identity — pinned in the next test), so the
     # gate hashes of every unvalidated call are untouched.
 
+    # the composed index BUILD enforces the screen too
+    from scylla_cdc_java_spark.pipeline.similarity import build_embedding_index
+
+    with _pytest.raises(ValueError, match="nan=1"):
+        build_embedding_index(
+            dirty, dim=8, n_centroids=8, m=4, n_codes=8, validate="reject"
+        ).collect()
+    idx = build_embedding_index(
+        dirty, dim=8, n_centroids=8, m=4, n_codes=8, validate="quarantine"
+    )
+    assert not [r for r in idx.collect() if r["vec_id"] == 99]
+
 
 def test_screen_embeddings_clean_pass_and_dim(spark):
     """reject on a clean corpus is a no-op passthrough; the optional dim
