@@ -113,6 +113,7 @@ HEADLINE = [
     "dedup_simhash_quality",
     "dedup_winnow_quality",
     "events_zorder_stats",
+    "dedup_containment_quality",
 ]
 
 

@@ -5109,7 +5109,13 @@ def q_dedup_containment(spark, sf_dir):
     """Asymmetric near-dup: n-gram CONTAINMENT |A∩B| / |A| — catches a
     document quoted/embedded inside a larger one, which symmetric
     Jaccard dilutes below threshold. Same inverted-index plan as the
-    jaccard row (df-capped, hashed 8-byte keys); the score just
+    jaccard row — including, as of r10, the SAME df cap (max_df=50):
+    the docstring had always claimed the cap but the code lacked it,
+    and its new quality harness measured the uncapped self-join
+    superlinear (a shingle in d docs is d² candidate rows — the winnow
+    find's species). Sizes stay exact over ALL shingles; only the
+    candidate generation drops ubiquitous shingles, so capped scores
+    can only lose the boilerplate intersection contribution. The score
     normalizes by ONE side, emitted in both directions."""
     from .pipeline.dedup import h31
     from .pipeline.text import shingles
@@ -5121,8 +5127,15 @@ def q_dedup_containment(spark, sf_dir):
         .cache()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > 50)
+        .select("sh")
+    )
+    shc = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a = shc.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = shc.select(F.col("doc_id").alias("doc_b"), "sh")
     common = (
         a.join(b, "sh")
         .where(F.col("doc_a") != F.col("doc_b"))
@@ -5150,15 +5163,92 @@ sh0 AS (
 ),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+-- df cap (mirrors the engine): ubiquitous shingles leave the index
+hotc AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 50),
+shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hotc)),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b, c.common,
        round(c.common / CAST(s.sz AS DOUBLE), 6) AS containment
 FROM common c JOIN sizes s ON s.doc_id = c.doc_a
 WHERE c.common / CAST(s.sz AS DOUBLE) >= 0.5
+"""
+
+
+def q_dedup_containment_quality(spark, sf_dir):
+    """Dedup QUALITY measurement for the CONTAINMENT detector — the
+    fourth and last row of the detector quality matrix (MinHash:
+    estimator of the truth metric; SimHash: cosine-family signal;
+    winnowing: local passages; containment: ASYMMETRIC embed/quote).
+    Directed containment pairs collapse to unordered candidates (either
+    direction fires) and classify against the exact whole-doc Jaccard
+    truth. fp is the MEASUREMENT here, not noise: a small doc embedded
+    in a large one has containment ~1 while symmetric Jaccard dilutes
+    below the truth threshold — precision against whole-doc truth is
+    exactly the number that separates the two dedup policies."""
+    docs = _docs(spark, sf_dir)
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
+    c = q_dedup_containment(spark, sf_dir)
+    approx = c.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    ).distinct()
+    return _pair_quality_stats(truth, approx)
+
+
+ORACLE_CONTAINMENT_QUALITY = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.2
+),
+-- directed containment chain (mirrors ORACLE_CONTAINMENT, incl. df cap)
+hotc AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 50),
+shcc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hotc)),
+cdir AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM shcc a JOIN shcc b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT DISTINCT least(c.doc_a, c.doc_b) AS doc_a,
+                  greatest(c.doc_a, c.doc_b) AS doc_b
+  FROM cdir c JOIN sizes s ON s.doc_id = c.doc_a
+  WHERE c.c / CAST(s.sz AS DOUBLE) >= 0.5
+),
+cls AS (
+  SELECT t.doc_a IS NOT NULL AS in_t, a.doc_a IS NOT NULL AS in_a
+  FROM truth t FULL OUTER JOIN approx a
+    ON a.doc_a = t.doc_a AND a.doc_b = t.doc_b
+),
+stats AS (
+  SELECT CAST(sum(CASE WHEN in_t AND in_a THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM cls
+)
+SELECT tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall
+FROM stats
 """
 
 
@@ -8121,6 +8211,11 @@ QUERIES: dict[str, tuple[Callable, str | None, str]] = {
         ORACLE_ZORDER_STATS,
         "Z-order curve segments: per-dimension min/max spans (data skipping)",
     ),
+    "dedup_containment_quality": (
+        q_dedup_containment_quality,
+        ORACLE_CONTAINMENT_QUALITY,
+        "precision/recall of asymmetric containment pairs vs Jaccard truth",
+    ),
     "source_orc_documents": (
         q_source_orc_documents,
         ORACLE_SOURCE_JSONL,
@@ -8618,15 +8713,17 @@ _GATE_FRONT: list[str] = [
     # now derive the query universe from the sample scan (brute chain in
     # ONE plan branch); stock ntile unpersists its input post-offsets;
     # minhash_lsh's oracle banding moved to integer division (i // 4)
-    # after its last green row (r07); winnow_pairs moved to the df-capped
-    # production path (the uncapped self-join was a measured 13x-at-10x
-    # scale killer — see BASELINE round-10 extension)
+    # after its last green row (r07); winnow_pairs AND containment moved
+    # to the df-capped production path (uncapped self-joins measured
+    # superlinear by their new quality harnesses — BASELINE r10 notes;
+    # containment's docstring had claimed the cap without having it)
     "text_mixture_weights",
     "ann_ivf_recall",
     "ann_pq_recall",
     "agg_stock_value_ntile",
     "dedup_minhash_lsh",
     "dedup_winnow_pairs",
+    "dedup_containment",
     # (3) new round-10 gates needing their first driver row: T7 dynamic
     # task add (the last §2 streaming row on pytest-only evidence, now
     # oracle-gated end-to-end) + the quality-harness matrix completions
@@ -8636,19 +8733,19 @@ _GATE_FRONT: list[str] = [
     "dedup_simhash_quality",
     "dedup_winnow_quality",
     "events_zorder_stats",
-    # --- backfill: the r06-aged cohort (oldest evidence block; 37 of 46
+    "dedup_containment_quality",
+    # --- backfill: the r06-aged cohort (oldest evidence block; 35 of 46
     # fit — deferred to r11: the stable text unigram ops
     # text_fingerprint/langid/quality/split_assign/token_count/vocab,
     # join_broadcast_revenue (four r09-green join kin),
-    # ann_ivf_trained_topk and ann_index_extend (the ANN family adds two
-    # new recall rows this round) ---
-    "a1_stream_task_grouping",
+    # ann_ivf_trained_topk / ann_index_extend / ann_kmeans_train (the ANN
+    # family adds two new recall rows this round) and a1_stream_task_grouping
+    # (pytest + the composed stream gates cover the grouping daily) ---
     "a2_min_generation_after",
     "a3_consumed_barrier",
     "agg_lineitem_pushdown",
     "ann_ivf_pq_topk",
     "ann_ivf_topk",
-    "ann_kmeans_train",
     "ann_pq_topk",
     "f1_timeuuid_roundtrip",
     "f3_vnode_extract",

@@ -463,6 +463,11 @@ _AUDIT_ALLOW: dict[str, tuple[int, bool]] = {
     # counts twice in the logical plan (one physical broadcast)
     "dedup_winnow_pairs": (2, False),
     "dedup_winnow_quality": (2, False),
+    # round-10: containment's df cap broadcasts the hot-shingle list; the
+    # anti-join subtree appears under both self-join sides (one physical
+    # broadcast, two logical hints — same as the winnow pair)
+    "dedup_containment": (2, False),
+    "dedup_containment_quality": (2, False),
 }
 
 # These EXECUTE real work at query-construction time (streaming runs,

@@ -169,6 +169,7 @@ DOC_QUERIES = ",".join(
         # classification (different similarity signals; unicode/empty/
         # sub-8-char docs stress both chains' length guards)
         "dedup_simhash_quality", "dedup_winnow_quality",
+        "dedup_containment_quality",
     ]
 )
 
