@@ -298,10 +298,33 @@ def test_simhash_hamming_banded_no_cartesian(spark):
 
 
 def test_containment_no_forced_broadcast(spark):
-    """Size table is corpus-cardinality — no user hint may pin it."""
+    """Size table is corpus-cardinality — no user hint may pin it. The
+    r10 df-cap legitimately broadcasts the BOUNDED hot-shingle list
+    (df > 50 aggregate, appears under both sides of the self-join = 2
+    logical hints), so the guard is: at most those two hints, and every
+    broadcast build side that touches a corpus scan goes through an
+    aggregate — raw corpus rows never reach a BroadcastExchange."""
     fn, _, _ = QUERIES["dedup_containment"]
-    analyzed = str(fn(spark, SF)._jdf.queryExecution().analyzed())
-    assert analyzed.count("ResolvedHint") == 0
+    qe = fn(spark, SF)._jdf.queryExecution()
+    analyzed = str(qe.analyzed())
+    assert analyzed.count("ResolvedHint") <= 2
+    simple = qe.executedPlan().toString()
+    lines = simple.split("\n")
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        indent = len(ln) - len(ln.lstrip(" :+-*"))
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            nindent = len(nxt) - len(nxt.lstrip(" :+-*"))
+            if nindent <= indent:
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        if "Scan parquet" in sub:
+            assert "HashAggregate" in sub or "SortAggregate" in sub, (
+                "corpus rows reached a BroadcastExchange unaggregated"
+            )
 
 
 def test_ann_pq_topk_kernel_path_no_cartesian_no_single_partition(spark):
