@@ -77,11 +77,19 @@ def ngram_jaccard_pairs(
     # per-(doc, shingle) distinct already ran on the strings, so sizes are
     # exact and pair counts differ only under a 64-bit collision *within
     # one candidate pair* (~n²/2⁶⁴ — below any real corpus' noise floor).
-    sh = (
-        shingles(df.select(id_col, "text"), n=n)
-        .select(id_col, F.xxhash64("shingle").alias("sh"))
-        .cache()
+    import os as _os
+
+    _mode = _os.environ.get("SPARK_GRAFT_SH_MODE", "cache")
+    sh = shingles(df.select(id_col, "text"), n=n).select(
+        id_col, F.xxhash64("shingle").alias("sh")
     )
+    if _mode == "checkpoint":
+        sh = sh.localCheckpoint()
+    elif _mode == "count":
+        sh = sh.cache()
+        sh.count()
+    else:
+        sh = sh.cache()
     if max_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -369,9 +377,12 @@ def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFrame:
     toks = df.select(
         id_col, F.explode(F.array_distinct(tokens_col("text"))).alias("tok")
     ).withColumn("h", h31(F.col("tok")))
+    # shift+mask bit extraction (h is a nonnegative 31-bit long, so this
+    # equals the floor-division form bit-for-bit) — all-integer codegen,
+    # no double round-trip per (token, bit)
     aggs = [
         F.sum(
-            F.lit(2) * ((F.col("h") / F.lit(1 << j)).cast("long") % F.lit(2)) - F.lit(1)
+            F.lit(2) * F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) - F.lit(1)
         ).alias(f"s_{j}")
         for j in range(bits)
     ]
@@ -496,7 +507,17 @@ def winnow_pairs(
     Schleimer et al. §5 "too common to be interesting"), so the cap
     loses only pairs whose ONLY evidence was boilerplate. ``None`` keeps
     exact semantics for bounded corpora."""
-    fp = winnow_fingerprints(df, k=k, w=w, id_col=id_col).cache()
+    import os as _os
+
+    _mode = _os.environ.get("SPARK_GRAFT_SH_MODE", "cache")
+    fp = winnow_fingerprints(df, k=k, w=w, id_col=id_col)
+    if _mode == "checkpoint":
+        fp = fp.localCheckpoint()
+    elif _mode == "count":
+        fp = fp.cache()
+        fp.count()
+    else:
+        fp = fp.cache()
     fpj = fp
     if max_df is not None:
         hot = (
@@ -533,11 +554,13 @@ def simhash_expr(df: DataFrame, bits: int = 32, text_col: str = "text", out_col:
         "__sh_h", F.transform(F.array_distinct(tokens_col(text_col)), lambda t: h31(t))
     )
     def bit_sum(j: int) -> Column:
+        # same shift+mask form as the groupBy simhash — bit-identical,
+        # all-integer (see simhash() for why)
         return F.aggregate(
             F.col("__sh_h"),
             F.lit(0).cast("long"),
             lambda acc, h: acc
-            + F.lit(2) * ((h / F.lit(1 << j)).cast("long") % F.lit(2))
+            + F.lit(2) * F.shiftright(h, j).bitwiseAND(F.lit(1))
             - F.lit(1),
         )
     sim = sum(

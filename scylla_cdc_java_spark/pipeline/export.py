@@ -108,7 +108,11 @@ def zvalue(cols, bits: int = 16):
     for j, c in enumerate(cs):
         m = F.pmod(c.cast("long"), F.lit(1 << bits))
         for i in range(bits):
-            bit = (m / F.lit(1 << i)).cast("long") % F.lit(2)
+            # shift+mask, not double division: (m / 2^i) round-trips
+            # through a double, whose 53-bit mantissa corrupts bit
+            # extraction for bits > 53 (the guard allows up to 62) —
+            # and the all-integer form stays inside codegen'd long ops
+            bit = F.shiftright(m, i).bitwiseAND(F.lit(1))
             z = z + bit * F.lit(1 << (i * n + j))
     return z
 
@@ -124,14 +128,29 @@ def quantile_bucket(df: DataFrame, col: str, bits: int = 8):
     discipline) and bake into the expression as an array literal —
     bucket id = #boundaries <= value, a map-side scan of a 256-element
     array, no join."""
+    return _bucket_exprs(df, [col], bits)[0]
+
+
+def _bucket_exprs(df: DataFrame, cols: list[str], bits: int = 8):
+    """Quantile-bucket expressions for ALL ``cols`` from ONE
+    ``approxQuantile`` pass (the DataFrame API takes a column list and
+    computes every column's sketch in the same scan) — one full read of
+    the frame regardless of how many columns are clustered, instead of
+    one per column. Semantics per column are identical to the
+    single-column form."""
     n = 1 << bits
     qs = [i / n for i in range(1, n)]
-    bounds = sorted(set(df.stat.approxQuantile(col, qs, 0.001)))
-    if not bounds:
-        return F.lit(0)
-    barr = F.array(*[F.lit(float(b)) for b in bounds])
-    v = F.col(col).cast("double")
-    return F.size(F.filter(barr, lambda b: b <= v))
+    all_bounds = df.stat.approxQuantile(list(cols), qs, 0.001)
+    exprs = []
+    for col, raw in zip(cols, all_bounds):
+        bounds = sorted(set(raw))
+        if not bounds:
+            exprs.append(F.lit(0))
+            continue
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        v = F.col(col).cast("double")
+        exprs.append(F.size(F.filter(barr, lambda b: b <= v)))
+    return exprs
 
 
 def export_zorder(
@@ -154,7 +173,9 @@ def export_zorder(
     come out tight on EVERY clustered column, so a reader's predicate
     on any of them skips most of the corpus. The z column is dropped
     before the write — it is a layout key, not data."""
-    buckets = [quantile_bucket(df, c, bits=bits) for c in cols]
+    # one boundary pass for ALL clustered columns (approxQuantile takes a
+    # column list) — at 100 TB this saves a full scan per extra column
+    buckets = _bucket_exprs(df, cols, bits=bits)
     out = df.withColumn("__z", zvalue(buckets, bits=bits))
     if n_files is not None:
         out = out.repartitionByRange(int(n_files), F.col("__z"))

@@ -923,11 +923,26 @@ def pq_codebooks(
         F.col(vec_col) if pre_quantized else quantize_embedding(vec_col, scale)
     )
     sub_w = F.floor(F.size(qexpr) / F.lit(m))
+    # EVERY training action below re-reads this frame: the seed collect,
+    # then one Arrow argmin assign pass per Lloyd round — 1 + n_iter + 1
+    # full recomputations of the upstream lineage without a pin. For the
+    # raw-corpus path that lineage is a scan+quantize; for the residual
+    # tier it is the coarse-assign mapInPandas over the whole corpus, so
+    # the recompute storm dominated the tier's wall-clock (measured ~6x
+    # at sf0.1). Persist the narrow quantized projection for the
+    # TRAINING passes only and release it before returning — all
+    # consumers inside this function are eager (driver collects), so the
+    # pin is bounded to the call (the ranked_frames/ntile discipline).
+    import os as _os
+
+    _pin = _os.environ.get("SPARK_GRAFT_PQ_PERSIST", "1") != "0"
     q = corpus.select(
         F.col(id_col).alias("vid"),
         qexpr.alias("qv"),
         sub_w.alias("sw"),
     )
+    if _pin:
+        q = q.persist()
     # (vid, sub, sv): m rows per vector, sv the subvector
     subs = q.select(
         "vid",
@@ -980,6 +995,11 @@ def pq_codebooks(
                 ).alias("cw")
             )
         )
+    # every pass over q has run (training is all eager collects); the
+    # returned codebook is driver literals with no lineage into q, so
+    # the pin releases cleanly here — no cache outlives the call
+    if _pin:
+        q.unpersist(blocking=False)
     spark = corpus.sparkSession
     rows = [
         (int(s), int(c), [int(x) for x in cw])
@@ -1701,10 +1721,19 @@ def ivf_pq_residual_topk(
             F.col(id_col).alias("vid"), quantize_embedding(vec_col, scale).alias("qv")
         )
 
-    # corpus: nearest cell + residual, one map pass
+    # corpus: nearest cell + residual, one map pass. Checkpoint it: the
+    # residual frame feeds the codebook trainer (eager collects), the
+    # encode pass AND the assigned table — without a pin the coarse
+    # GEMM kernel re-runs over the whole corpus once per consumer
+    # (measured ~6x the tier's wall at sf0.1 — the "one map pass" the
+    # docstring promises was running five times). localCheckpoint
+    # rather than cache: the returned frame still reads it lazily, and
+    # checkpoint blocks release with the RDD instead of pinning the
+    # cache registry for the session (the bounded-lifetime convention,
+    # same as dedup_clusters' contraction rounds).
     res = quantized(corpus).mapInPandas(
         _coarse_residual_kernel(cent_ids, cent_mat, 1), schema=_RESIDUAL_SCHEMA
-    )
+    ).localCheckpoint()
     cb = pq_codebooks(
         res, m=m, n_codes=n_codes, id_col="vid", vec_col="rv", pre_quantized=True
     )

@@ -5053,7 +5053,11 @@ def q_dedup_simhash_hamming(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        ((F.col("simhash") / F.lit(1 << (8 * b))).cast("long") % F.lit(256)).alias("val"),
+                        # shift+mask == the floor-division form for the
+                        # nonneg 32-bit simhash; all-integer codegen
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
                     )
                     for b in range(4)
                 ]
@@ -5120,12 +5124,20 @@ def q_dedup_containment(spark, sf_dir):
     from .pipeline.dedup import h31
     from .pipeline.text import shingles
 
+    import os as _os
+
     docs = _docs(spark, sf_dir)
-    sh = (
-        shingles(docs.select("doc_id", "text"), n=3)
-        .select("doc_id", F.xxhash64("shingle").alias("sh"))
-        .cache()
+    sh = shingles(docs.select("doc_id", "text"), n=3).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
     )
+    _mode = _os.environ.get("SPARK_GRAFT_SH_MODE", "cache")
+    if _mode == "checkpoint":
+        sh = sh.localCheckpoint()
+    elif _mode == "count":
+        sh = sh.cache()
+        sh.count()
+    else:
+        sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     hot = (
         sh.groupBy("sh")
