@@ -77,19 +77,17 @@ def ngram_jaccard_pairs(
     # per-(doc, shingle) distinct already ran on the strings, so sizes are
     # exact and pair counts differ only under a 64-bit collision *within
     # one candidate pair* (~n²/2⁶⁴ — below any real corpus' noise floor).
-    import os as _os
-
-    _mode = _os.environ.get("SPARK_GRAFT_SH_MODE", "cache")
-    sh = shingles(df.select(id_col, "text"), n=n).select(
-        id_col, F.xxhash64("shingle").alias("sh")
+    # plain cache, no eager materialization — measured against both
+    # cache+count and localCheckpoint (r11 interleaved A/B at sf0.1):
+    # lazy cache was best-or-tied on every consumer (the feared
+    # concurrent-branch recompute does not manifest; the branches'
+    # stages serialize on the first exchange), and localCheckpoint's
+    # materialization job cost 1.1-2x extra
+    sh = (
+        shingles(df.select(id_col, "text"), n=n)
+        .select(id_col, F.xxhash64("shingle").alias("sh"))
+        .cache()
     )
-    if _mode == "checkpoint":
-        sh = sh.localCheckpoint()
-    elif _mode == "count":
-        sh = sh.cache()
-        sh.count()
-    else:
-        sh = sh.cache()
     if max_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -507,17 +505,9 @@ def winnow_pairs(
     Schleimer et al. §5 "too common to be interesting"), so the cap
     loses only pairs whose ONLY evidence was boilerplate. ``None`` keeps
     exact semantics for bounded corpora."""
-    import os as _os
-
-    _mode = _os.environ.get("SPARK_GRAFT_SH_MODE", "cache")
-    fp = winnow_fingerprints(df, k=k, w=w, id_col=id_col)
-    if _mode == "checkpoint":
-        fp = fp.localCheckpoint()
-    elif _mode == "count":
-        fp = fp.cache()
-        fp.count()
-    else:
-        fp = fp.cache()
+    # plain cache on purpose — see ngram_jaccard_pairs for the r11
+    # cache/count/checkpoint measurement
+    fp = winnow_fingerprints(df, k=k, w=w, id_col=id_col).cache()
     fpj = fp
     if max_df is not None:
         hot = (

@@ -127,7 +127,13 @@ def quantile_bucket(df: DataFrame, col: str, bits: int = 8):
     driver state: 2^bits doubles per column, the ranked_frames
     discipline) and bake into the expression as an array literal —
     bucket id = #boundaries <= value, a map-side scan of a 256-element
-    array, no join."""
+    array, no join.
+
+    NULL convention: the boundary comparison yields NULL per element, so
+    the filtered array is empty and NULLs land in bucket 0 — colocated
+    with the smallest values (ascending NULLS FIRST, the ranked_frames
+    convention). Route NULLs to a sentinel bucket upstream if they are
+    frequent enough to widen bucket 0's span."""
     return _bucket_exprs(df, [col], bits)[0]
 
 

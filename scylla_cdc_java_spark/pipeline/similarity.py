@@ -933,6 +933,11 @@ def pq_codebooks(
     # TRAINING passes only and release it before returning — all
     # consumers inside this function are eager (driver collects), so the
     # pin is bounded to the call (the ranked_frames/ntile discipline).
+    # SPARK_GRAFT_PQ_PERSIST=0 opts out of the training pin for
+    # deployments where storage for a corpus-sized quantized projection
+    # is tighter than the recompute (r11 interleaved A/B at sf0.1:
+    # pin on was equal-or-better on the raw-corpus path and ~2x better
+    # on expensive lineages; default stays on)
     import os as _os
 
     _pin = _os.environ.get("SPARK_GRAFT_PQ_PERSIST", "1") != "0"

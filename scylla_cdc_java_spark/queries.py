@@ -5044,7 +5044,11 @@ def q_dedup_simhash_hamming(spark, sf_dir):
     band count (r+1 bands cover distance r) — same plan, wider fan."""
     from .pipeline.dedup import simhash
 
-    sh = simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+    # cache: the banded self-join reads this from BOTH sides, and Spark
+    # never reuses the aliased exchange (zero ReusedExchange across the
+    # whole registry's plans) — without the pin the full token-explode
+    # simhash aggregation runs twice. One row per doc; LRU-evictable.
+    sh = simhash(_docs(spark, sf_dir)).select("doc_id", "simhash").cache()
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -5070,17 +5074,21 @@ def q_dedup_simhash_hamming(spark, sf_dir):
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "val"
     )
-    cand = (
-        a.join(b, ["band", "val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    # Hamming filter BEFORE the pair dedup: a pair may surface from up
+    # to 4 bands, so the distinct is a shuffle — filtering at radius 3
+    # first (very selective, a map-side bit_count) shrinks that exchange
+    # to the surviving pairs instead of every band collision (§2.3
+    # "shuffle fewer bytes"). Row-identical: the filter is a pure
+    # function of the pair, so dropping then deduping == deduping then
+    # dropping.
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.withColumn("hamming", ham.cast("int"))
+        a.join(b, ["band", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -5124,20 +5132,14 @@ def q_dedup_containment(spark, sf_dir):
     from .pipeline.dedup import h31
     from .pipeline.text import shingles
 
-    import os as _os
-
     docs = _docs(spark, sf_dir)
-    sh = shingles(docs.select("doc_id", "text"), n=3).select(
-        "doc_id", F.xxhash64("shingle").alias("sh")
+    # plain cache on purpose — see ngram_jaccard_pairs for the r11
+    # cache/count/checkpoint measurement
+    sh = (
+        shingles(docs.select("doc_id", "text"), n=3)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .cache()
     )
-    _mode = _os.environ.get("SPARK_GRAFT_SH_MODE", "cache")
-    if _mode == "checkpoint":
-        sh = sh.localCheckpoint()
-    elif _mode == "count":
-        sh = sh.cache()
-        sh.count()
-    else:
-        sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     hot = (
         sh.groupBy("sh")
