@@ -602,9 +602,14 @@ def kmeans_train(
     ``(cid, cv, n_members)`` with ``cv`` the final integer centroid;
     feed it to ``ivf_topk(centroids=...)``.
     """
+    # pin the quantized projection for the Lloyd rounds (each round's
+    # localCheckpoint is an eager pass over q; without the pin every
+    # round re-runs the scan+quantize lineage) — released before the
+    # lazy members pass, which recomputes once: net n_iter-1 scans
+    # saved with no cache outliving the call (the pq_codebooks pattern)
     q = emb.select(
         F.col(id_col).alias("vid"), quantize_embedding(vec_col, scale).alias("qv")
-    )
+    ).persist()
     if centroid_mod is not None:
         cent = q.where(F.col("vid") % centroid_mod == 0)
     else:
@@ -648,6 +653,7 @@ def kmeans_train(
             )
             .localCheckpoint()
         )
+    q.unpersist(blocking=False)
     members = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return cent.join(members, "cid", "left").withColumn(
         "n_members", F.coalesce("n_members", F.lit(0))
@@ -1590,15 +1596,18 @@ def build_embedding_index(
     clusters = dedup_clusters(
         corpus.select(id_col), pairs, id_col=id_col, a_col="vec_a", b_col="vec_b"
     )
+    # Checkpoint the survivors: downstream they feed the centroid-seed
+    # collect, the codebook trainer's pinned projection, the encode pass
+    # and the assignment table — four executions of the corpus⋈clusters
+    # join without a pin. r10 measured a cache()+count() here ~18%
+    # SLOWER (the trainer then re-read its own lineage 3x anyway, so the
+    # materialization job was pure overhead); after r11's codebook-
+    # internal pin the balance flipped: interleaved A/B at sf0.1 shows
+    # the checkpoint ~20% faster (8.06/6.52 s -> 6.08/5.20 s), and at
+    # scale it is one survivors join instead of four.
     surv = corpus.join(
         clusters.where(F.col(id_col) == F.col("cluster_id")).select(id_col), id_col
-    )
-    # NOT cached on purpose, measured: dedup_clusters localCheckpoints its
-    # contraction rounds, so the three downstream consumers (centroid
-    # seeds, codebook training, encode) only re-run a cheap join over the
-    # checkpointed cluster frame — an explicit cache()+count() here was
-    # ~18% SLOWER at sf0.1 (the materialization job costs more than the
-    # recompute it saves).
+    ).localCheckpoint()
     cent_rows = _collect_centroid_rows(
         surv.select(
             F.col(id_col).alias("cid"), quantize_embedding(vec_col).alias("cv")
