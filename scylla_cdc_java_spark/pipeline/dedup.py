@@ -14,6 +14,21 @@ Designed for the 100 TB posture:
 Everything is native expressions (no UDF). Hash function shared with the
 SQL oracles: ``h31(s) = int(md5(s)[:15 hex]) % (2^31 - 1)`` — identical in
 Spark (``conv``) and DuckDB (``'0x'||substr``).
+
+Cache-lifetime convention (r11): operators whose RETURNED frame reads a
+shared intermediate from several plan branches (``sh``/``fp``/``sig``)
+pin it with a plain ``.cache()`` and do NOT unpersist — the caller's
+action is what populates and consumes the pin, so there is no safe
+release point inside the operator. These pins are narrow projections
+(hashes + ids, not text), MEMORY_AND_DISK and LRU-evictable; a
+long-lived session composing many calls should
+``spark.catalog.clearCache()`` between logical jobs (bench.py does).
+Training-style operators whose internal consumers are all EAGER
+(pq_codebooks, kmeans_train) instead release their pin before returning;
+eager one-shot intermediates use ``localCheckpoint`` whose blocks free
+with the RDD. Measured r11: eagerly materializing the lazy-return pins
+(count()/localCheckpoint) was 1.1-2x SLOWER at sf0.1 — see
+ngram_jaccard_pairs.
 """
 
 from __future__ import annotations

@@ -114,7 +114,12 @@ def screen_embeddings(
 
     Zero vectors are flagged by ``validate_embeddings`` but NOT screened
     here — the integer-dot metric is well-defined on them; callers that
-    need unit norms filter ``is_zero`` themselves."""
+    need unit norms filter ``is_zero`` themselves.
+
+    Scope: the ANN entry points screen the CORPUS side only (the side an
+    index build persists); a dirty QUERY vector is the caller's to
+    validate — pass the queries frame through this function first when
+    the query feed is untrusted."""
     if mode is None or mode == "off":
         return df
     if mode not in ("reject", "quarantine"):
