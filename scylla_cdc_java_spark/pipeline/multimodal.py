@@ -221,7 +221,11 @@ def phash_pairs(df: DataFrame, radius: int = 3) -> DataFrame:
     n_bands = radius + 1
     if n_bands * 16 != 64:
         raise ValueError("radius must be 3 (4 x 16-bit bands) for int64 hashes")
-    ph = df.where(F.col("phash").isNotNull())
+    # cache: both sides of the banded self-join read this frame and Spark
+    # reuses no aliased exchange, so an uncached upstream (the per-bit
+    # FNV decode kernel) would run twice — the dedup_simhash_hamming
+    # finding, same fix (one row per media id, LRU-evictable)
+    ph = df.where(F.col("phash").isNotNull()).cache()
     bands = ph.select(
         "media_id",
         "phash",
