@@ -473,17 +473,23 @@ def winnow_fingerprints(
     array is projected as a REAL column before the lambda that consumes
     it (no CSE through higher-order functions — an inline array would be
     recomputed per element, turning O(n·w) into O(n²·w)).
+
+    The gram hashes are computed in ONE transform (hash the substr
+    directly) instead of materializing an ``array<string>`` of grams and
+    hashing it in a second pass: per document that skips an n_grams-sized
+    UTF8 string-array allocation (~k bytes per gram — roughly k× the text
+    itself) that existed only to feed md5. Row-set proven identical;
+    local wall is a wash, the win is allocation/GC pressure at scale.
     """
     t = F.col(text_col)
     n_grams = F.length(t) - F.lit(k - 1)
-    grams = F.when(
+    hashes = F.when(
         n_grams >= 1,
-        F.transform(F.sequence(F.lit(1), n_grams), lambda i: t.substr(i, F.lit(k))),
-    ).otherwise(F.array().cast("array<string>"))
-    d = df.select(F.col(id_col), grams.alias("__grams"))
-    d = d.select(
-        id_col, F.transform(F.col("__grams"), h31).alias("__hs")
-    )
+        F.transform(
+            F.sequence(F.lit(1), n_grams), lambda i: h31(t.substr(i, F.lit(k)))
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    d = df.select(F.col(id_col), hashes.alias("__hs"))
     m = F.size(F.col("__hs"))
     if w <= 16:
         # least(element_at...) instead of array_min(slice(...)): the
