@@ -897,6 +897,129 @@ def _collect_codebooks(cb: DataFrame):
 
 _PQ_ASSIGN_SCHEMA = "vid long, sub int, sv array<long>, code long"
 
+_INDEX_ROW_SCHEMA = "vid long, cid long, sub int, code long"
+
+_ENCODE_ROW_SCHEMA = "vid long, sub int, code long"
+
+
+def _encode_rows_kernel(cb_map, m: int):
+    """(vid, qv) → (vid, sub, code): the standalone-encode sibling of
+    :func:`_assign_encode_kernel` (same slicing, same L2 argmin, same
+    tie-breaks — see there for the equivalence argument). Two wastes of
+    the explode+`_pq_argmin_kernel` shape it replaces: the m-fold
+    explode materialized m SQL subarray slices per vector just to carry
+    them across the Arrow boundary, and `_PQ_ASSIGN_SCHEMA` shipped the
+    subvector back OUT of Python only for ``pq_encode`` to drop it on
+    the next line (the sv return exists for the TRAINING loop's
+    centroid update, `pq_codebooks`, which still uses it)."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids = pdf["vid"].to_numpy(dtype=np.int64)
+            block = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            sw = block.shape[1] // m
+            for s in range(m):
+                ent = cb_map.get(s)
+                if ent is None:
+                    continue
+                codes, mat = ent
+                sv = block[:, s * sw : (s + 1) * sw]
+                d = (
+                    (sv * sv).sum(axis=1)[:, None]
+                    - 2 * (sv @ mat.T)
+                    + (mat * mat).sum(axis=1)[None, :]
+                )
+                idx = np.argmin(d, axis=1)  # first hit = smallest code
+                yield pd.DataFrame(
+                    {
+                        "vid": vids,
+                        "sub": np.full(len(vids), s, dtype=np.int32),
+                        "code": codes[idx],
+                    }
+                )
+
+    return kernel
+
+
+def _assign_encode_kernel(cb_map, m: int, cent_ids=None, cent_mat=None):
+    """Fused index-build kernel: coarse-assign AND PQ-encode each vector
+    in ONE pass, emitting the long-form index rows ``(vid, cid, sub,
+    code)`` directly — m rows per vector.
+
+    Two modes:
+
+    * raw (``cent_ids``/``cent_mat`` given): input ``(vid, qv)``; cid is
+      the argmax integer dot against the centroid matrix (numpy argmax
+      first-hit = the smallest cid on ties, exactly
+      ``_coarse_probe_kernel(n_out=1)``'s stable argsort head), and the
+      PQ subvectors are numpy slices of qv (exactly ``pq_encode``'s SQL
+      ``F.slice``: sw = dim // m, subspace s covers [s·sw, (s+1)·sw));
+    * pre-assigned (``cent_ids`` None): input ``(vid, cid, qv)`` — the
+      residual path, where cid rode along with the residual out of the
+      coarse pass and needs no recomputation.
+
+    This replaces the ``codes.join(assigned, "vid")`` the index builders
+    carried: both frames are ROW-WISE functions of the same vector row,
+    so joining them re-shuffles the whole encoded index (m·N ⋈ N rows)
+    to reunite values that never had to separate. Under the declared
+    unique vector id the join-then-project rows are exactly the rows
+    emitted here; the raw mode additionally folds the second corpus map
+    pass and the m-fold explode+slice subvector materialization into
+    this one. Subspaces absent from ``cb_map`` emit nothing (the
+    inner-join semantics of ``_pq_argmin_kernel``); an empty centroid
+    table emits nothing in raw mode (matching the empty ``assigned``
+    the join would have produced). L2 argmin and tie-breaks are the
+    exact expressions of ``_pq_argmin_kernel`` (codes ascending, first
+    hit = smallest code)."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        if cent_ids is not None and len(cent_ids) == 0:
+            for _ in batches:
+                pass
+            return
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids = pdf["vid"].to_numpy(dtype=np.int64)
+            block = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            if cent_ids is not None:
+                dots = block @ cent_mat.T
+                cids = cent_ids[np.argmax(dots, axis=1)]
+            else:
+                cids = pdf["cid"].to_numpy(dtype=np.int64)
+            sw = block.shape[1] // m
+            for s in range(m):
+                ent = cb_map.get(s)
+                if ent is None:
+                    continue
+                codes, mat = ent
+                sv = block[:, s * sw : (s + 1) * sw]
+                d = (
+                    (sv * sv).sum(axis=1)[:, None]
+                    - 2 * (sv @ mat.T)
+                    + (mat * mat).sum(axis=1)[None, :]
+                )
+                idx = np.argmin(d, axis=1)  # first hit = smallest code
+                yield pd.DataFrame(
+                    {
+                        "vid": vids,
+                        "cid": cids,
+                        "sub": np.full(len(vids), s, dtype=np.int32),
+                        "code": codes[idx],
+                    }
+                )
+
+    return kernel
+
 
 def pq_codebooks(
     corpus: DataFrame,
@@ -1042,33 +1165,10 @@ def pq_encode(
     qexpr = (
         F.col(vec_col) if pre_quantized else quantize_embedding(vec_col, scale)
     )
-    sub_w = F.floor(F.size(qexpr) / F.lit(m))
-    subs = (
-        corpus.select(
-            F.col(id_col).alias("vid"),
-            qexpr.alias("qv"),
-            sub_w.alias("sw"),
-        )
-        .select(
-            "vid",
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-            F.col("qv"),
-            "sw",
-        )
-        .select(
-            "vid",
-            "sub",
-            F.slice(
-                F.col("qv"),
-                (F.col("sub") * F.col("sw") + 1).cast("int"),
-                F.col("sw").cast("int"),
-            ).alias("sv"),
-        )
+    return corpus.select(F.col(id_col).alias("vid"), qexpr.alias("qv")).mapInPandas(
+        _encode_rows_kernel(_collect_codebooks(codebooks), m),
+        schema=_ENCODE_ROW_SCHEMA,
     )
-
-    return subs.mapInPandas(
-        _pq_argmin_kernel(_collect_codebooks(codebooks)), schema=_PQ_ASSIGN_SCHEMA
-    ).select("vid", "sub", "code")
 
 
 def pq_topk(
@@ -1498,17 +1598,17 @@ def ivf_pq_topk(
         )
 
     assign_schema = "vid long, qv array<long>, cid long"
-    assigned = (
-        quantized(corpus, "vid")
-        .mapInPandas(_coarse_probe_kernel(cent_ids, cent_mat, 1), schema=assign_schema)
-        .select("vid", "cid")
-    )
     cb = pq_codebooks(
         corpus, m=m, n_codes=n_codes, seed_mod=seed_mod,
         id_col=id_col, vec_col=vec_col, scale=scale,
     )
-    codes = pq_encode(corpus, cb, m=m, id_col=id_col, vec_col=vec_col, scale=scale)
-    indexed = codes.join(assigned, "vid")
+    # fused coarse-assign + PQ-encode: ONE corpus map pass emitting the
+    # long-form index rows, instead of two passes re-joined on vid
+    # (_assign_encode_kernel docstring has the equivalence argument)
+    indexed = quantized(corpus, "vid").mapInPandas(
+        _assign_encode_kernel(_collect_codebooks(cb), m, cent_ids, cent_mat),
+        schema=_INDEX_ROW_SCHEMA,
+    )
 
     probes = (
         quantized(queries, "vid")
@@ -1626,23 +1726,19 @@ def build_embedding_index(
         if cent_rows
         else np.zeros((0, dim), dtype=np.int64)
     )
-    assigned = (
-        surv.select(
-            F.col(id_col).alias("vid"), quantize_embedding(vec_col).alias("qv")
-        )
-        .mapInPandas(
-            _coarse_probe_kernel(cent_ids, cent_mat, 1),
-            schema="vid long, qv array<long>, cid long",
-        )
-        .select("vid", "cid")
-    )
     cb = pq_codebooks(
         surv, m=m, n_codes=n_codes, seed_mod=seed_mod, id_col=id_col, vec_col=vec_col
     )
-    codes = pq_encode(surv, cb, m=m, id_col=id_col, vec_col=vec_col)
-    return codes.join(assigned, "vid").select(
-        F.col("vid").alias(id_col), "cid", "sub", "code"
+    # fused coarse-assign + PQ-encode over the survivors: ONE map pass
+    # emitting (vid, cid, sub, code) directly, instead of the coarse pass
+    # and the encode pass re-joined on vid (_assign_encode_kernel)
+    indexed = surv.select(
+        F.col(id_col).alias("vid"), quantize_embedding(vec_col).alias("qv")
+    ).mapInPandas(
+        _assign_encode_kernel(_collect_codebooks(cb), m, cent_ids, cent_mat),
+        schema=_INDEX_ROW_SCHEMA,
     )
+    return indexed.select(F.col("vid").alias(id_col), "cid", "sub", "code")
 
 
 def _coarse_residual_kernel(cent_ids, cent_mat, n_out: int):
@@ -1756,8 +1852,14 @@ def ivf_pq_residual_topk(
     cb = pq_codebooks(
         res, m=m, n_codes=n_codes, id_col="vid", vec_col="rv", pre_quantized=True
     )
-    codes = pq_encode(res, cb, m=m, id_col="vid", vec_col="rv", pre_quantized=True)
-    assigned = res.select("vid", "cid")
+    # encode with cid riding along (pre-assigned mode): cid and the PQ
+    # codes are row-wise functions of the same checkpointed residual row,
+    # so the former codes⋈assigned join on vid only re-shuffled the
+    # encoded index to reunite them (_assign_encode_kernel)
+    indexed = res.select("vid", "cid", F.col("rv").alias("qv")).mapInPandas(
+        _assign_encode_kernel(_collect_codebooks(cb), m),
+        schema=_INDEX_ROW_SCHEMA,
+    )
 
     # queries: nprobe cells with the exact coarse dot per probe; the ADC
     # LUT comes from the RAW quantized query (per-query, not per-probe)
@@ -1791,7 +1893,7 @@ def ivf_pq_residual_topk(
     )
     probes = qres.select("query_id", "cid", "cdot")
     scored = (
-        codes.join(assigned, "vid")
+        indexed
         .join(F.broadcast(probes.select("query_id", "cid")), "cid")
         .join(F.broadcast(lut), ["query_id", "sub", "code"])
         .where(F.col("query_id") != F.col("vid"))
@@ -1869,16 +1971,14 @@ def pq_index_encode(
     q = vectors.select(
         F.col(id_col).alias("vid"), quantize_embedding(vec_col, scale).alias("qv")
     )
-    assigned = q.mapInPandas(
-        _coarse_probe_kernel(cent_ids, cent_mat, 1),
-        schema="vid long, qv array<long>, cid long",
-    ).select("vid", "cid")
-    codes = pq_encode(
-        vectors, codebooks, m=m, id_col=id_col, vec_col=vec_col, scale=scale
+    # fused coarse-assign + PQ-encode against the frozen artifacts: ONE
+    # map pass over the new vectors instead of two passes re-joined on
+    # vid (_assign_encode_kernel; the artifacts are collected either way)
+    indexed = q.mapInPandas(
+        _assign_encode_kernel(_collect_codebooks(codebooks), m, cent_ids, cent_mat),
+        schema=_INDEX_ROW_SCHEMA,
     )
-    return codes.join(assigned, "vid").select(
-        F.col("vid").alias(id_col), "cid", "sub", "code"
-    )
+    return indexed.select(F.col("vid").alias(id_col), "cid", "sub", "code")
 
 
 def stream_index_encode(

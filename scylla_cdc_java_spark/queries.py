@@ -2301,10 +2301,20 @@ def q_pipeline_end_to_end(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     q = apply_quality_filters(d).where(F.col("keep")).select("doc_id", "source", "text")
-    canon = q.groupBy(F.md5(F.col("text")).alias("__h")).agg(
-        F.min("doc_id").alias("doc_id")
+    # keep-canonical in ONE pass: a doc survives iff its id is the min of
+    # its content-hash group — row-identical to the former
+    # groupBy(md5)+left-semi pair, which evaluated the quality chain
+    # TWICE (the aggregate branch and the probe side of the self-join;
+    # Spark reuses no aliased subtree) and shuffled twice (narrow agg
+    # exchange + the semi-join's id exchange of the full text rows). The
+    # window is the dedup shuffle the docstring promises and nothing else.
+    kept = (
+        q.withColumn(
+            "__mn", F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+        )
+        .where(F.col("doc_id") == F.col("__mn"))
+        .drop("__mn")
     )
-    kept = q.join(canon, "doc_id", "left_semi")
     s = stratified_sample(kept, rates={"src0": 0.25, "src1": 0.5}, stratum_col="source")
     return pack_sequences(s, budget=2048)
 
