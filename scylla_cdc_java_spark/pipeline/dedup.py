@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .pins import pin
 from .text import shingles, tokens_col
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
@@ -66,10 +67,20 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     max_df: int | None = None,
     n_salts: int | None = None,
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard via inverted index.
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct word n-grams.
+
+    ``hashed_shingles`` lets a caller that ALREADY built the
+    ``(id_col, sh = xxhash64(shingle))`` inverted-index input share it
+    (the caller owns its pin/lifetime) instead of this function scanning
+    and exploding the documents again — the quality harnesses run this
+    truth chain next to a detector chain over the *same grain*, and
+    sharing saves one full documents scan + shingle explode per call
+    (guide §2.4 / VERDICT r11 #3). The frame must be per-(doc, shingle)
+    distinct, exactly what this function builds when the param is None.
 
     ``max_df`` is the skew guard for the self-join: shingles appearing in
     more than ``max_df`` documents are dropped from the inverted index
@@ -98,11 +109,13 @@ def ngram_jaccard_pairs(
     # concurrent-branch recompute does not manifest; the branches'
     # stages serialize on the first exchange), and localCheckpoint's
     # materialization job cost 1.1-2x extra
-    sh = (
-        shingles(df.select(id_col, "text"), n=n)
-        .select(id_col, F.xxhash64("shingle").alias("sh"))
-        .cache()
-    )
+    if hashed_shingles is not None:
+        sh = hashed_shingles
+    else:
+        sh = pin(
+            shingles(df.select(id_col, "text"), n=n)
+            .select(id_col, F.xxhash64("shingle").alias("sh"))
+        )
     if max_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -206,19 +219,33 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated Jaccard.
 
-    Bands the wide signature (k/band_rows bands) with a narrow explode
-    (band_count rows per doc), buckets docs by identical band values, emits
-    candidate pairs from shared buckets, then estimates similarity as the
-    equal-minhash fraction — a single wide-row comparison, no signature
-    re-join per permutation.
+    Bands the wide signature (k/band_rows bands), buckets docs by
+    identical band values, and carries the WHOLE signature on each band
+    row (k ints — every minhash is mod 2^31-1, so an int holds it
+    exactly at half the long's bytes), the ``dedup_simhash_hamming``
+    pattern where the carried signature is one long. The estimate is
+    then computable straight off the band join's output, so:
+
+    * the threshold filter runs BEFORE the pair-dedup exchange — the
+      distinct carries only threshold survivors instead of every band
+      collision (§2.3 shuffle fewer bytes; row-identical because the
+      estimate is a pure function of the pair, so filter-then-dedup ==
+      dedup-then-filter);
+    * the two signature re-joins (an extra shuffle of the candidate set
+      by doc_a and again by doc_b, plus two exchanges of the signature
+      table) disappear from the plan (§2.4 remove shuffles outright) —
+      measured r12: 7 Exchange → 3, 3 SortMergeJoin → 1.
+
+    The trade is a wider band-join exchange (k ints per band row instead
+    of one id+key); it buys the removal of every post-collision shuffle,
+    which is the side that explodes when buckets are hot.
     """
-    # the signature table feeds three plan branches (banding + both sides of
-    # the estimation join); cache it AND materialize it now — inside a single
-    # downstream action the branches would race ahead of cache population
-    # and each recompute the shingle scan + k-min aggregation. At scale this
-    # is the table you'd checkpoint: |docs| rows x k longs, tiny next to the
-    # corpus.
-    sig = minhash_signatures(df, k=k, n=n, id_col=id_col).cache()
+    # the signature table feeds both sides of the banded self-join; pin it
+    # AND materialize it now — inside a single downstream action the two
+    # branches would race ahead of cache population and each recompute the
+    # shingle scan + k-min aggregation. At scale this is the table you'd
+    # checkpoint: |docs| rows x k values, tiny next to the corpus.
+    sig = pin(minhash_signatures(df, k=k, n=n, id_col=id_col))
     sig.count()
     n_bands = k // band_rows
     # bucket key = xxhash64(band, its row minhashes): an 8-byte join key
@@ -231,29 +258,23 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = sig.select(id_col, F.explode(F.array(*band_keys)).alias("band_key"))
-    ba = bands.select(F.col(id_col).alias("doc_a"), "band_key")
-    bb = bands.select(F.col(id_col).alias("doc_b"), "band_key")
-    cand = (
-        ba.join(bb, ["band_key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    siga = sig.select(
-        F.col(id_col).alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)]
-    )
-    sigb = sig.select(
-        F.col(id_col).alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)]
-    )
+
+    def side(out: str, pfx: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(out),
+            F.explode(F.array(*band_keys)).alias("band_key"),
+            *[F.col(f"mh_{i}").cast("int").alias(f"{pfx}_{i}") for i in range(k)],
+        )
+
     n_equal = sum((F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k))
-    est = (
-        cand.join(siga, "doc_a")
-        .join(sigb, "doc_b")
+    return (
+        side("doc_a", "a")
+        .join(side("doc_b", "b"), ["band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
         .withColumn("est_jaccard", F.round(n_equal.cast("double") / F.lit(float(k)), 6))
-    )
-    return est.where(F.col("est_jaccard") >= F.lit(threshold)).select(
-        "doc_a", "doc_b", "est_jaccard"
+        .where(F.col("est_jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "est_jaccard")
+        .distinct()
     )
 
 
@@ -544,7 +565,7 @@ def winnow_pairs(
     exact semantics for bounded corpora."""
     # plain cache on purpose — see ngram_jaccard_pairs for the r11
     # cache/count/checkpoint measurement
-    fp = winnow_fingerprints(df, k=k, w=w, id_col=id_col).cache()
+    fp = pin(winnow_fingerprints(df, k=k, w=w, id_col=id_col))
     fpj = fp
     if max_df is not None:
         hot = (
@@ -664,12 +685,14 @@ def incremental_dedup(
         both = corpus.select(F.lit(0).alias("__side"), id_col, "text").unionByName(
             incoming.select(F.lit(1).alias("__side"), id_col, "text")
         )
-        sig_all = minhash_signatures(
-            both.withColumn(
-                "__sid", F.struct(F.col("__side"), F.col(id_col)).alias("__sid")
-            ).select(F.col("__sid").alias("__sid"), "text"),
-            k=k, n=n, id_col="__sid",
-        ).cache()
+        sig_all = pin(
+            minhash_signatures(
+                both.withColumn(
+                    "__sid", F.struct(F.col("__side"), F.col(id_col)).alias("__sid")
+                ).select(F.col("__sid").alias("__sid"), "text"),
+                k=k, n=n, id_col="__sid",
+            )
+        )
         sig_c = sig_all.where(F.col("__sid.__side") == 0).select(
             F.col(f"__sid.{id_col}").alias(id_col),
             *[F.col(f"mh_{i}") for i in range(k)],
@@ -681,7 +704,7 @@ def incremental_dedup(
         sig_all.count()
     else:
         sig_c = corpus_signatures
-        sig_i = minhash_signatures(incoming, k=k, n=n, id_col=id_col).cache()
+        sig_i = pin(minhash_signatures(incoming, k=k, n=n, id_col=id_col))
         sig_i.count()
     n_bands = k // band_rows
     band_keys = [
@@ -691,28 +714,25 @@ def incremental_dedup(
         for b in range(n_bands)
     ]
 
-    def bands(sig: DataFrame, out: str) -> DataFrame:
+    # carry the signature ON the band rows (the minhash_lsh_pairs /
+    # simhash-hamming pattern, k ints per row): the estimate computes
+    # straight off the band join, the threshold filters immediately, and
+    # the candidate-pair distinct + both signature re-joins disappear —
+    # the distinct is not even replaced: the min_by aggregate below is
+    # duplicate-insensitive (a pair surfacing from several bands carries
+    # the identical (est, match_id) struct), so deduping first was pure
+    # shuffle overhead (r12; 7 Exchange → 3 in the gate plan).
+    def bands(sig: DataFrame, out: str, pfx: str) -> DataFrame:
         return sig.select(
-            F.col(id_col).alias(out), F.explode(F.array(*band_keys)).alias("band_key")
+            F.col(id_col).alias(out),
+            F.explode(F.array(*band_keys)).alias("band_key"),
+            *[F.col(f"mh_{i}").cast("int").alias(f"{pfx}_{i}") for i in range(k)],
         )
 
-    cand = (
-        bands(sig_i, "doc_id")
-        .join(bands(sig_c, "match_id"), ["band_key"])
-        .select("doc_id", "match_id")
-        .distinct()
-    )
-    siga = sig_i.select(
-        F.col(id_col).alias("doc_id"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)]
-    )
-    sigb = sig_c.select(
-        F.col(id_col).alias("match_id"),
-        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)],
-    )
     n_equal = sum((F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k))
     est = (
-        cand.join(siga, "doc_id")
-        .join(sigb, "match_id")
+        bands(sig_i, "doc_id", "a")
+        .join(bands(sig_c, "match_id", "b"), ["band_key"])
         .withColumn("est_jaccard", F.round(n_equal.cast("double") / F.lit(float(k)), 6))
         .where(F.col("est_jaccard") >= F.lit(threshold))
     )

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
+from .pins import pin
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -225,7 +227,7 @@ def phash_pairs(df: DataFrame, radius: int = 3) -> DataFrame:
     # reuses no aliased exchange, so an uncached upstream (the per-bit
     # FNV decode kernel) would run twice — the dedup_simhash_hamming
     # finding, same fix (one row per media id, LRU-evictable)
-    ph = df.where(F.col("phash").isNotNull()).cache()
+    ph = pin(df.where(F.col("phash").isNotNull()))
     bands = ph.select(
         "media_id",
         "phash",

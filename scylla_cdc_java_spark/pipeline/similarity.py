@@ -911,37 +911,21 @@ def _encode_rows_kernel(cb_map, m: int):
     them across the Arrow boundary, and `_PQ_ASSIGN_SCHEMA` shipped the
     subvector back OUT of Python only for ``pq_encode`` to drop it on
     the next line (the sv return exists for the TRAINING loop's
-    centroid update, `pq_codebooks`, which still uses it)."""
+    centroid update, `pq_codebooks`, which still uses it).
+
+    Implemented by DELEGATING to :func:`_assign_encode_kernel` in
+    pre-assigned mode (a dummy cid rides in and is dropped from each
+    output batch) so the tie-break-sensitive per-subspace argmin exists
+    in exactly one place (ADVICE r11)."""
+    inner = _assign_encode_kernel(cb_map, m)
 
     def kernel(batches):
-        import numpy as np
-        import pandas as pd
+        def with_dummy_cid(bs):
+            for pdf in bs:
+                yield pdf.assign(cid=0)
 
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vids = pdf["vid"].to_numpy(dtype=np.int64)
-            block = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
-            sw = block.shape[1] // m
-            for s in range(m):
-                ent = cb_map.get(s)
-                if ent is None:
-                    continue
-                codes, mat = ent
-                sv = block[:, s * sw : (s + 1) * sw]
-                d = (
-                    (sv * sv).sum(axis=1)[:, None]
-                    - 2 * (sv @ mat.T)
-                    + (mat * mat).sum(axis=1)[None, :]
-                )
-                idx = np.argmin(d, axis=1)  # first hit = smallest code
-                yield pd.DataFrame(
-                    {
-                        "vid": vids,
-                        "sub": np.full(len(vids), s, dtype=np.int32),
-                        "code": codes[idx],
-                    }
-                )
+        for out in inner(with_dummy_cid(batches)):
+            yield out.drop(columns=["cid"])
 
     return kernel
 
@@ -1570,9 +1554,10 @@ def ivf_pq_topk(
     how billion-vector indexes are actually laid out.
 
     * build (once, persisted in a real deployment): coarse assignment of
-      every corpus vector to its nearest centroid (one broadcast-GEMM map
-      pass, ``_coarse_probe_kernel``) + PQ codes per vector (m small ids);
-      the raw vectors are never touched again;
+      every corpus vector to its nearest centroid + PQ codes per vector
+      (m small ids), both in ONE fused broadcast-GEMM map pass
+      (``_assign_encode_kernel``; ``_coarse_probe_kernel`` serves only
+      the query side here); the raw vectors are never touched again;
     * query: probe ``nprobe`` nearest centroids, build the per-query
       (sub, code)->partial-dot LUT, ADC-score ONLY vectors in probed
       buckets, one (query_id, vid) partial-agg sum, per-query top-k.
@@ -2007,8 +1992,9 @@ def stream_index_encode(
     artifacts), so a replay would append byte-identical rows — the
     anti-join on ``vec_id`` against the existing index makes the append
     idempotent instead of duplicated. Per batch: one O(k) artifact
-    collect, two GEMM map passes over the batch, one id anti-join
-    against the index's id column (columnar scan of ids only).
+    collect, one fused assign+encode GEMM map pass over the batch
+    (``pq_index_encode``), one id anti-join against the index's id
+    column (columnar scan of ids only).
     """
     import os
 

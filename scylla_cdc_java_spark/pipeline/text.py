@@ -988,11 +988,72 @@ def _merge_fold(syms: Column, a: str, b: str) -> Column:
     )
 
 
+def _bpe_fold_local(syms: list[str], a: str, b: str) -> list[str]:
+    """Driver-side mirror of :func:`_merge_fold` — left-to-right
+    non-overlapping substitution of adjacent ``(a, b)`` by ``a+b``.
+    Semantics must stay bit-identical to the Spark fold (the ``m`` flag
+    blocks a merge whose left symbol was itself just produced)."""
+    acc: list[str] = []
+    m = False
+    ab = a + b
+    for s in syms:
+        if acc and not m and acc[-1] == a and s == b:
+            acc[-1] = ab
+            m = True
+        else:
+            acc.append(s)
+            m = False
+    return acc
+
+
+def _bpe_train_local(
+    vocab: list[tuple[list[str], int]], n_merges: int, batch: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side mirror of the distributed merge loop: same pair
+    counting (every adjacent occurrence, weighted by word count), same
+    argmax order (n desc, a asc, b asc — Python str comparison equals
+    Spark's UTF8 binary order for valid Unicode: UTF-8 byte order
+    preserves code-point order), same batch>1 greedy compatibility
+    selection INCLUDING the 4*want+8 candidate truncation, same fold."""
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        top = sorted(
+            ((n, a, b) for (a, b), n in counts.items()),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )[: 1 if want == 1 else 4 * want + 8]
+        selected: list[tuple[str, str, int]] = []
+        used_syms: set[str] = set()
+        created: set[str] = set()
+        for n, a, b in top:
+            if len(selected) >= want:
+                break
+            if {a, b} & (used_syms | created) or (a + b) in used_syms:
+                continue
+            selected.append((a, b, n))
+            used_syms |= {a, b}
+            created.add(a + b)
+        if not selected:
+            break
+        for a, b, n in selected:
+            merges.append((len(merges), a, b, n))
+            vocab = [(_bpe_fold_local(s, a, b), c) for s, c in vocab]
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
     batch: int = 1,
+    local_max_vocab: int | None = 1 << 17,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges over the corpus — the REAL iterative
     tokenizer-training loop whose single round :func:`bpe_pair_counts`
@@ -1009,6 +1070,13 @@ def bpe_train(
     so the lazy plan doesn't nest rounds exponentially. The driver loop
     is metadata-plane: one tiny job per merge, exactly like the
     reference-scale trainers' "count, pick, substitute" rounds.
+
+    ``local_max_vocab``: when the collapsed vocabulary has at most this
+    many rows, the merge rounds run on the DRIVER over the collected
+    (syms, cnt) table — zero per-round Spark jobs, bit-identical results
+    (the counting/argmax/fold are exact mirrors, differential-tested).
+    This is the production trainer shape: count distributed, merge
+    locally. ``None`` forces the distributed rounds at any size.
 
     ``batch`` is the standard distributed-BPE scale knob: per driver
     round, the top-``batch`` mutually NON-INTERACTING pairs (no shared
@@ -1046,6 +1114,24 @@ def bpe_train(
     # wall-clock at gate sizes). ~64k rows per partition keeps a
     # million-word vocab parallel while tiny vocabs run single-task.
     n_vocab = wc.count()
+    spark = df.sparkSession
+    if local_max_vocab is not None and n_vocab <= local_max_vocab:
+        # LOCAL merge loop (r12): the corpus has already collapsed to the
+        # bounded (word, count) vocabulary — the artifact every production
+        # BPE trainer builds distributed and then merges over LOCALLY
+        # (HF tokenizers / SentencePiece shape). Collecting it once costs
+        # one job over ≤ local_max_vocab narrow rows (the per-round argmax
+        # collects the old loop did 8x were the same data plane, sliced
+        # thinner); the merge rounds then run with ZERO per-round Spark
+        # jobs instead of one aggregate + periodic checkpoint each
+        # (measured r12: text_bpe_train 2.74 → ~1.3 s at sf0.1, ~14 jobs
+        # → 4). Results are bit-identical (same counting, same argmax
+        # tiebreak, same fold; differential-tested both paths + the
+        # oracle's unrolled CTE chain). Above the threshold the
+        # distributed rounds below remain the at-scale path.
+        vocab_rows = [(list(r["syms"]), r["cnt"]) for r in wc.collect()]
+        merges_local = _bpe_train_local(vocab_rows, n_merges, batch)
+        return spark.createDataFrame(merges_local, "step int, a string, b string, n long")
     target = max(1, min(wc.rdd.getNumPartitions(), int(n_vocab // 65536) + 1))
     if target < wc.rdd.getNumPartitions():
         wc = wc.coalesce(target)

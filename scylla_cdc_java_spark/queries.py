@@ -33,6 +33,7 @@ from .pipeline.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from .pipeline.pins import pin as _pin
 from .pipeline.multimodal import documents_as_media, extract_features, sample_frames
 from .pipeline.similarity import (
     cosine_topk_bruteforce,
@@ -2303,7 +2304,10 @@ def q_pipeline_end_to_end(spark, sf_dir):
     q = apply_quality_filters(d).where(F.col("keep")).select("doc_id", "source", "text")
     # keep-canonical in ONE pass: a doc survives iff its id is the min of
     # its content-hash group — row-identical to the former
-    # groupBy(md5)+left-semi pair, which evaluated the quality chain
+    # groupBy(md5)+left-semi pair UNDER UNIQUE doc_id (the documents
+    # table's declared key; a duplicated doc_id canonical in one hash
+    # group would previously also keep its rows in other groups, but is
+    # now dropped there), which evaluated the quality chain
     # TWICE (the aggregate branch and the probe side of the self-join;
     # Spark reuses no aliased subtree) and shuffled twice (narrow agg
     # exchange + the semi-join's id exchange of the full text rows). The
@@ -5058,7 +5062,7 @@ def q_dedup_simhash_hamming(spark, sf_dir):
     # never reuses the aliased exchange (zero ReusedExchange across the
     # whole registry's plans) — without the pin the full token-explode
     # simhash aggregation runs twice. One row per doc; LRU-evictable.
-    sh = simhash(_docs(spark, sf_dir)).select("doc_id", "simhash").cache()
+    sh = _pin(simhash(_docs(spark, sf_dir)).select("doc_id", "simhash"))
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -5139,22 +5143,32 @@ def q_dedup_containment(spark, sf_dir):
     candidate generation drops ubiquitous shingles, so capped scores
     can only lose the boilerplate intersection contribution. The score
     normalizes by ONE side, emitted in both directions."""
-    from .pipeline.dedup import h31
+    docs = _docs(spark, sf_dir)
+    return _containment_pairs(_hashed_shingles(docs))
+
+
+def _hashed_shingles(docs):
+    """The shared inverted-index input ``(doc_id, sh = xxhash64(shingle))``
+    over distinct word 3-grams — pinned (see ngram_jaccard_pairs for the
+    r11 cache/count/checkpoint measurement; plain lazy cache won)."""
     from .pipeline.text import shingles
 
-    docs = _docs(spark, sf_dir)
-    # plain cache on purpose — see ngram_jaccard_pairs for the r11
-    # cache/count/checkpoint measurement
-    sh = (
+    return _pin(
         shingles(docs.select("doc_id", "text"), n=3)
         .select("doc_id", F.xxhash64("shingle").alias("sh"))
-        .cache()
     )
+
+
+def _containment_pairs(sh, max_df: int = 50, threshold: float = 0.5):
+    """Containment detector chain over a prebuilt hashed-shingle frame
+    (factored so the quality harness can feed the SAME shingle scan to
+    this detector and the jaccard truth chain — one documents scan
+    instead of two, guide §2.4 / VERDICT r11 #3)."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     hot = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > 50)
+        .where(F.col("df") > max_df)
         .select("sh")
     )
     shc = sh.join(F.broadcast(hot), "sh", "left_anti")
@@ -5172,7 +5186,7 @@ def q_dedup_containment(spark, sf_dir):
         "containment",
         F.round(F.col("common").cast("double") / F.col("sz_a").cast("double"), 6),
     )
-    return j.where(F.col("containment") >= 0.5).select(
+    return j.where(F.col("containment") >= threshold).select(
         "doc_a", "doc_b", "common", "containment"
     )
 
@@ -5214,8 +5228,15 @@ def q_dedup_containment_quality(spark, sf_dir):
     below the truth threshold — precision against whole-doc truth is
     exactly the number that separates the two dedup policies."""
     docs = _docs(spark, sf_dir)
-    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
-    c = q_dedup_containment(spark, sf_dir)
+    # truth and detector consume the IDENTICAL grain here (distinct
+    # hashed word 3-grams), so both chains share ONE shingle scan/pin —
+    # one documents scan + explode instead of two (r12; the other quality
+    # gates' detectors use different grains and cannot share)
+    sh = _hashed_shingles(docs)
+    truth = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, hashed_shingles=sh
+    ).select("doc_a", "doc_b")
+    c = _containment_pairs(sh)
     approx = c.select(
         F.least("doc_a", "doc_b").alias("doc_a"),
         F.greatest("doc_a", "doc_b").alias("doc_b"),

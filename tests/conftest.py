@@ -9,6 +9,36 @@ from scylla_cdc_java_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
+# The default suite must complete inside the driver's verify window
+# (~49 min overran it in r11 — VERDICT r11 #2). Exhaustive variants —
+# full fixture-table matrices, per-case streaming replays whose batch
+# twins already run, registry-scale fuzz — carry @pytest.mark.full and
+# are skipped unless SPARK_GRAFT_FULL_TESTS=1; every marked family keeps
+# at least one fast representative in the default run, and the behavior
+# each marked test pins is otherwise covered (batch-path twin, oracle
+# gate, or a kept representative — noted per mark). The full matrix
+# remains one env var away and is run before releases.
+FULL_TESTS = os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "full: exhaustive/slow variant; skipped unless SPARK_GRAFT_FULL_TESTS=1 "
+        "(a fast representative always stays in the default run)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if FULL_TESTS:
+        return
+    skip = pytest.mark.skip(
+        reason="full-matrix variant (SPARK_GRAFT_FULL_TESTS=1 enables)"
+    )
+    for item in items:
+        if "full" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():

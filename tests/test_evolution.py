@@ -157,6 +157,8 @@ def test_replicate_evolves_across_alter_add_and_drop(spark, tmp_path):
     assert got3 == {("a", 1): None, ("a", 2): "x", ("b", 1): "y", ("c", 1): "z"}
 
 
+# full: heterogeneous-file single-pass variant of the kept evolution path.
+@pytest.mark.full
 def test_replicate_single_pass_over_heterogeneous_files(spark, tmp_path):
     """Both epochs already present at first call: one pass reads pre-ALTER
     files under the evolved schema (parquet null-fills the new column)."""
@@ -174,6 +176,8 @@ def test_replicate_single_pass_over_heterogeneous_files(spark, tmp_path):
     assert got == {("a", 1): (10, None), ("b", 1): (20, "w")}
 
 
+# full: multi-table fan-out of the single-table evolution path (kept).
+@pytest.mark.full
 def test_multi_table_consumer_group(spark, tmp_path):
     """CDCConsumer.Builder.addTables analog: two tables under one
     lifecycle, concurrent AvailableNow catch-up, independent states."""
@@ -292,6 +296,8 @@ UD2 = _desc_of(
 )
 
 
+# full: UDT-field ADD variant; column-level ADD/DROP evolution kept.
+@pytest.mark.full
 def test_replicate_evolves_udt_field_add(spark, tmp_path):
     """AlterUpdateUdtIT analog: ``ALTER TYPE ... ADD`` widens a UDT column
     mid-stream — the column set is unchanged, only the struct layout
@@ -332,6 +338,8 @@ def test_replicate_evolves_udt_field_add(spark, tmp_path):
     assert got == {("a", 1): (1, None), ("a", 2): (3, "x"), ("b", 1): (9, "y")}
 
 
+# full: mtime-ordering edge of the evolution listing (kept path covers).
+@pytest.mark.full
 def test_post_alter_file_with_older_mtime_is_not_narrowed(spark, tmp_path):
     """The distributed-writer hole: a post-ALTER (wide) file whose mtime
     sorts OLDER than a pre-ALTER (narrow) straggler. Newest-file-only
@@ -401,6 +409,8 @@ def test_replicate_re_add_column_does_not_resurrect(spark, tmp_path):
     assert got == {("a", 1): (9, None), ("b", 1): (2, None), ("c", 1): (3, "new")}
 
 
+# full: UDT-level twin of the column-level resurrection regression (kept).
+@pytest.mark.full
 def test_replicate_udt_field_re_add_does_not_resurrect(spark, tmp_path):
     """UDT-field sibling of the re-add scenario: ALTER TYPE DROP a field,
     then ADD one back with the same name. The nested field is NEW — rows

@@ -60,6 +60,8 @@ def test_lsh_bucketed_recall(spark, emb_df):
     assert hits >= len(exact) * 0.5, f"recall too low: {hits}/{len(exact)}"
 
 
+# full: IVF-vs-brute agreement (~31 s); pinned by the ann_ivf_recall gate.
+@pytest.mark.full
 def test_ivf_agrees_with_bruteforce_on_probed_buckets(spark, emb_df):
     """IVF with nprobe == n_centroids degenerates to exact search."""
     queries = emb_df.where(F.col("vec_id") < 10)
@@ -115,6 +117,9 @@ def test_frame_sampling_bounds(spark):
     assert 5 in by and 2 in by
 
 
+# full: exhaustive shard-pair enumeration (~66 s); the embedding-pairs
+# oracle gates pin the output.
+@pytest.mark.full
 def test_sharded_gemm_pairs_exactly_once(spark, emb_df):
     """The sharded block GEMM must emit every qualifying unordered pair
     exactly once (diagonal + off-diagonal blocks), matching a brute-force
@@ -205,6 +210,8 @@ def test_shingles_short_documents(spark):
     assert minhash_lsh_pairs(docs, n=3).count() >= 1
 
 
+# full: streaming twin of the batch exact-dedup (kept + oracle gate).
+@pytest.mark.full
 def test_stream_exact_dedup(spark, tmp_path):
     """Streaming exact dedup drops redelivered/duplicate documents."""
     import os
@@ -409,6 +416,9 @@ def test_validate_embeddings_malformed_edges(spark):
     )
 
 
+# full: walks EVERY ANN tier (~70 s); each tier's recall/topk oracle gate
+# plus the kept per-tier tests pin the behavior.
+@pytest.mark.full
 def test_screen_embeddings_enforced_in_every_ann_tier(spark):
     """validate= wiring (VERDICT r09 #6): a planted NaN vector either
     raises (reject) or is excluded from every tier's output
@@ -911,6 +921,8 @@ def test_phash_matches_python_reference_on_random_unicode(spark):
     check()
 
 
+# full: late-data boundary of the tumbling stream (t1 gate + kept window test).
+@pytest.mark.full
 def test_stream_tumbling_late_data_boundary(spark, tmp_path):
     """Watermark admission boundary, pinned exactly: after chunk 1 the
     watermark is max(chunk-1 event time) − delay; a late row whose

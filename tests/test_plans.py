@@ -579,3 +579,31 @@ def test_seed_hash_cross_engine_including_negative_ids(spark):
         ).fetchall()
     )
     assert got == {k: int(v) for k, v in want.items()}
+
+
+def test_minhash_lsh_single_join_filter_before_distinct(spark):
+    """r12 restructure guard: the banded LSH carries the signature ON the
+    band rows (the simhash-hamming pattern), so the whole plan has exactly
+    ONE join (the band self-join) — the former codes⋈sig⋈sig estimation
+    joins are gone — and the pair-dedup aggregate sits ABOVE the threshold
+    filter (its grouping carries est_jaccard), i.e. the pre-distinct
+    exchange holds only threshold survivors."""
+    import re
+
+    plan = _plan(spark, "dedup_minhash_lsh")
+    joins = re.findall(r"\(\d+\) [A-Za-z]*(?:HashJoin|MergeJoin|NestedLoopJoin)", plan)
+    assert len(joins) == 1, f"expected 1 join (band self-join), got {joins}"
+    # the distinct's grouping keys include the estimate column → the
+    # filter ran below it
+    assert "est_jaccard" in plan
+
+
+def test_incremental_dedup_no_pair_distinct_two_joins(spark):
+    """r12: same band-row-signature restructure; the candidate distinct is
+    gone outright (min_by is duplicate-insensitive), leaving two joins —
+    the incoming⋈corpus band join and the left join back to the batch."""
+    import re
+
+    plan = _plan(spark, "dedup_incremental")
+    joins = re.findall(r"\(\d+\) [A-Za-z]*(?:HashJoin|MergeJoin|NestedLoopJoin)", plan)
+    assert len(joins) == 2, f"expected 2 joins (band + left-join-back), got {joins}"

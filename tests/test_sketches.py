@@ -183,6 +183,8 @@ class TestSimhashExpr:
         }
         assert batch == perrow
 
+    # full: streaming twin of the batch simhash dedup (oracle-gated).
+    @pytest.mark.full
     def test_stream_simhash_dedup(self, spark, tmp_path):
         import os
 
@@ -342,6 +344,9 @@ class TestTemperatureWeights:
 
 
 class TestStreamIncrementalDedup:
+    # full: cross-batch admission; restart-idempotency (kept) exercises the
+    # same store through the harder path, and the composed gate covers it.
+    @pytest.mark.full
     def test_admission_across_batches(self, spark, tmp_path):
         import os
 
@@ -826,6 +831,9 @@ class TestIncrementalDedupStringIds:
 
 
 class TestStreamShortDocAdmission:
+    # full: short-doc admission edge of the incremental-dedup store (kept
+    # restart test + stream gate cover the store).
+    @pytest.mark.full
     def test_short_exact_dups_rejected_on_replay_and_within_batch(self, spark, tmp_path):
         # sub-n-token docs produce no shingles -> the banded path cannot
         # see them; the exact content-hash stages must catch them
@@ -954,6 +962,8 @@ class TestBuildEmbeddingIndex:
 
 
 class TestStreamSignatureStore:
+    # full: store-growth bookkeeping variant (kept restart test covers).
+    @pytest.mark.full
     def test_signature_store_grows_with_index(self, spark, tmp_path):
         """The persisted signature store must cover every signable index
         row after the stream drains (per-batch signing is O(batch), and
@@ -1278,3 +1288,59 @@ class TestStreamIndexEncode:
             stream_index_encode(
                 spark, src, idx, str(tmp_path / "ckpt"), cent, cb, m=4
             ).awaitTermination()
+
+
+def test_bpe_train_local_path_matches_distributed(spark):
+    """r12: bpe_train runs its merge rounds on the driver when the
+    collapsed vocab fits (local_max_vocab); the local loop must be
+    bit-identical to the distributed rounds — same counting, argmax
+    tiebreak (n desc, a, b), 4*want+8 candidate truncation, and fold —
+    for both strict-sequential (batch=1) and batched selection."""
+    from scylla_cdc_java_spark.pipeline.text import bpe_train
+
+    texts = [
+        "abab abab banana bandana",
+        "cabbage abacus ba ba ba",
+        "aa aa aa ab ab b a",
+        "xyzzy xyz zzy zy zy",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "src0") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    for batch in (1, 3):
+        local = [
+            (r["step"], r["a"], r["b"], r["n"])
+            for r in bpe_train(docs, n_merges=6, batch=batch).collect()
+        ]
+        dist = [
+            (r["step"], r["a"], r["b"], r["n"])
+            for r in bpe_train(
+                docs, n_merges=6, batch=batch, local_max_vocab=None
+            ).collect()
+        ]
+        assert local == dist, f"batch={batch}: local={local} dist={dist}"
+
+
+def test_release_pins_unpersists_lazy_return_caches(spark):
+    """r12 (VERDICT r11 #8): operators that pin a self-join input for
+    their lazy returned frame register it; release_pins() drops every
+    registered pin so a long-lived session can reclaim storage without
+    a blanket clearCache()."""
+    from scylla_cdc_java_spark.pipeline import pins
+    from scylla_cdc_java_spark.pipeline.dedup import winnow_pairs
+
+    pins.release_pins()  # clean slate
+    docs = spark.createDataFrame(
+        [(i, ("abcdefgh" * 4) + str(i % 3)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = winnow_pairs(docs)
+    out.count()  # populate the fp pin
+    assert pins._PINS, "winnow_pairs should register its fingerprint pin"
+    pinned = list(pins._PINS)
+    assert any(df.storageLevel.useMemory for df in pinned)
+    n = pins.release_pins()
+    assert n == len(pinned)
+    assert not pins._PINS
+    assert all(not df.storageLevel.useMemory for df in pinned)

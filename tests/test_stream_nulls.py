@@ -176,7 +176,20 @@ NULL_CASES = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(NULL_CASES))
+# Default run keeps two representatives (a scalar all-NULL insert and a
+# collection-delta NULL element); every other case replays the SAME null
+# semantics the fast batch twins in test_apply_nulls.py already pin, just
+# through the streaming path — full matrix under SPARK_GRAFT_FULL_TESTS=1.
+_NULL_FAST = {"insert_all_null_payload", "list_append_null_element"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in _NULL_FAST else pytest.param(n, marks=pytest.mark.full)
+        for n in sorted(NULL_CASES)
+    ],
+)
 def test_stream_null_case(spark, tmp_path, name):
     table, dml, split = NULL_CASES[name]
     # split indexes STATEMENTS; map to encoded-row index (collections may
@@ -188,6 +201,9 @@ def test_stream_null_case(spark, tmp_path, name):
     run_stream_diff(spark, tmp_path, table, dml, split=row_split)
 
 
+# full: the same fuzz mix runs in batch form in test_apply_nulls; this is
+# the streaming replay of it (~109 s).
+@pytest.mark.full
 def test_stream_null_fuzz_differential(spark, tmp_path):
     """The r09 NULL fuzz mix (half of scalar writes NULL; collections mix
     empty/None payloads) through the streaming path — one epoch split per

@@ -119,14 +119,18 @@ def _rand_dml(desc, rng, n=60):
 @pytest.mark.parametrize(
     "table",
     [
+        # tbl_simple is the default-run representative of this matrix;
+        # the other 7 schema shapes replay the SAME pipeline (their
+        # batch-apply semantics are covered per-schema by the fast
+        # test_apply fuzz) and run under SPARK_GRAFT_FULL_TESTS=1.
         "tbl_simple",
-        "tbl_multiple_clustering_keys",
-        "tbl_lists",
-        "tbl_maps",
-        "tbl_sets",
-        "tbl_udts",
-        "tbl_tuples",
-        "tbl_blobs",
+        pytest.param("tbl_multiple_clustering_keys", marks=pytest.mark.full),
+        pytest.param("tbl_lists", marks=pytest.mark.full),
+        pytest.param("tbl_maps", marks=pytest.mark.full),
+        pytest.param("tbl_sets", marks=pytest.mark.full),
+        pytest.param("tbl_udts", marks=pytest.mark.full),
+        pytest.param("tbl_tuples", marks=pytest.mark.full),
+        pytest.param("tbl_blobs", marks=pytest.mark.full),
     ],
 )
 def test_replicator_multibatch(spark, table, tmp_path):
@@ -151,6 +155,9 @@ def test_replicator_multibatch(spark, table, tmp_path):
     _assert_state_matches(desc, state, dml)
 
 
+# full: checkpoint-resume is also pinned by test_run_with_retries (kept)
+# and the composed-stream lost-checkpoint contract test.
+@pytest.mark.full
 def test_replicator_restart_resumes_from_checkpoint(spark, tmp_path):
     """Stop after the first batch of files, restart over the same work dir:
     the second run must only apply the new files on top of the saved state
@@ -262,6 +269,9 @@ def test_range_delete_pairing_across_batches(spark, tmp_path):
     }
 
 
+# full: cross-batch pairing representative kept = range_delete variant;
+# postimage semantics pinned by the j2/r8 oracle gates.
+@pytest.mark.full
 def test_postimage_pairing_across_batches(spark, tmp_path):
     """J2 keyed state: op-kind remembered across microbatch boundary."""
     import copy
@@ -499,6 +509,8 @@ def test_conform_state_rejects_key_changes(spark):
         descriptor_diff(desc, desc2)
 
 
+# full: vacuum-liveness exercised on the bucket-removal path too.
+@pytest.mark.full
 def test_replicator_vacuum_keeps_live_state(spark, tmp_path):
     """vacuum removes superseded version dirs/manifests but never a dir the
     kept manifest still points into; state reads identically after."""
@@ -536,6 +548,8 @@ def test_replicator_vacuum_keeps_live_state(spark, tmp_path):
     assert after == before_named
 
 
+# full: generation rollover pinned by the t6 oracle gate.
+@pytest.mark.full
 def test_generation_directories_roll_over(spark, tmp_path):
     """T6 in the file-source mapping: each generation is a
     generation=<id> directory; new directories are picked up as their
@@ -580,6 +594,8 @@ def test_generation_directories_roll_over(spark, tmp_path):
     assert got == {1: 3, 2: 3}
 
 
+# full: postimage replication pinned by j2/r8 gates + batch twin.
+@pytest.mark.full
 def test_replicator_postimage_mode_stream(spark, tmp_path):
     """K3 post-image mode end-to-end: op-9 full images applied as row
     overwrites, deletes still honored."""
@@ -625,6 +641,8 @@ def test_replicator_postimage_mode_stream(spark, tmp_path):
     assert got[1]["v1"] == 2 and got[1]["v2"] == "x"
 
 
+# full: extra-seed re-rolls of the multibatch matrix (representative kept).
+@pytest.mark.full
 @pytest.mark.parametrize("seed", [101, 202])
 @pytest.mark.parametrize("table", ["tbl_multiple_clustering_keys", "tbl_lists"])
 def test_replicator_multibatch_extra_seeds(spark, table, seed, tmp_path):
@@ -648,6 +666,8 @@ def test_replicator_multibatch_extra_seeds(spark, table, seed, tmp_path):
     _assert_state_matches(desc, state, dml)
 
 
+# full: the non-TWS pairing test (kept) covers the cross-batch contract.
+@pytest.mark.full
 def test_range_delete_pairing_tws_across_batches(spark, tmp_path):
     """J1 on transformWithStateInPandas: identical cross-batch semantics
     to the applyInPandasWithState variant. Needs google.protobuf (the TWS
@@ -691,6 +711,8 @@ def test_range_delete_pairing_tws_across_batches(spark, tmp_path):
     assert got == [("p", 0, 0, 1, None)]
 
 
+# full: bucket lifecycle edge of the vacuum family.
+@pytest.mark.full
 def test_replicator_bucket_removed_when_emptied(spark, tmp_path):
     """A batch that deletes every row of a bucket must drop the bucket's
     manifest pointer (not leave a stale file reference)."""
@@ -720,6 +742,9 @@ def test_replicator_bucket_removed_when_emptied(spark, tmp_path):
     assert sink.current_state(spark) is None or sink.current_state(spark).count() == 0
 
 
+# full: session windows pinned by the events_sessionize gate;
+# tumbling-window streaming representative kept.
+@pytest.mark.full
 def test_streaming_session_window_counts(spark, tmp_path):
     """Gap-based session windows over the change stream: bursts separated
     by more than the gap land in separate (wider-than-gap-spaced) session
