@@ -82,6 +82,20 @@ def ngram_jaccard_pairs(
     (guide §2.4 / VERDICT r11 #3). The frame must be per-(doc, shingle)
     distinct, exactly what this function builds when the param is None.
 
+    Measured dead end, kept out on purpose (r12): carrying the per-doc
+    distinct count on the index rows (size of the deduped array at
+    explode time) to delete the ``sizes`` aggregation + joins is 2.3-2.7x
+    SLOWER at sf0.1 — post-explode ``size(__arr)`` makes the array a
+    Generate pass-through that every exploded row deep-copies (O(len²)
+    bytes/doc), and projecting the array as an attribute makes
+    InferFiltersFromGenerate add a ``size(e)>0`` filter that filter
+    pushdown INLINES below the projection, recomputing the whole gram
+    transform per doc (the inline-generator form skips the inference
+    precisely because the input is expensive). The sizes aggregation this
+    would remove partial-aggregates to one row per doc before its
+    exchange — node count fell but byte count rose. Interleaved A/B:
+    `plans/r12/ab2_{sized_shingles,sizes_agg}_*.json`.
+
     ``max_df`` is the skew guard for the self-join: shingles appearing in
     more than ``max_df`` documents are dropped from the inverted index
     before pairing (a shingle in d docs produces d² candidate rows — one

@@ -607,3 +607,4 @@ def test_incremental_dedup_no_pair_distinct_two_joins(spark):
     plan = _plan(spark, "dedup_incremental")
     joins = re.findall(r"\(\d+\) [A-Za-z]*(?:HashJoin|MergeJoin|NestedLoopJoin)", plan)
     assert len(joins) == 2, f"expected 2 joins (band + left-join-back), got {joins}"
+
