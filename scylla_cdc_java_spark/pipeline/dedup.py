@@ -60,6 +60,49 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def hashed_shingle_index(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """The inverted-index input ``(id_col, sh = xxhash64(shingle))`` over
+    per-doc DISTINCT word n-grams — the ONE definition of the grain that
+    :func:`ngram_jaccard_pairs` consumes. Callers that share it across a
+    truth and detector chain (the containment quality gate) build it here
+    too, so the two chains cannot silently drift onto different grains.
+    Un-cached: the caller owns the pin/lifetime."""
+    return shingles(df.select(id_col, "text"), n=n).select(
+        id_col, F.xxhash64("shingle").alias("sh")
+    )
+
+
+def _signature_band_side(
+    sig: DataFrame, k: int, band_rows: int, out: str, pfx: str, id_col: str
+) -> DataFrame:
+    """One side of the banded-signature self/probe join (r12 pattern,
+    shared by :func:`minhash_lsh_pairs` and :func:`incremental_dedup`):
+    band rows ``(out, band_key, pfx_0..pfx_{k-1})`` carrying the WHOLE
+    signature cast to int — every minhash is mod 2³¹−1, so the cast is
+    exact at half the long's bytes. The bucket key is
+    ``xxhash64(band, its row minhashes)``: an 8-byte join key; a 64-bit
+    collision can only ADD a candidate pair whose estimate is still
+    computed from the true signatures, so the threshold filter bounds the
+    damage at ~n²/2⁶⁴."""
+    n_bands = k // band_rows
+    band_keys = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh_{i}") for i in range(b * band_rows, (b + 1) * band_rows)]
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias(out),
+        F.explode(F.array(*band_keys)).alias("band_key"),
+        *[F.col(f"mh_{i}").cast("int").alias(f"{pfx}_{i}") for i in range(k)],
+    )
+
+
+def _n_equal_minhashes(k: int):
+    """Equal-minhash count between the a_*/b_* casted signature columns."""
+    return sum((F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -126,10 +169,7 @@ def ngram_jaccard_pairs(
     if hashed_shingles is not None:
         sh = hashed_shingles
     else:
-        sh = pin(
-            shingles(df.select(id_col, "text"), n=n)
-            .select(id_col, F.xxhash64("shingle").alias("sh"))
-        )
+        sh = pin(hashed_shingle_index(df, n=n, id_col=id_col))
     if max_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -261,29 +301,10 @@ def minhash_lsh_pairs(
     # checkpoint: |docs| rows x k values, tiny next to the corpus.
     sig = pin(minhash_signatures(df, k=k, n=n, id_col=id_col))
     sig.count()
-    n_bands = k // band_rows
-    # bucket key = xxhash64(band, its row minhashes): an 8-byte join key
-    # instead of a comma-joined string. A 64-bit collision can only ADD a
-    # candidate pair; its estimate is still computed from the true
-    # signatures, so the threshold filter bounds the damage at ~n²/2⁶⁴.
-    band_keys = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"mh_{i}") for i in range(b * band_rows, (b + 1) * band_rows)]
-        )
-        for b in range(n_bands)
-    ]
-
-    def side(out: str, pfx: str) -> DataFrame:
-        return sig.select(
-            F.col(id_col).alias(out),
-            F.explode(F.array(*band_keys)).alias("band_key"),
-            *[F.col(f"mh_{i}").cast("int").alias(f"{pfx}_{i}") for i in range(k)],
-        )
-
-    n_equal = sum((F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k))
+    n_equal = _n_equal_minhashes(k)
     return (
-        side("doc_a", "a")
-        .join(side("doc_b", "b"), ["band_key"])
+        _signature_band_side(sig, k, band_rows, "doc_a", "a", id_col)
+        .join(_signature_band_side(sig, k, band_rows, "doc_b", "b", id_col), ["band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .withColumn("est_jaccard", F.round(n_equal.cast("double") / F.lit(float(k)), 6))
         .where(F.col("est_jaccard") >= F.lit(threshold))
@@ -720,33 +741,22 @@ def incremental_dedup(
         sig_c = corpus_signatures
         sig_i = pin(minhash_signatures(incoming, k=k, n=n, id_col=id_col))
         sig_i.count()
-    n_bands = k // band_rows
-    band_keys = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"mh_{i}") for i in range(b * band_rows, (b + 1) * band_rows)]
-        )
-        for b in range(n_bands)
-    ]
-
-    # carry the signature ON the band rows (the minhash_lsh_pairs /
-    # simhash-hamming pattern, k ints per row): the estimate computes
-    # straight off the band join, the threshold filters immediately, and
-    # the candidate-pair distinct + both signature re-joins disappear —
-    # the distinct is not even replaced: the min_by aggregate below is
-    # duplicate-insensitive (a pair surfacing from several bands carries
-    # the identical (est, match_id) struct), so deduping first was pure
-    # shuffle overhead (r12; 7 Exchange → 3 in the gate plan).
-    def bands(sig: DataFrame, out: str, pfx: str) -> DataFrame:
-        return sig.select(
-            F.col(id_col).alias(out),
-            F.explode(F.array(*band_keys)).alias("band_key"),
-            *[F.col(f"mh_{i}").cast("int").alias(f"{pfx}_{i}") for i in range(k)],
-        )
-
-    n_equal = sum((F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k))
+    # carry the signature ON the band rows (_signature_band_side — the
+    # minhash_lsh_pairs / simhash-hamming pattern, k ints per row): the
+    # estimate computes straight off the band join, the threshold filters
+    # immediately, and the candidate-pair distinct + both signature
+    # re-joins disappear — the distinct is not even replaced: the min_by
+    # aggregate below is duplicate-insensitive (a pair surfacing from
+    # several bands carries the identical (est, match_id) struct), so
+    # deduping first was pure shuffle overhead (r12; 7 Exchange → 3 in
+    # the gate plan).
+    n_equal = _n_equal_minhashes(k)
     est = (
-        bands(sig_i, "doc_id", "a")
-        .join(bands(sig_c, "match_id", "b"), ["band_key"])
+        _signature_band_side(sig_i, k, band_rows, "doc_id", "a", id_col)
+        .join(
+            _signature_band_side(sig_c, k, band_rows, "match_id", "b", id_col),
+            ["band_key"],
+        )
         .withColumn("est_jaccard", F.round(n_equal.cast("double") / F.lit(float(k)), 6))
         .where(F.col("est_jaccard") >= F.lit(threshold))
     )

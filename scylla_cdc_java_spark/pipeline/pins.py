@@ -24,8 +24,19 @@ from pyspark.sql import DataFrame
 _PINS: list[DataFrame] = []
 
 
+def _is_cached(df: DataFrame) -> bool:
+    lvl = df.storageLevel
+    return lvl.useMemory or lvl.useDisk
+
+
 def pin(df: DataFrame) -> DataFrame:
-    """``df.cache()`` + register the pinned frame for :func:`release_pins`."""
+    """``df.cache()`` + register the pinned frame for :func:`release_pins`.
+
+    Registration first PRUNES entries that are no longer cached (a session
+    that resets with ``spark.catalog.clearCache()`` — bench.py does per
+    query — would otherwise grow the registry by one plan object per
+    operator call forever; pruning bounds it to the live pins)."""
+    _PINS[:] = [d for d in _PINS if _is_cached(d)]
     df = df.cache()
     _PINS.append(df)
     return df

@@ -1209,7 +1209,6 @@ def bpe_train(
         if folds_pending >= 4:
             wc = wc.localCheckpoint()
             folds_pending = 0
-    spark = df.sparkSession
     return spark.createDataFrame(merges, "step int, a string, b string, n long")
 
 

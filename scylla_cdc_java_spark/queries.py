@@ -5149,14 +5149,14 @@ def q_dedup_containment(spark, sf_dir):
 
 def _hashed_shingles(docs):
     """The shared inverted-index input ``(doc_id, sh = xxhash64(shingle))``
-    over distinct word 3-grams — pinned (see ngram_jaccard_pairs for the
-    r11 cache/count/checkpoint measurement; plain lazy cache won)."""
-    from .pipeline.text import shingles
+    over distinct word 3-grams — built by the SAME grain definition
+    ngram_jaccard_pairs uses internally (dedup.hashed_shingle_index, so the
+    truth and detector chains cannot drift apart) and pinned (see
+    ngram_jaccard_pairs for the r11 cache/count/checkpoint measurement;
+    plain lazy cache won)."""
+    from .pipeline.dedup import hashed_shingle_index
 
-    return _pin(
-        shingles(docs.select("doc_id", "text"), n=3)
-        .select("doc_id", F.xxhash64("shingle").alias("sh"))
-    )
+    return _pin(hashed_shingle_index(docs, n=3))
 
 
 def _containment_pairs(sh, max_df: int = 50, threshold: float = 0.5):

@@ -593,9 +593,13 @@ def test_minhash_lsh_single_join_filter_before_distinct(spark):
     plan = _plan(spark, "dedup_minhash_lsh")
     joins = re.findall(r"\(\d+\) [A-Za-z]*(?:HashJoin|MergeJoin|NestedLoopJoin)", plan)
     assert len(joins) == 1, f"expected 1 join (band self-join), got {joins}"
-    # the distinct's grouping keys include the estimate column → the
-    # filter ran below it
-    assert "est_jaccard" in plan
+    # the pair-dedup aggregate's GROUPING KEYS include the estimate column
+    # → the threshold filter ran below the distinct (assert on the
+    # HashAggregate Keys detail line, not mere plan mention)
+    agg_keys = re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert any("est_jaccard" in k and "doc_a" in k for k in agg_keys), (
+        f"no pair-dedup aggregate grouping on (doc_a, doc_b, est_jaccard): {agg_keys}"
+    )
 
 
 def test_incremental_dedup_no_pair_distinct_two_joins(spark):
